@@ -1,0 +1,35 @@
+"""boa_tpu — TPU-native Body-and-Organ-Analysis framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+UMEssen/Body-and-Organ-Analysis (reference: /root/reference): clinical CT
+analysis with 3D U-Net segmentation model families (TotalSegmentator's
+117-class whole-body model, specialized organ models, BCA body-composition
+models), voxel-wise measurements, Excel/PDF/JSON/PNG/DICOM-SEG outputs, a CLI
+and a PACS-style worker stack.
+
+Design stance (vs. reference `body_organ_analysis/__init__.py` + SURVEY.md §7):
+the reference round-trips every volume through NIfTI tempfiles and process
+pools because of Python+GIL+CUDA semantics. Here a study is decoded once on
+the host, goes device-resident once, and preprocessing / sliding-window
+inference / fusion / postprocessing run as jitted XLA stages on TPU.
+"""
+
+from boa_tpu.version import __version__
+
+__all__ = [
+    "__version__",
+    "analyze_ct",
+    "store_excel",
+]
+
+
+def __getattr__(name):  # lazy imports keep `import boa_tpu` dependency-light
+    if name == "analyze_ct":
+        from boa_tpu.commands import analyze_ct
+
+        return analyze_ct
+    if name == "store_excel":
+        from boa_tpu.io.storage import store_excel
+
+        return store_excel
+    raise AttributeError(f"module 'boa_tpu' has no attribute {name!r}")

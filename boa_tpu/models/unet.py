@@ -1,0 +1,332 @@
+"""3D U-Net families, functional JAX, channels-last (TPU-native layout).
+
+Implements the two architectures nnU-Net resolves from plans
+(`nnunetv2/utilities/get_network_from_plans.py:9-43`, default class names
+`plans_handler.py:44-46`):
+
+* ``PlainConvUNet`` — Conv3d + InstanceNorm3d(affine) + LeakyReLU encoder /
+  decoder with strided-conv downsampling, transpose-conv upsampling and
+  deep-supervision heads.
+* ``ResidualEncoderUNet`` — stem conv block + BasicBlockD residual encoder
+  stages, same decoder.
+
+The reference executes these through torch/cuDNN in NCDHW layout; here
+volumes are (N, X, Y, Z, C) so XLA tiles the convs onto the MXU without
+layout transposes, instance-norm statistics are computed in fp32 regardless
+of compute dtype (matching torch autocast behavior, SURVEY.md §7 hard part
+(e)), and the whole forward is a pure function of a parameter pytree so it
+can be vmapped over folds / TTA flips and pjit-sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# dimension numbers: activations NXYZC, kernels XYZIO
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+@dataclass(frozen=True)
+class ArchConfig:
+    """Static architecture hyperparameters (hashable -> usable as jit static)."""
+
+    n_stages: int
+    features_per_stage: tuple[int, ...]
+    kernel_sizes: tuple[tuple[int, int, int], ...]
+    strides: tuple[tuple[int, int, int], ...]
+    n_conv_per_stage: tuple[int, ...]
+    n_conv_per_stage_decoder: tuple[int, ...]
+    num_classes: int
+    input_channels: int = 1
+    conv_bias: bool = True
+    norm_eps: float = 1e-5
+    norm_affine: bool = True
+    nonlin_slope: float = 0.01  # torch.nn.LeakyReLU default negative_slope
+    deep_supervision: bool = False
+    residual_encoder: bool = False
+    # ResidualEncoderUNet: blocks per encoder stage (reference n_blocks_per_stage)
+    n_blocks_per_stage: tuple[int, ...] | None = None
+
+    @property
+    def total_downsampling(self) -> tuple[int, int, int]:
+        f = [1, 1, 1]
+        for s in self.strides:
+            for i in range(3):
+                f[i] *= s[i]
+        return tuple(f)
+
+
+def arch_config_from_plans(arch: dict, num_classes: int, input_channels: int = 1,
+                           deep_supervision: bool = False) -> ArchConfig:
+    """Build an ArchConfig from a plans.json ``architecture`` dict.
+
+    Parity: `plans_handler.py:143-153` (network_arch_class_name + arch_kwargs).
+    """
+    kw = arch["arch_kwargs"]
+    class_name = arch["network_class_name"].rsplit(".", 1)[-1]
+    residual = class_name == "ResidualEncoderUNet"
+
+    def _tup3(v):
+        return tuple(tuple(int(x) for x in (k if isinstance(k, (list, tuple)) else (k, k, k)))
+                     for k in v)
+
+    n_stages = int(kw["n_stages"])
+    fps = kw["features_per_stage"]
+    fps = tuple(int(f) for f in (fps if isinstance(fps, (list, tuple)) else [fps] * n_stages))
+    n_conv = kw.get("n_conv_per_stage", kw.get("n_blocks_per_stage", 2))
+    n_conv = tuple(int(c) for c in (n_conv if isinstance(n_conv, (list, tuple))
+                                    else [n_conv] * n_stages))
+    n_dec = kw.get("n_conv_per_stage_decoder", 2)
+    n_dec = tuple(int(c) for c in (n_dec if isinstance(n_dec, (list, tuple))
+                                   else [n_dec] * (n_stages - 1)))
+    norm_kw = kw.get("norm_op_kwargs") or {}
+    return ArchConfig(
+        n_stages=n_stages,
+        features_per_stage=fps,
+        kernel_sizes=_tup3(kw["kernel_sizes"]),
+        strides=_tup3(kw["strides"]),
+        n_conv_per_stage=n_conv if not residual else tuple([2] * n_stages),
+        n_conv_per_stage_decoder=n_dec,
+        num_classes=num_classes,
+        input_channels=input_channels,
+        conv_bias=bool(kw.get("conv_bias", True)),
+        norm_eps=float(norm_kw.get("eps", 1e-5)),
+        norm_affine=bool(norm_kw.get("affine", True)),
+        deep_supervision=deep_supervision,
+        residual_encoder=residual,
+        n_blocks_per_stage=n_conv if residual else None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# primitive layers
+# ---------------------------------------------------------------------------
+
+
+def _conv(x: jax.Array, w: jax.Array, b: jax.Array | None,
+          stride: Sequence[int], padding) -> jax.Array:
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=tuple(stride), padding=padding,
+        dimension_numbers=_DN,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _same_pad(kernel: Sequence[int]) -> list[tuple[int, int]]:
+    # torch Conv3d with padding=(k-1)//2 pads symmetrically for odd k; for
+    # even k torch pads (k-1)//2 both sides (asymmetric effect handled by
+    # output size formula). nnU-Net kernels are 1 or 3, so (k//2, (k-1)//2)
+    # degenerates to symmetric.
+    return [((k - 1) // 2, (k - 1) // 2) for k in kernel]
+
+
+def instance_norm(x: jax.Array, scale: jax.Array | None, bias: jax.Array | None,
+                  eps: float) -> jax.Array:
+    """InstanceNorm3d: per-sample, per-channel stats over spatial dims.
+
+    Stats in fp32 (torch runs IN in fp32 under autocast); biased variance
+    like torch.nn.InstanceNorm3d.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        out = out * scale.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _lrelu(x: jax.Array, slope: float) -> jax.Array:
+    return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
+
+
+def conv_block_apply(p: dict, x: jax.Array, stride, kernel, cfg: ArchConfig) -> jax.Array:
+    """ConvDropoutNormReLU: conv -> instance norm -> leaky relu."""
+    x = _conv(x, p["w"], p.get("b"), stride, _same_pad(kernel))
+    x = instance_norm(x, p.get("norm_scale"), p.get("norm_bias"), cfg.norm_eps)
+    return _lrelu(x, cfg.nonlin_slope)
+
+
+def _transpconv(x: jax.Array, w: jax.Array, b: jax.Array | None,
+                stride: Sequence[int]) -> jax.Array:
+    """ConvTranspose3d with kernel_size == stride, padding 0 (nnU-Net's only
+    use). Kernel layout XYZOI with transpose_kernel=True matches torch."""
+    out = jax.lax.conv_transpose(
+        x, w.astype(x.dtype), strides=tuple(stride), padding="VALID",
+        dimension_numbers=_DN, transpose_kernel=True,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parameter init (matches torch defaults: kaiming_uniform a=sqrt(5) for conv,
+# uniform bound 1/sqrt(fan_in) for bias — exact init only matters for training)
+# ---------------------------------------------------------------------------
+
+
+def _init_conv(key, kernel, c_in, c_out, bias: bool) -> dict:
+    k1, k2 = jax.random.split(key)
+    fan_in = c_in * int(np.prod(kernel))
+    gain = math.sqrt(2.0 / (1 + 5.0))  # kaiming_uniform a=sqrt(5)
+    bound = gain * math.sqrt(3.0 / fan_in)
+    p = {"w": jax.random.uniform(k1, (*kernel, c_in, c_out), jnp.float32, -bound, bound)}
+    if bias:
+        bb = 1.0 / math.sqrt(fan_in)
+        p["b"] = jax.random.uniform(k2, (c_out,), jnp.float32, -bb, bb)
+    return p
+
+
+def _init_block(key, kernel, c_in, c_out, cfg: ArchConfig) -> dict:
+    p = _init_conv(key, kernel, c_in, c_out, cfg.conv_bias)
+    if cfg.norm_affine:
+        p["norm_scale"] = jnp.ones((c_out,), jnp.float32)
+        p["norm_bias"] = jnp.zeros((c_out,), jnp.float32)
+    return p
+
+
+def init_unet(key: jax.Array, cfg: ArchConfig) -> dict:
+    """Initialize the full parameter pytree."""
+    keys = iter(jax.random.split(key, 4096))
+    params: dict[str, Any] = {"encoder": [], "decoder": [], "seg_heads": []}
+
+    c_in = cfg.input_channels
+    if cfg.residual_encoder:
+        params["stem"] = _init_block(next(keys), cfg.kernel_sizes[0], c_in,
+                                     cfg.features_per_stage[0], cfg)
+        c_in = cfg.features_per_stage[0]
+        for s in range(cfg.n_stages):
+            c_out = cfg.features_per_stage[s]
+            stage = []
+            nb = (cfg.n_blocks_per_stage or cfg.n_conv_per_stage)[s]
+            for b in range(nb):
+                stride = cfg.strides[s] if b == 0 else (1, 1, 1)
+                block = {
+                    "conv1": _init_block(next(keys), cfg.kernel_sizes[s], c_in, c_out, cfg),
+                    "conv2": _init_block(next(keys), cfg.kernel_sizes[s], c_out, c_out, cfg),
+                }
+                if any(st != 1 for st in stride) or c_in != c_out:
+                    block["skip"] = _init_block(next(keys), (1, 1, 1), c_in, c_out, cfg)
+                    # skip in BasicBlockD is conv+norm without nonlin
+                stage.append(block)
+                c_in = c_out
+            params["encoder"].append(stage)
+    else:
+        for s in range(cfg.n_stages):
+            c_out = cfg.features_per_stage[s]
+            stage = []
+            for b in range(cfg.n_conv_per_stage[s]):
+                stage.append(_init_block(next(keys), cfg.kernel_sizes[s], c_in, c_out, cfg))
+                c_in = c_out
+            params["encoder"].append(stage)
+
+    # decoder: from deepest stage upwards
+    for s in range(cfg.n_stages - 1, 0, -1):
+        c_below = cfg.features_per_stage[s]
+        c_skip = cfg.features_per_stage[s - 1]
+        # transpconv kernel layout is XYZOI (matches torch (I,O,k..) after
+        # transpose; consumed with transpose_kernel=True), bias sized c_skip
+        up = _init_conv(next(keys), cfg.strides[s], c_skip, c_below, False)
+        fan_in = c_below * int(np.prod(cfg.strides[s]))
+        up["b"] = jax.random.uniform(next(keys), (c_skip,), jnp.float32,
+                                     -1.0 / math.sqrt(fan_in), 1.0 / math.sqrt(fan_in))
+        stage = {"transp": up, "convs": []}
+        c = 2 * c_skip
+        for b in range(cfg.n_conv_per_stage_decoder[cfg.n_stages - 1 - s]):
+            stage["convs"].append(
+                _init_block(next(keys), cfg.kernel_sizes[s - 1], c, c_skip, cfg))
+            c = c_skip
+        params["decoder"].append(stage)
+        params["seg_heads"].append(_init_conv(next(keys), (1, 1, 1), c_skip,
+                                              cfg.num_classes, True))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _encoder_forward(params: dict, x: jax.Array, cfg: ArchConfig) -> list[jax.Array]:
+    skips = []
+    if cfg.residual_encoder:
+        x = conv_block_apply(params["stem"], x, (1, 1, 1), cfg.kernel_sizes[0], cfg)
+        for s, stage in enumerate(params["encoder"]):
+            for b, block in enumerate(stage):
+                stride = cfg.strides[s] if b == 0 else (1, 1, 1)
+                y = conv_block_apply(block["conv1"], x, stride, cfg.kernel_sizes[s], cfg)
+                y = _conv(y, block["conv2"]["w"], block["conv2"].get("b"),
+                          (1, 1, 1), _same_pad(cfg.kernel_sizes[s]))
+                y = instance_norm(y, block["conv2"].get("norm_scale"),
+                                  block["conv2"].get("norm_bias"), cfg.norm_eps)
+                if "skip" in block:
+                    sk = _conv(x, block["skip"]["w"], block["skip"].get("b"),
+                               stride, [(0, 0)] * 3)
+                    sk = instance_norm(sk, block["skip"].get("norm_scale"),
+                                       block["skip"].get("norm_bias"), cfg.norm_eps)
+                else:
+                    sk = x
+                x = _lrelu(y + sk, cfg.nonlin_slope)
+            skips.append(x)
+    else:
+        for s, stage in enumerate(params["encoder"]):
+            for b, block in enumerate(stage):
+                stride = cfg.strides[s] if b == 0 else (1, 1, 1)
+                x = conv_block_apply(block, x, stride, cfg.kernel_sizes[s], cfg)
+            skips.append(x)
+    return skips
+
+
+def unet_forward(params: dict, x: jax.Array, cfg: ArchConfig,
+                 *, all_heads: bool = False):
+    """Forward pass.
+
+    x: (N, X, Y, Z, C). Returns logits (N, X, Y, Z, num_classes), or a list
+    of deep-supervision outputs (highest resolution first) when
+    ``cfg.deep_supervision and all_heads``.
+    """
+    skips = _encoder_forward(params, x, cfg)
+    seg_outputs = []
+    y = skips[-1]
+    n_dec = len(params["decoder"])
+    for i, stage in enumerate(params["decoder"]):
+        s = cfg.n_stages - 1 - i
+        y = _transpconv(y, stage["transp"]["w"], stage["transp"].get("b"), cfg.strides[s])
+        y = jnp.concatenate([y, skips[s - 1]], axis=-1)
+        for block in stage["convs"]:
+            y = conv_block_apply(block, y, (1, 1, 1), cfg.kernel_sizes[s - 1], cfg)
+        want_head = (cfg.deep_supervision and all_heads) or i == n_dec - 1
+        if want_head:
+            head = params["seg_heads"][i]
+            seg_outputs.append(_conv(y, head["w"], head.get("b"), (1, 1, 1),
+                                     [(0, 0)] * 3))
+    if cfg.deep_supervision and all_heads:
+        return seg_outputs[::-1]  # highest resolution first, like nnU-Net
+    return seg_outputs[-1]
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def unet_infer(params: dict, x: jax.Array, cfg: ArchConfig,
+               compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Jitted inference entry: casts to compute dtype, returns fp32 logits."""
+    cast = jax.tree.map(lambda a: a.astype(compute_dtype)
+                        if a.dtype == jnp.float32 else a, params)
+    out = unet_forward(cast, x.astype(compute_dtype), cfg)
+    return out.astype(jnp.float32)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

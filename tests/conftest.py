@@ -7,13 +7,22 @@ marker and are not part of the default suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# a sitecustomize.py may force the TPU plugin via jax_platforms; override it
+# before any backend is initialized so the suite runs on the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np
 import pytest
+
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,179 @@
+"""Separable spline resampling as MXU matmuls.
+
+The reference resamples with two different conventions:
+
+* TotalSegmentator `change_spacing` (`totalsegmentator/resampling.py:129-222`)
+  -> `scipy.ndimage.zoom(..., mode="nearest", order=order)`: align-corners
+  coordinate map ``x_old = x_new * (n_in-1)/(n_out-1)``, output shape
+  ``round(n_in * zoom)``.
+* nnU-Net `resample_data_or_seg` (`nnunetv2/preprocessing/resampling/
+  default_resampling.py:113-200`) -> `skimage.transform.resize(mode='edge',
+  anti_aliasing=False)`: half-pixel map ``x_old = (x_new+0.5)*n_in/n_out-0.5``,
+  plus the anisotropic separate-z mode (2D in-plane resize + order-0/1 z).
+
+Both are *separable linear operators* per axis. We build the exact per-axis
+operator matrix on the host by pushing an identity matrix through
+`scipy.ndimage.map_coordinates` (including cubic-spline prefiltering, mode
+'nearest'), cache it, and apply the three axis operators on the TPU as dense
+matmuls — turning a scipy C hot loop (SURVEY.md §3 hot loop #2) into three
+MXU contractions. Exactness: the operator matrix *is* the scipy kernel by
+construction, so device results match scipy to fp32 rounding.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage as ndi
+
+
+# ---------------------------------------------------------------------------
+# host: operator-matrix construction
+# ---------------------------------------------------------------------------
+
+
+def _coords_zoom(n_in: int, n_out: int) -> np.ndarray:
+    """scipy.ndimage.zoom grid_mode=False (align corners)."""
+    if n_out <= 1 or n_in <= 1:
+        return np.zeros(n_out)
+    return np.arange(n_out) * (n_in - 1) / (n_out - 1)
+
+
+def _coords_resize(n_in: int, n_out: int) -> np.ndarray:
+    """skimage.transform.resize / align_corners=False (half-pixel centers)."""
+    return (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+
+
+@lru_cache(maxsize=512)
+def axis_operator(n_in: int, n_out: int, order: int, convention: str) -> np.ndarray:
+    """(n_out, n_in) matrix M with out = M @ x for 1D spline resampling.
+
+    convention: 'zoom' (ndimage.zoom align-corners) or 'resize'
+    (skimage half-pixel). order: spline order 0/1/3/5. Boundary mode
+    'nearest' (== skimage 'edge').
+    """
+    if n_in == n_out and convention in ("zoom", "resize"):
+        return np.eye(n_in, dtype=np.float32)
+    coords = {"zoom": _coords_zoom, "resize": _coords_resize}[convention](n_in, n_out)
+    eye = np.eye(n_in, dtype=np.float64)
+    # out[i, j] = spline_interp(eye[:, j]) at coords[i]
+    cgrid = np.stack(
+        [np.repeat(coords, n_in), np.tile(np.arange(n_in, dtype=np.float64), n_out)]
+    ).reshape(2, n_out, n_in)
+    mat = ndi.map_coordinates(eye, cgrid, order=order, mode="nearest", prefilter=order > 1)
+    return np.ascontiguousarray(mat, dtype=np.float32)
+
+
+@lru_cache(maxsize=512)
+def axis_nearest_indices(n_in: int, n_out: int, convention: str) -> np.ndarray:
+    """Order-0 resampling as a gather index vector (exact scipy semantics)."""
+    mat = axis_operator(n_in, n_out, 0, convention)
+    return np.argmax(mat, axis=1).astype(np.int32)
+
+
+def compute_new_shape(old_shape, old_spacing, new_spacing) -> tuple[int, ...]:
+    """nnU-Net shape rule (`default_resampling.py:24-30`): round(sp/nsp * n)."""
+    return tuple(
+        int(round(i / j * k)) for i, j, k in zip(old_spacing, new_spacing, old_shape)
+    )
+
+
+def zoom_output_shape(old_shape, zoom) -> tuple[int, ...]:
+    """ndimage.zoom shape rule: round(n * zoom)."""
+    return tuple(int(round(n * z)) for n, z in zip(old_shape, zoom))
+
+
+# ---------------------------------------------------------------------------
+# device: separable application
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _apply3(vol: jax.Array, mx: jax.Array, my: jax.Array, mz: jax.Array,
+            precision: str = "highest") -> jax.Array:
+    """vol (..., X, Y, Z) -> (..., X', Y', Z') via three contractions."""
+    p = {"default": jax.lax.Precision.DEFAULT, "high": jax.lax.Precision.HIGH,
+         "highest": jax.lax.Precision.HIGHEST}[precision]
+    out = jnp.einsum("...xyz,ax->...ayz", vol, mx, precision=p)
+    out = jnp.einsum("...xyz,by->...xbz", out, my, precision=p)
+    out = jnp.einsum("...xyz,cz->...xyc", out, mz, precision=p)
+    return out
+
+
+def resample_volume(vol: jax.Array | np.ndarray, new_shape: tuple[int, int, int],
+                    order: int = 3, convention: str = "zoom",
+                    separate_z_order: int | None = None) -> jax.Array:
+    """Resample the last 3 axes of ``vol`` to ``new_shape``.
+
+    separate_z_order: if not None, in-plane (x,y) uses ``order`` and the z
+    axis uses this order — nnU-Net's anisotropic separate-z mode
+    (`default_resampling.py:33-67`; order_z=0 by default).
+    """
+    vol = jnp.asarray(vol)
+    in_shape = vol.shape[-3:]
+    z_order = order if separate_z_order is None else separate_z_order
+    mx = jnp.asarray(axis_operator(in_shape[0], new_shape[0], order, convention))
+    my = jnp.asarray(axis_operator(in_shape[1], new_shape[1], order, convention))
+    mz = jnp.asarray(axis_operator(in_shape[2], new_shape[2], z_order, convention))
+    return _apply3(vol.astype(jnp.float32), mx, my, mz)
+
+
+def resample_nearest(vol: jax.Array | np.ndarray, new_shape: tuple[int, int, int],
+                     convention: str = "zoom") -> jax.Array:
+    """Order-0 resample of the last 3 axes (labels); pure gather, any dtype."""
+    vol = jnp.asarray(vol)
+    in_shape = vol.shape[-3:]
+    ix = jnp.asarray(axis_nearest_indices(in_shape[0], new_shape[0], convention))
+    iy = jnp.asarray(axis_nearest_indices(in_shape[1], new_shape[1], convention))
+    iz = jnp.asarray(axis_nearest_indices(in_shape[2], new_shape[2], convention))
+    out = jnp.take(vol, ix, axis=-3)
+    out = jnp.take(out, iy, axis=-2)
+    return jnp.take(out, iz, axis=-1)
+
+
+def resample_seg_onehot(seg: jax.Array | np.ndarray, new_shape: tuple[int, int, int],
+                        num_classes: int, order: int = 1,
+                        convention: str = "resize",
+                        separate_z_order: int | None = None) -> jax.Array:
+    """Segmentation resampling via per-class linear interpolation + argmax.
+
+    Parity: batchgenerators ``resize_segmentation`` (used by nnU-Net's
+    `resample_data_or_seg` when is_seg and order > 0) — one-hot each class,
+    resample with ``order``, take the class with maximal weight.
+    """
+    seg = jnp.asarray(seg)
+    oh = jax.nn.one_hot(seg.astype(jnp.int32), num_classes, axis=0, dtype=jnp.float32)
+    res = resample_volume(oh, new_shape, order=order, convention=convention,
+                          separate_z_order=separate_z_order)
+    return jnp.argmax(res, axis=0).astype(seg.dtype)
+
+
+# ---------------------------------------------------------------------------
+# high-level: TS change_spacing equivalent (device-side, affine on host)
+# ---------------------------------------------------------------------------
+
+
+def change_spacing_shape(old_shape, old_spacing, new_spacing=None, target_shape=None):
+    """Shape + zoom math of `totalsegmentator/resampling.py:171-180`."""
+    old_shape = np.asarray(old_shape[:3])
+    old_spacing = np.asarray(old_spacing[:3], dtype=np.float64)
+    if target_shape is not None:
+        zoom = np.asarray(target_shape) / old_shape
+        new_spacing = old_spacing / zoom
+    else:
+        new_spacing = np.asarray(new_spacing, dtype=np.float64)
+        zoom = old_spacing / new_spacing
+    out_shape = zoom_output_shape(old_shape, zoom) if target_shape is None \
+        else tuple(int(t) for t in target_shape)
+    return out_shape, zoom, new_spacing
+
+
+def rescale_affine(affine: np.ndarray, zoom) -> np.ndarray:
+    """Scale affine columns by 1/zoom (`resampling.py:190-196`)."""
+    new_affine = np.copy(affine)
+    for i in range(3):
+        new_affine[:3, i] = new_affine[:3, i] / zoom[i]
+    return new_affine

@@ -1,0 +1,155 @@
+"""End-to-end predictor parity vs a straight-line replica of the reference
+nnUNetPredictor path (torch network + scipy resampling + numpy Gaussian
+fusion). Verifies SURVEY §7 step 3-4: Dice/argmax identity on synthetic
+models and volumes."""
+
+import numpy as np
+import pytest
+import torch
+from scipy import ndimage as ndi
+
+from boa_tpu.inference.predictor import Predictor
+from boa_tpu.inference.sliding_window import sliding_window_logits, stack_fold_params
+from boa_tpu.ops import preprocess as pp
+from boa_tpu.plans.plans import synthetic_plans
+from boa_tpu.weights.convert import convert_state_dict
+
+from tests.torch_mirror import TorchUNet
+
+
+def _make_model(plans, seed=0):
+    cfg = plans.arch_config()
+    torch.manual_seed(seed)
+    net = TorchUNet(cfg).eval()
+    params = convert_state_dict(net.state_dict(), cfg)
+    return net, params
+
+
+def _ref_sliding_window(nets, vol_c, patch, step):
+    """Reference fold-ensemble sliding window (fp32, no mirroring)."""
+    padded, revert = pp.pad_to_patch(vol_c, patch)
+    starts = pp.tile_starts(padded.shape[-3:], patch, step)
+    gauss = pp.gaussian_importance_map(patch)
+    acc = None
+    for net in nets:
+        logits = np.zeros((NUM_CLASSES, *padded.shape[-3:]), np.float32)
+        weights = np.zeros(padded.shape[-3:], np.float32)
+        for sx, sy, sz in starts:
+            tile = padded[:, sx:sx + patch[0], sy:sy + patch[1], sz:sz + patch[2]]
+            with torch.no_grad():
+                pred = net(torch.from_numpy(tile[None]))[0].numpy()
+            logits[:, sx:sx + patch[0], sy:sy + patch[1], sz:sz + patch[2]] += pred * gauss
+            weights[sx:sx + patch[0], sy:sy + patch[1], sz:sz + patch[2]] += gauss
+        logits /= weights
+        acc = logits if acc is None else acc + logits
+    acc /= len(nets)
+    return acc[(slice(None), *revert)]
+
+
+NUM_CLASSES = 4
+PATCH = (16, 16, 16)
+
+
+@pytest.fixture(scope="module")
+def plans():
+    return synthetic_plans(num_classes=NUM_CLASSES, patch_size=PATCH,
+                           spacing=(3.0, 3.0, 3.0), features=(8, 16, 32))
+
+
+def test_sliding_window_matches_reference(plans, rng):
+    net1, p1 = _make_model(plans, 0)
+    net2, p2 = _make_model(plans, 1)
+    vol = rng.normal(size=(1, 24, 20, 18)).astype(np.float32)
+
+    ref = _ref_sliding_window([net1, net2], vol, PATCH, 0.5)
+
+    pred = Predictor(plans=plans, fold_params=[p1, p2], compute_dtype="float32")
+    got = np.asarray(pred.predict_logits(vol))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+    # argmax (the actual segmentation) should be essentially identical
+    agree = (got.argmax(0) == ref.argmax(0)).mean()
+    assert agree > 0.999
+
+
+def test_full_predict_pipeline(plans, rng):
+    """Raw volume path: crop -> normalize -> resample -> SW -> back -> bbox."""
+    net, params = _make_model(plans, 0)
+    # CT-like volume with zero margins (exercises crop-to-nonzero)
+    vol = np.zeros((40, 36, 30), np.float32)
+    inner = rng.normal(size=(30, 28, 22)).astype(np.float32) * 300 + 50
+    vol[5:35, 4:32, 3:25] = inner
+    spacing = (2.0, 2.0, 7.0)  # anisotropy 3.5 > 3: separate-z path
+
+    pred = Predictor(plans=plans, fold_params=[params], compute_dtype="float32")
+    seg = pred.predict(vol, spacing)
+    assert seg.shape == vol.shape
+    assert seg.dtype == np.uint8
+
+    # reference path in numpy/torch
+    bbox = pp.nonzero_bbox(vol)
+    cropped = pp.crop_to_bbox(vol, bbox)
+    props = plans.intensity_properties
+    norm = np.clip(cropped, props["percentile_00_5"], props["percentile_99_5"])
+    norm = (norm - props["mean"]) / props["std"]
+    new_shape = tuple(
+        int(round(s / t * n))
+        for s, t, n in zip(spacing, plans.spacing_xyz, cropped.shape))
+
+    def _resize(v, shape, order):
+        grids = np.meshgrid(
+            *[(np.arange(n) + 0.5) * (o / n) - 0.5 for n, o in zip(shape, v.shape)],
+            indexing="ij")
+        return ndi.map_coordinates(v.astype(np.float64), np.array(grids), order=order,
+                                   mode="nearest", prefilter=order > 1)
+
+    # separate-z: in-plane cubic, z nearest (order 0)
+    # map_coordinates order-0 rounding is floor(x + 0.5), not banker's round
+    iz = np.clip(np.floor((np.arange(new_shape[2]) + 0.5)
+                          * (cropped.shape[2] / new_shape[2])), 0,
+                 cropped.shape[2] - 1).astype(int)
+    tmp = norm[:, :, iz]
+    res = np.stack([_resize(tmp[:, :, k], new_shape[:2], 3) for k in range(len(iz))], -1)
+
+    ref_logits = _ref_sliding_window([net], res[None].astype(np.float32), PATCH, 0.5)
+    back = np.stack([
+        np.stack([_resize(ref_logits[c][:, :, k], cropped.shape[:2], 1)
+                  for k in range(ref_logits.shape[-1])], -1)
+        for c in range(NUM_CLASSES)])
+    # z back-resample nearest
+    izb = np.clip(np.floor((np.arange(cropped.shape[2]) + 0.5)
+                           * (ref_logits.shape[-1] / cropped.shape[2])), 0,
+                  ref_logits.shape[-1] - 1).astype(int)
+    back = back[:, :, :, izb]
+    ref_seg = np.zeros_like(seg)
+    sl = tuple(slice(b[0], b[1]) for b in bbox)
+    ref_seg[sl] = back.argmax(0).astype(np.uint8)
+
+    agree = (seg == ref_seg).mean()
+    assert agree > 0.995, f"segmentation agreement {agree}"
+
+
+def test_mirror_tta_against_torch(plans, rng):
+    """Mirror TTA averaging matches the reference flip loop."""
+    net, params = _make_model(plans, 0)
+    vol = rng.normal(size=(1, 16, 16, 16)).astype(np.float32)
+    import itertools
+
+    import jax.numpy as jnp
+
+    x = torch.from_numpy(vol[None])
+    with torch.no_grad():
+        ref = net(x).numpy()
+        axes = [2, 3, 4]
+        combos = [c for i in range(3) for c in itertools.combinations(axes, i + 1)]
+        for c in combos:
+            ref += torch.flip(net(torch.flip(x, c)), c).numpy()
+        ref /= len(combos) + 1
+
+    from boa_tpu.inference.sliding_window import _forward_tta
+
+    xj = jnp.asarray(np.transpose(vol, (1, 2, 3, 0))[None])
+    got = np.asarray(_forward_tta(params, xj, plans.arch_config(), (0, 1, 2)))
+    got = np.transpose(got, (3, 0, 1, 2))[None]
+    np.testing.assert_allclose(got, ref[0][None].transpose(1, 0, 2, 3, 4)[0][None]
+                               if False else ref, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,207 @@
+"""Per-volume orchestration: the TotalSegmentator pipeline, TPU-resident.
+
+Parity: `totalsegmentator/nnunet.py:326-829` `nnUNet_predict_image` —
+crop-to-mask (+mm addon) -> canonical RAS -> spline resample (order 3,
+int32) -> per-task-id nnU-Net prediction -> class-map merge of sub-models ->
+multilabel postprocessing -> statistics on the model grid (9x faster than
+original grid, `nnunet.py:634-640`) -> resample back (order 0, exact target
+shape, forced affine) -> undo canonical -> undo crop.
+
+Differences by design (SURVEY.md §7): no tempfile/NIfTI round-trips between
+stages, no process pools — the volume is decoded once and stays on device
+through preprocess/infer/fuse; the z triple-split of the reference
+(`nnunet.py:483-505`) is unnecessary on-device and is replaced by halo
+sharding for >HBM volumes (see boa_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from boa_tpu.io import nifti
+from boa_tpu.io.nifti import NiftiImage
+from boa_tpu.inference.predictor import Predictor
+from boa_tpu.ops import cropping
+from boa_tpu.ops import resample as rs
+from boa_tpu.tasks import class_maps
+from boa_tpu.tasks.registry import BCA_TASKS, TASKS, TaskConfig, get_task
+from boa_tpu.weights.store import ModelStore
+
+logger = logging.getLogger(__name__)
+
+# registry-name -> class_map key
+_CLASS_MAP_KEY = {
+    "total_fast": "total",
+    "total_fastest": "total",
+    "body_fast": "body",
+    "lung_vessels": "lung_vessels",
+}
+
+
+def class_map_for_task(task_name: str) -> dict[int, str]:
+    key = _CLASS_MAP_KEY.get(task_name, task_name)
+    return class_maps.get_class_map(key)
+
+
+@dataclass
+class PredictImageResult:
+    seg: NiftiImage                      # multilabel, original grid
+    seg_model_grid: NiftiImage | None    # multilabel at model resolution
+    stats: dict | None = None
+    label_map: dict[int, str] = field(default_factory=dict)
+
+
+def _empty_result(img: NiftiImage, label_map: dict[int, str]) -> PredictImageResult:
+    out = NiftiImage(data=np.zeros(img.shape, np.uint8), affine=img.affine.copy())
+    out.set_label_map(label_map)
+    return PredictImageResult(seg=out, seg_model_grid=None, label_map=label_map)
+
+
+def predict_image(
+    img: NiftiImage,
+    task_name: str,
+    store: ModelStore,
+    *,
+    fast: bool = False,
+    crop_mask: NiftiImage | None = None,
+    crop_addon_mm=None,
+    folds=None,
+    step_size: float | None = None,
+    statistics: bool = False,
+    compute_dtype: str = "bfloat16",
+    fake_predict: Callable[[np.ndarray, tuple, int], np.ndarray] | None = None,
+) -> PredictImageResult:
+    """Run one model family over a CT volume.
+
+    fake_predict(vol_xyz, spacing_xyz, task_id) -> seg replaces the network
+    call — the `test=N` hook of the reference (`nnunet.py:560-578`) that lets
+    pipeline tests run without weights.
+    """
+    task = get_task(task_name, fast=fast) if task_name in ("total", "body") or \
+        not task_name.endswith(("_fast", "_fastest")) else get_task(task_name)
+    multimodel = len(task.task_ids) > 1
+    label_map = class_map_for_task(task.name)
+
+    if img.data.ndim > 3:
+        img = NiftiImage(data=np.asarray(img.data)[..., 0], affine=img.affine)
+
+    # --- crop to organ mask from a previous `total` run (python_api crop cascade)
+    bbox = None
+    img_orig = img
+    if crop_mask is not None:
+        if np.asarray(crop_mask.data).sum() == 0:
+            logger.info("Crop is empty. Returning empty segmentation.")
+            return _empty_result(img, label_map)
+        addon = crop_addon_mm if crop_addon_mm is not None else task.crop_addon
+        img, bbox = cropping.crop_to_mask(img, crop_mask, addon_mm=addon,
+                                          dtype=np.int32)
+
+    # --- canonical RAS
+    img_canon, ornt = nifti.as_closest_canonical(img)
+    canon_shape = img_canon.shape
+    canon_affine = img_canon.affine.copy()
+    canon_zooms = img_canon.zooms
+
+    # --- resample to model grid (change_spacing: zoom convention, order 3,
+    #     int32 cast — nnunet.py:457-476)
+    resample = task.resample
+    if task.resample_only_thickness and resample is not None:
+        resample = (canon_zooms[0], canon_zooms[1], resample[2])
+    if resample is not None and not np.allclose(canon_zooms, resample):
+        out_shape, zoom, new_spacing = rs.change_spacing_shape(
+            canon_shape, canon_zooms, resample)
+        data_rsp = np.asarray(
+            rs.resample_volume(np.asarray(img_canon.data, np.float32), out_shape,
+                               order=3, convention="zoom")).astype(np.int32)
+        rsp_affine = rs.rescale_affine(canon_affine, zoom)
+        rsp_spacing = tuple(float(s) for s in new_spacing)
+    else:
+        data_rsp = np.asarray(img_canon.data, np.float32).astype(np.int32)
+        rsp_affine = canon_affine
+        rsp_spacing = canon_zooms
+        resample = None if np.allclose(canon_zooms, task.resample or canon_zooms) \
+            and task.resample is None else task.resample
+
+    # --- step size heuristic (nnunet.py:507-514)
+    if step_size is None:
+        if task.name in ("total",) and task.resample is not None \
+                and task.resample[0] < 3.0:
+            step_size = 0.8
+        else:
+            step_size = 0.5
+
+    # --- per-task-id prediction + merge
+    use_folds = folds if folds is not None else task.folds
+    if multimodel:
+        seg_combined = np.zeros(data_rsp.shape, dtype=np.uint8)
+        inv = {v: k for k, v in label_map.items()}
+        for tid in task.task_ids:
+            seg_part = _predict_one(data_rsp, rsp_spacing, tid, task, use_folds,
+                                    step_size, store, compute_dtype, fake_predict)
+            part_map = class_maps.class_map_5_parts[
+                class_maps.map_taskid_to_partname[tid]]
+            for jdx, class_name in part_map.items():
+                seg_combined[seg_part == jdx] = inv[class_name]
+        seg_rsp = seg_combined
+    else:
+        seg_rsp = _predict_one(data_rsp, rsp_spacing, task.task_ids[0], task,
+                               use_folds, step_size, store, compute_dtype,
+                               fake_predict).astype(np.uint8)
+
+    # --- multilabel postprocessing on the model grid
+    if task.keep_largest_blob:
+        from boa_tpu.ops import postprocessing as pped
+
+        vox_vol = float(np.prod(rsp_spacing))
+        seg_rsp = pped.keep_largest_blob_multilabel(seg_rsp, label_map, ["body_trunc"])
+        seg_rsp = pped.remove_small_blobs_multilabel(
+            seg_rsp, label_map, ["body_extremities"],
+            interval=(50000.0 / vox_vol, 1e10))
+
+    seg_model_grid = NiftiImage(data=seg_rsp, affine=rsp_affine)
+
+    # --- fast statistics on the model grid (statistics.py:91-141)
+    stats = None
+    if statistics:
+        from boa_tpu.measure.statistics import get_basic_statistics
+
+        stats = get_basic_statistics(seg_rsp, np.asarray(data_rsp), rsp_spacing,
+                                     label_map)
+
+    # --- resample back to the canonical grid (order 0, exact target shape)
+    if resample is not None and seg_rsp.shape != canon_shape:
+        seg_canon_data = np.asarray(
+            rs.resample_nearest(seg_rsp, canon_shape, convention="zoom")
+        ).astype(np.uint8)
+    else:
+        seg_canon_data = seg_rsp
+    seg_canon = NiftiImage(data=seg_canon_data, affine=canon_affine)
+
+    # --- undo canonical / undo crop
+    seg_out = nifti.undo_canonical(seg_canon, ornt, img.affine)
+    if bbox is not None:
+        seg_out = cropping.undo_crop(seg_out, img_orig, bbox)
+
+    if seg_out.shape != img_orig.shape:
+        raise RuntimeError(
+            f"shape mismatch after pipeline: {seg_out.shape} vs {img_orig.shape}")
+    seg_out.data = seg_out.data.astype(np.uint8)
+    seg_out.set_label_map(label_map)
+    return PredictImageResult(seg=seg_out, seg_model_grid=seg_model_grid,
+                              stats=stats, label_map=label_map)
+
+
+def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
+                 step_size: float, store: ModelStore, compute_dtype: str,
+                 fake_predict) -> np.ndarray:
+    if fake_predict is not None:
+        return np.asarray(fake_predict(data_rsp, spacing, task_id))
+    plans, params = store.load(task_id, trainer=task.trainer, model=task.model,
+                               folds=folds)
+    predictor = Predictor(plans=plans, fold_params=params,
+                          tile_step_size=step_size, compute_dtype=compute_dtype)
+    return predictor.predict(np.asarray(data_rsp, np.float32), spacing)

@@ -1,0 +1,113 @@
+"""TS-level pipeline tests using the fake-inference hook (reference test=N,
+`nnunet.py:560-578`)."""
+
+import numpy as np
+import pytest
+
+from boa_tpu.io.nifti import NiftiImage
+from boa_tpu.inference.pipeline import predict_image
+from boa_tpu.tasks import class_maps
+from boa_tpu.weights.store import ModelStore, create_synthetic_model
+
+
+def _ct(shape=(40, 38, 30), affine=None, rng=None):
+    r = rng or np.random.default_rng(3)
+    data = r.integers(-1000, 1200, size=shape).astype(np.int16)
+    if affine is None:
+        affine = np.array(
+            [[-0.9, 0, 0, 100], [0, -0.9, 0, 80], [0, 0, 1.5, -200], [0, 0, 0, 1.0]])
+    return NiftiImage(data=data, affine=affine)
+
+
+def test_fake_single_model_roundtrip():
+    """Shapes/affine/orientation survive resample + canonical round trip."""
+    img = _ct()
+    store = ModelStore("/nonexistent")
+
+    def fake(vol, spacing, task_id):
+        # ball in the center of the model-grid volume
+        seg = np.zeros(vol.shape, np.uint8)
+        cx, cy, cz = [s // 2 for s in vol.shape]
+        seg[cx - 3:cx + 3, cy - 3:cy + 3, cz - 3:cz + 3] = 1
+        return seg
+
+    res = predict_image(img, "total_fastest", store, fake_predict=fake)
+    assert res.seg.shape == img.shape
+    np.testing.assert_allclose(res.seg.affine, img.affine)
+    assert res.seg.data.dtype == np.uint8
+    assert res.seg.data.sum() > 0
+    assert res.seg.get_label_map() is not None
+    assert res.seg.get_label_map()[1] == "spleen"
+
+
+def test_fake_multimodel_merge():
+    """5-part merge maps part-local labels into the 117-class space."""
+    img = _ct()
+    store = ModelStore("/nonexistent")
+    calls = []
+
+    def fake(vol, spacing, task_id):
+        calls.append(task_id)
+        seg = np.zeros(vol.shape, np.uint8)
+        # each part predicts its local class 1 in a distinct z-slab
+        i = len(calls) - 1
+        seg[:, :, 3 * i:3 * i + 3] = 1
+        return seg
+
+    res = predict_image(img, "total", store, fake_predict=fake)
+    assert calls == [291, 292, 293, 294, 295]
+    cm = class_maps.get_class_map("total")
+    inv = {v: k for k, v in cm.items()}
+    got_labels = set(np.unique(res.seg.data)) - {0}
+    expected = set()
+    for tid in calls:
+        part = class_maps.map_taskid_to_partname[tid]
+        name = class_maps.class_map_5_parts[part][1]
+        expected.add(inv[name])
+    assert got_labels == expected
+
+
+def test_crop_mask_path():
+    img = _ct(shape=(40, 40, 40))
+    mask = NiftiImage(data=np.zeros(img.shape, np.uint8), affine=img.affine)
+    mask.data[10:25, 12:26, 8:20] = 1
+    store = ModelStore("/nonexistent")
+    seen_shapes = []
+
+    def fake(vol, spacing, task_id):
+        seen_shapes.append(vol.shape)
+        return np.ones(vol.shape, np.uint8)
+
+    # cerebral_bleed: 3 mm addon (~3 voxels) keeps the bbox off the border
+    res = predict_image(img, "cerebral_bleed", store, crop_mask=mask,
+                        fake_predict=fake)
+    assert res.seg.shape == img.shape
+    # everything outside the (addon-dilated) crop bbox must be zero
+    assert res.seg.data[0:2].sum() == 0
+    assert res.seg.data[15, 15, 10] == 1
+
+
+def test_empty_crop_returns_empty():
+    img = _ct()
+    mask = NiftiImage(data=np.zeros(img.shape, np.uint8), affine=img.affine)
+    store = ModelStore("/nonexistent")
+    res = predict_image(img, "liver_vessels", store, crop_mask=mask,
+                        fake_predict=lambda *a: 1 / 0)
+    assert res.seg.data.sum() == 0
+    assert res.seg.shape == img.shape
+
+
+def test_real_synthetic_model_end_to_end(tmp_path):
+    """Full path with actual network weights from the synthetic store."""
+    store_dir = tmp_path / "weights"
+    create_synthetic_model(store_dir, 298, "TotalFastest", num_classes=5,
+                           trainer="nnUNetTrainer_4000epochs_NoMirroring",
+                           patch_size=(16, 16, 16), spacing=(6.0, 6.0, 6.0),
+                           features=(8, 16))
+    img = _ct(shape=(48, 44, 40))
+    store = ModelStore(store_dir)
+    res = predict_image(img, "total_fastest", store, compute_dtype="float32",
+                        statistics=True)
+    assert res.seg.shape == img.shape
+    assert res.stats is not None and "spleen" in res.stats
+    assert res.seg_model_grid is not None

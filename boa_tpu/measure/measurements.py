@@ -1,0 +1,286 @@
+"""Per-region HU measurement engine.
+
+Parity: `body_organ_analysis/compute/measurements.py:1-343` — per region:
+volume (ml), mean/std/min/median/max HU, 25/75th percentile, CNR vs an
+eroded fat-free autochthon reference (`autochthon_reference` `:42-58`,
+erosion kernel 6^3 `:61-71`), CNR-adjusted variants for
+{aorta, autochthon_*, pulmonary_artery} (`CNR_ADJUSTED_REGIONS` `:23-26`),
+pulmonary-fat (ct_pfav) metrics per lung lobe (`:151-200`).
+
+TPU design (replaces the reference's per-class numpy loop, hot loop #3 of
+SURVEY §3): ONE jitted pass builds per-class integer-HU histograms on
+device; every plain-region statistic (count, mean, std, min, max, median,
+percentiles) and every HU-range-restricted statistic (the pulmonary fat
+masks are exactly `class ∩ HU∈[-200,-40]`, i.e. a histogram slice) is then
+derived exactly on the host in float64. Only the eroded/CNR-adjusted masks
+need additional (small, per-region) device passes.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from boa_tpu.measure.statistics import HU_MIN, N_BINS, segmented_stats
+from boa_tpu.ops.morphology import erosion_box_border1
+from boa_tpu.tasks import class_maps
+from boa_tpu.utils.misc import ADDITIONAL_MODELS_OUTPUT_NAME, create_mask
+
+logger = logging.getLogger(__name__)
+
+ADIPOSE_TISSUE = (-200, -40)
+CNR_ADJUSTED_REGIONS: dict[str, set[str]] = {
+    "total": {"aorta", "autochthon_left", "autochthon_right"},
+    "heartchambers_highres": {"pulmonary_artery"},
+}
+
+LUNG_MASKS = [
+    "lung_upper_lobe_left",
+    "lung_lower_lobe_left",
+    "lung_upper_lobe_right",
+    "lung_middle_lobe_right",
+    "lung_lower_lobe_right",
+]
+
+_HU_VALUES = np.arange(HU_MIN, HU_MIN + N_BINS, dtype=np.float64)
+
+
+def _class_map_for_model(model_name: str) -> dict[str, int]:
+    key = {"lung_vessels": "lung_vessels"}.get(model_name, model_name)
+    cm = class_maps.get_class_map(key)
+    return {name: idx for idx, name in cm.items()}
+
+
+def _metrics_from_hist(hist: np.ndarray, ml_per_voxel: float) -> dict[str, Any]:
+    """Exact region metrics from an integer-HU histogram (float64 host math)."""
+    n = hist.sum()
+    if n == 0:
+        return {"present": False}
+    m: dict[str, Any] = {"present": True}
+    m["volume_ml"] = float(n * ml_per_voxel)
+    s1 = float((hist * _HU_VALUES).sum())
+    s2 = float((hist * _HU_VALUES**2).sum())
+    mean = s1 / n
+    m["mean_hu"] = mean
+    m["std_hu"] = float(np.sqrt(max(s2 / n - mean * mean, 0.0)))
+    nz = np.nonzero(hist)[0]
+    m["min_hu"] = float(_HU_VALUES[nz[0]])
+    m["max_hu"] = float(_HU_VALUES[nz[-1]])
+    cum = np.cumsum(hist)
+    for label, q in [("median_hu", 0.5), ("25th_percentile_hu", 0.25),
+                     ("75th_percentile_hu", 0.75)]:
+        pos = q * (n - 1)
+        lo_idx = int(np.floor(pos))
+        hi_idx = min(lo_idx + 1, int(n) - 1)
+        frac = pos - lo_idx
+        lo_v = _HU_VALUES[np.searchsorted(cum, lo_idx + 1)]
+        hi_v = _HU_VALUES[np.searchsorted(cum, hi_idx + 1)]
+        m[label] = float(lo_v + (hi_v - lo_v) * frac)
+    return m
+
+
+def _add_cnr(m: dict[str, Any], autochthon_mean, autochthon_std) -> None:
+    if not m.get("present"):
+        return
+    if autochthon_mean is not None and autochthon_std is not None:
+        m["cnr"] = (m["mean_hu"] - autochthon_mean) / autochthon_std
+    else:
+        m["cnr"] = None
+
+
+def _fat_slice() -> slice:
+    return slice(ADIPOSE_TISSUE[0] - HU_MIN, ADIPOSE_TISSUE[1] - HU_MIN + 1)
+
+
+def _nonfat_hist(hist: np.ndarray) -> np.ndarray:
+    out = hist.copy()
+    out[_fat_slice()] = 0
+    return out
+
+
+def masked_stats(ct: jnp.ndarray, mask: jnp.ndarray) -> tuple[float, float, int]:
+    """mean/std/count of ct under a boolean mask (device)."""
+    mf = mask.astype(jnp.float64) if False else mask.astype(jnp.float32)
+    ctf = ct.astype(jnp.float32)
+    n = jnp.sum(mf)
+    s1 = jnp.sum(ctf * mf)
+    s2 = jnp.sum(ctf * ctf * mf)
+    n_, s1_, s2_ = float(n), float(s1), float(s2)
+    if n_ == 0:
+        return 0.0, 0.0, 0
+    mean = s1_ / n_
+    return mean, float(np.sqrt(max(s2_ / n_ - mean * mean, 0.0))), int(n_)
+
+
+def autochthon_reference(ct_dev, autochthon_mask) -> tuple[float | None, float | None]:
+    """Mean/std HU of eroded, fat-excluded autochthon (`:42-58`)."""
+    fat_free = autochthon_mask & (
+        (ct_dev < ADIPOSE_TISSUE[0]) | (ct_dev > ADIPOSE_TISSUE[1]))
+    eroded = erosion_box_border1(fat_free.astype(jnp.uint8), 6) > 0
+    mean, std, n = masked_stats(ct_dev, eroded)
+    if n == 0:
+        return None, None
+    return mean, std
+
+
+def _eroded_metrics(ct_dev, mask_dev, ml_per_voxel, region_name: str,
+                    autochthon_mean, autochthon_std) -> dict[str, Any]:
+    """CNR-adjusted metrics: (fat-exclusion for autochthon) + 6^3 erosion.
+
+    Uses an exact device histogram of the eroded mask so percentiles match
+    the reference's np.percentile on the masked voxels.
+    """
+    if "autochthon" in region_name:
+        mask_dev = mask_dev & ((ct_dev < ADIPOSE_TISSUE[0])
+                               | (ct_dev > ADIPOSE_TISSUE[1]))
+    eroded = erosion_box_border1(mask_dev.astype(jnp.uint8), 6) > 0
+    # histogram of eroded region: segmented_stats with seg = eroded mask
+    res = segmented_stats(eroded.astype(jnp.int32), ct_dev, 2, with_histogram=True)
+    hist = np.asarray(res["hist"])[1]
+    m = _metrics_from_hist(hist, ml_per_voxel)
+    if not m.get("present"):
+        return m
+    if region_name.partition("_")[0] == "autochthon":
+        m["cnr"] = None
+    else:
+        _add_cnr(m, autochthon_mean, autochthon_std)
+    return m
+
+
+def compute_measurements_arrays(
+    ct_data: np.ndarray,
+    segmentations: dict[str, np.ndarray],
+    spacing: tuple[float, float, float],
+    cnr_adjustment: bool = False,
+) -> dict[str, Any]:
+    """Array-level measurement engine.
+
+    ct_data: (X,Y,Z) int HU volume; segmentations: {model_name: label volume
+    on the same grid}; spacing in mm.
+    """
+    measurements: dict[str, Any] = {"segmentations": {}, "info": {}}
+    ml_per_voxel = float(np.prod(spacing)) / 1000.0
+    ct_dev = jnp.asarray(np.asarray(ct_data, dtype=np.int16))
+
+    autochthon_mean = autochthon_std = None
+    ordered = sorted(segmentations.keys(), key=lambda m: m != "total")
+    for model_name in ordered:
+        seg = segmentations[model_name]
+        if seg.shape != ct_data.shape:
+            raise ValueError("segmentation and CT grids differ")
+        label_map = _class_map_for_model(model_name)
+        num_classes = max(label_map.values()) + 1
+        seg_dev = jnp.asarray(seg.astype(np.int32))
+        res = segmented_stats(seg_dev, ct_dev, num_classes, with_histogram=True)
+        hists = np.asarray(res["hist"])
+
+        if model_name == "total":
+            auto_mask = jnp.asarray(
+                create_mask(seg, [label_map["autochthon_left"],
+                                  label_map["autochthon_right"]]))
+            autochthon_mean, autochthon_std = autochthon_reference(ct_dev, auto_mask)
+
+        model_metrics: dict[str, Any] = {}
+        for region, label in label_map.items():
+            m = _metrics_from_hist(hists[label], ml_per_voxel)
+            _add_cnr(m, autochthon_mean, autochthon_std)
+            model_metrics[region] = m
+        if "autochthon_left" in label_map and "autochthon_right" in label_map:
+            h = hists[label_map["autochthon_left"]] + hists[label_map["autochthon_right"]]
+            m = _metrics_from_hist(h, ml_per_voxel)
+            _add_cnr(m, autochthon_mean, autochthon_std)
+            model_metrics["autochthon"] = m
+
+        if model_name == "total":
+            # pulmonary fat: class ∩ HU∈[-200,-40] == histogram slice
+            fat = _fat_slice()
+
+            def fat_metrics(labels: list[int]) -> dict[str, Any]:
+                h = np.zeros(N_BINS)
+                for lb in labels:
+                    h[fat] += hists[lb][fat]
+                m = _metrics_from_hist(h, ml_per_voxel)
+                _add_cnr(m, autochthon_mean, autochthon_std)
+                return m
+
+            for region_name in LUNG_MASKS:
+                model_metrics["ct_pfav_" + region_name] = fat_metrics(
+                    [label_map[region_name]])
+            for side in ["left", "right"]:
+                parts = [label_map[n] for n in LUNG_MASKS if n.endswith(side)]
+                model_metrics[f"ct_pfav_lobe_{side}"] = fat_metrics(parts)
+            model_metrics["ct_pfav_lungs"] = fat_metrics(
+                [label_map[n] for n in LUNG_MASKS])
+
+        measurements["segmentations"][model_name] = model_metrics
+
+        if cnr_adjustment and model_name in CNR_ADJUSTED_REGIONS:
+            if autochthon_mean is None or autochthon_std is None:
+                logger.warning(
+                    "Skipping CNR-adjusted measurements for %s: autochthon "
+                    "reference unavailable.", model_name)
+            else:
+                adjusted = {}
+                for region in CNR_ADJUSTED_REGIONS[model_name]:
+                    if region not in label_map:
+                        continue
+                    mask_dev = seg_dev == label_map[region]
+                    adjusted[region] = _eroded_metrics(
+                        ct_dev, mask_dev, ml_per_voxel, region,
+                        autochthon_mean, autochthon_std)
+                measurements.setdefault("cnr_adjusted", {}).update(adjusted)
+
+    measurements["info"]["autochthon_mean"] = autochthon_mean
+    measurements["info"]["autochthon_std"] = autochthon_std
+    return measurements
+
+
+def compute_pfav_mask(ct_data: np.ndarray, total_seg: np.ndarray) -> np.ndarray:
+    """The ct_pfav.nii.gz mask: all-lung fat voxels (`:151-200`)."""
+    label_map = _class_map_for_model("total")
+    lungs = create_mask(total_seg, [label_map[n] for n in LUNG_MASKS])
+    fat = (ct_data >= ADIPOSE_TISSUE[0]) & (ct_data <= ADIPOSE_TISSUE[1])
+    return (lungs & fat).astype(np.uint8)
+
+
+def compute_measurements(
+    ct_path: Path,
+    segmentation_folder: Path,
+    models: list[str],
+    cnr_adjustment: bool,
+) -> dict[str, Any]:
+    """File-level wrapper matching the reference signature (`:244-343`).
+
+    Reads CT + per-model segmentations from `segmentation_folder`, writes
+    ct_pfav.nii.gz when total is present.
+    """
+    from boa_tpu.io import nifti
+
+    measurements: dict[str, Any] = {"segmentations": {}, "info": {}}
+    if len(models) == 0:
+        return measurements
+    ct_img = nifti.load(ct_path)
+    ct_data = np.asarray(ct_img.data)
+    segmentations = {}
+    for model_name in models:
+        file_name = ("total" if model_name == "total"
+                     else ADDITIONAL_MODELS_OUTPUT_NAME.get(model_name, model_name))
+        p = Path(segmentation_folder) / f"{file_name}.nii.gz"
+        if not p.exists():
+            continue
+        seg_img = nifti.load(p)
+        if not np.allclose(seg_img.zooms, ct_img.zooms):
+            raise ValueError(
+                "The spacing of the image and of the segmentation should be the same")
+        segmentations[model_name] = np.asarray(seg_img.data)
+    out = compute_measurements_arrays(ct_data, segmentations, ct_img.zooms,
+                                      cnr_adjustment)
+    if "total" in segmentations:
+        pfav = compute_pfav_mask(ct_data, segmentations["total"])
+        img = nifti.NiftiImage(data=pfav, affine=ct_img.affine)
+        nifti.save(img, Path(segmentation_folder) / "ct_pfav.nii.gz")
+    return out

@@ -98,6 +98,22 @@ def erosion_box(mask: jax.Array, size: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("size",))
+def erosion_box_border1(mask: jax.Array, size: int) -> jax.Array:
+    """skimage.morphology.binary_erosion parity: box footprint, border
+    treated as True (skimage pads with 1 so edges do not erode inward).
+    Even sizes follow skimage pad_footprint(pad_end=True): window spans
+    [-(size//2), size-1-size//2]."""
+    m = jnp.asarray(mask, jnp.float32)
+    lo = size // 2
+    hi = size - 1 - lo
+    mp = jnp.pad(m, [(lo, hi)] * 3, constant_values=1.0)
+    out = -jax.lax.reduce_window(
+        -mp, -jnp.inf, jax.lax.max, (size, size, size), (1, 1, 1),
+        [(0, 0)] * 3)
+    return (out > 0.5).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("size",))
 def dilation_box(mask: jax.Array, size: int) -> jax.Array:
     """Box dilation, border treated as 0; scipy centering (size // 2)."""
     m = jnp.asarray(mask, jnp.float32)

@@ -1,0 +1,145 @@
+"""Measurement engine parity vs a naive numpy replica of the reference math
+(`body_organ_analysis/compute/measurements.py`)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from boa_tpu.measure.measurements import (
+    ADIPOSE_TISSUE,
+    compute_measurements_arrays,
+    compute_pfav_mask,
+)
+from boa_tpu.tasks import class_maps
+
+CM = {idx: n for idx, n in class_maps.get_class_map("total").items()}
+INV = {n: i for i, n in CM.items()}
+
+
+def _erode6(mask):
+    """skimage binary_erosion(ones(6)^3 pad_end) == scipy with 7^3 zero-padded
+    footprint, border_value=1."""
+    kern = np.zeros((7, 7, 7), bool)
+    kern[:6, :6, :6] = True
+    return ndimage.binary_erosion(mask, structure=kern, border_value=1)
+
+
+def _naive_region(ct, mask, spacing, a_mean, a_std):
+    if mask.sum() == 0:
+        return {"present": False}
+    hu = ct[mask]
+    out = {
+        "present": True,
+        "volume_ml": mask.sum() * np.prod(spacing) / 1000.0,
+        "mean_hu": float(hu.mean()),
+        "std_hu": float(hu.std()),
+        "min_hu": float(hu.min()),
+        "median_hu": float(np.median(hu)),
+        "max_hu": float(hu.max()),
+        "25th_percentile_hu": float(np.percentile(hu, 25)),
+        "75th_percentile_hu": float(np.percentile(hu, 75)),
+    }
+    out["cnr"] = (hu.mean() - a_mean) / a_std if a_mean is not None else None
+    return out
+
+
+@pytest.fixture(scope="module")
+def volume():
+    rng = np.random.default_rng(11)
+    shape = (48, 44, 40)
+    ct = rng.integers(-1000, 1200, size=shape).astype(np.int16)
+    seg = np.zeros(shape, np.uint8)
+    seg[10:24, 10:24, 10:24] = INV["autochthon_left"]
+    seg[26:40, 10:24, 10:24] = INV["autochthon_right"]
+    # muscle-like HU inside autochthon so the fat-free eroded reference is
+    # non-empty (random HU would leave fat-range holes that erode to nothing)
+    muscle = rng.integers(20, 80, size=shape).astype(np.int16)
+    auto_region = np.isin(seg, [INV["autochthon_left"], INV["autochthon_right"]])
+    ct[auto_region] = muscle[auto_region]
+    seg[10:20, 26:38, 8:20] = INV["aorta"]
+    seg[28:40, 26:40, 8:30] = INV["lung_upper_lobe_left"]
+    seg[5:9, 5:9, 30:36] = INV["spleen"]
+    return ct, seg
+
+
+def test_measurements_match_naive(volume):
+    ct, seg = volume
+    spacing = (1.0, 1.0, 2.0)
+    got = compute_measurements_arrays(ct, {"total": seg}, spacing,
+                                      cnr_adjustment=True)
+
+    # naive autochthon reference
+    auto = np.isin(seg, [INV["autochthon_left"], INV["autochthon_right"]])
+    fat_free = auto & ((ct < ADIPOSE_TISSUE[0]) | (ct > ADIPOSE_TISSUE[1]))
+    eroded = _erode6(fat_free)
+    a_mean = float(ct[eroded].mean())
+    a_std = float(ct[eroded].std())
+    np.testing.assert_allclose(got["info"]["autochthon_mean"], a_mean, rtol=1e-5)
+    np.testing.assert_allclose(got["info"]["autochthon_std"], a_std, rtol=1e-4)
+
+    for region in ["autochthon_left", "aorta", "spleen", "autochthon"]:
+        if region == "autochthon":
+            mask = auto
+        else:
+            mask = seg == INV[region]
+        ref = _naive_region(ct, mask, spacing, a_mean, a_std)
+        g = got["segmentations"]["total"][region]
+        for k, v in ref.items():
+            if v is None:
+                assert g[k] is None
+            elif isinstance(v, bool):
+                assert g[k] == v, k
+            else:
+                np.testing.assert_allclose(g[k], v, rtol=1e-5, atol=1e-5,
+                                           err_msg=f"{region}.{k}")
+
+    # absent region
+    assert got["segmentations"]["total"]["liver"] == {"present": False,
+                                                      "cnr": None} or \
+        got["segmentations"]["total"]["liver"]["present"] is False
+
+
+def test_pulmonary_fat_metrics(volume):
+    ct, seg = volume
+    spacing = (1.0, 1.0, 2.0)
+    got = compute_measurements_arrays(ct, {"total": seg}, spacing)
+    lung = seg == INV["lung_upper_lobe_left"]
+    fat = lung & (ct >= ADIPOSE_TISSUE[0]) & (ct <= ADIPOSE_TISSUE[1])
+    ref = _naive_region(ct, fat, spacing, None, None)
+    g = got["segmentations"]["total"]["ct_pfav_lung_upper_lobe_left"]
+    for k in ["volume_ml", "mean_hu", "median_hu", "25th_percentile_hu"]:
+        np.testing.assert_allclose(g[k], ref[k], rtol=1e-5, err_msg=k)
+    # lobe aggregation = union of left lobes
+    g_side = got["segmentations"]["total"]["ct_pfav_lobe_left"]
+    np.testing.assert_allclose(g_side["volume_ml"], ref["volume_ml"], rtol=1e-6)
+
+    pfav = compute_pfav_mask(ct, seg)
+    np.testing.assert_array_equal(pfav > 0, fat)
+
+
+def test_cnr_adjusted(volume):
+    ct, seg = volume
+    spacing = (1.0, 1.0, 2.0)
+    got = compute_measurements_arrays(ct, {"total": seg}, spacing,
+                                      cnr_adjustment=True)
+    adj = got["cnr_adjusted"]
+    assert set(adj.keys()) == {"aorta", "autochthon_left", "autochthon_right"}
+
+    auto = np.isin(seg, [INV["autochthon_left"], INV["autochthon_right"]])
+    fat_free = auto & ((ct < ADIPOSE_TISSUE[0]) | (ct > ADIPOSE_TISSUE[1]))
+    a = ct[_erode6(fat_free)]
+    a_mean, a_std = float(a.mean()), float(a.std())
+
+    # aorta: plain erosion, CNR vs reference
+    aorta_eroded = _erode6(seg == INV["aorta"])
+    ref = _naive_region(ct, aorta_eroded, spacing, a_mean, a_std)
+    for k in ["volume_ml", "mean_hu", "std_hu", "cnr", "75th_percentile_hu"]:
+        np.testing.assert_allclose(adj["aorta"][k], ref[k], rtol=1e-4, err_msg=k)
+
+    # autochthon_*: fat exclusion + erosion, cnr explicitly None
+    al_mask = _erode6((seg == INV["autochthon_left"])
+                      & ((ct < ADIPOSE_TISSUE[0]) | (ct > ADIPOSE_TISSUE[1])))
+    ref_l = _naive_region(ct, al_mask, spacing, a_mean, a_std)
+    np.testing.assert_allclose(adj["autochthon_left"]["mean_hu"], ref_l["mean_hu"],
+                               rtol=1e-5)
+    assert adj["autochthon_left"]["cnr"] is None

@@ -1,0 +1,109 @@
+"""BCA report rendering: PDF via matplotlib.
+
+The reference renders its PDF with Jinja2 -> WeasyPrint (native pango/cairo)
+and plots with plotly+kaleido / fury-VTK (`report/plots/*`, `builder.py:
+140-161`); none of those are available here. The PDF carries the same
+content: tissue summary curves, coronal/sagittal tissue heatmaps, aggregated
+measurement tables, secondary findings. Fixed tissue colors follow
+`report/plots/colors.py:8-29`.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Any
+
+import numpy as np
+
+from boa_tpu.bca.definitions import Tissue
+
+# fixed color map per tissue (report/plots/colors.py)
+TISSUE_COLORS = {
+    "Muscle": "#e41a1c",
+    "Bone": "#f5f5f5",
+    "SAT": "#ffff33",
+    "VAT": "#ff7f00",
+    "IMAT": "#984ea3",
+    "PAT": "#4daf4a",
+    "EAT": "#377eb8",
+    "TAT": "#a65628",
+}
+
+
+def tissue_heatmap(tissues: np.ndarray, axis: int) -> np.ndarray:
+    """Density projection of each tissue along `axis` (coronal: y, sagittal:
+    x), parity in spirit with `report/plots/heatmaps.py:29-101`."""
+    import matplotlib
+
+    rgb = np.zeros((*np.delete(np.array(tissues.shape), axis), 3))
+    depth = tissues.shape[axis]
+    for t in Tissue:
+        name = t.name.capitalize() if t in (Tissue.BONE, Tissue.MUSCLE) else t.name
+        color = np.array(matplotlib.colors.to_rgb(TISSUE_COLORS[name]))
+        density = (tissues == int(t)).sum(axis=axis) / depth
+        rgb += density[..., None] * color[None, None]
+    return np.clip(rgb, 0, 1)
+
+
+def render_report_pdf(builder, prepared: dict[str, Any], version: str) -> bytes:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    dark = builder.theme == "dark"
+    face = "#1c1c1c" if dark else "white"
+    txt = "white" if dark else "black"
+    buf = io.BytesIO()
+    df = prepared["slicewise_measurements"]
+
+    with PdfPages(buf) as pdf:
+        # page 1: summary curves + findings
+        fig, axes = plt.subplots(2, 1, figsize=(8.3, 11.7), facecolor=face,
+                                 height_ratios=[2, 1])
+        ax = axes[0]
+        ax.set_facecolor(face)
+        for col in ["Muscle", "TAT", "SAT", "VAT", "IMAT", "PAT", "EAT", "Bone"]:
+            ax.plot(df["slice_idx"], df[col], label=col,
+                    color=TISSUE_COLORS[col], lw=1.2)
+        ax.set_xlabel("slice index", color=txt)
+        ax.set_ylabel("volume per slice [ml]", color=txt)
+        ax.set_title(f"Body Composition Analysis (boa-tpu {version})", color=txt)
+        ax.tick_params(colors=txt)
+        ax.legend(loc="upper right", fontsize=7)
+        ax2 = axes[1]
+        ax2.set_facecolor(face)
+        ax2.axis("off")
+        findings = prepared.get("other_findings") or ["No secondary findings."]
+        ax2.text(0.02, 0.95, "Secondary findings:\n" + "\n".join(
+            f"  • {f}" for f in findings), va="top", fontsize=9, color=txt)
+        pdf.savefig(fig, facecolor=face)
+        plt.close(fig)
+
+        # page 2: heatmaps
+        fig, axes = plt.subplots(1, 2, figsize=(8.3, 11.7), facecolor=face)
+        for ax, (axis, name) in zip(axes, [(1, "coronal"), (0, "sagittal")]):
+            hm = tissue_heatmap(builder._tissues, axis)
+            ax.imshow(np.rot90(hm), interpolation="nearest", aspect="auto")
+            ax.set_title(f"{name} tissue heatmap", color=txt)
+            ax.axis("off")
+        pdf.savefig(fig, facecolor=face)
+        plt.close(fig)
+
+        # page 3+: aggregated tables
+        for name, (lo, hi), _, stats, _nl in prepared["aggregated_measurements"]:
+            fig, ax = plt.subplots(figsize=(8.3, 11.7), facecolor=face)
+            ax.axis("off")
+            ax.set_title(f"{name} (slices {lo}-{hi})", color=txt)
+            cell_text = [[f"{v:.2f}" if isinstance(v, (int, float)) and v is not None
+                          else "-" for v in row]
+                         for row in stats.itertuples(index=False)]
+            table = ax.table(cellText=cell_text, rowLabels=list(stats.index),
+                             colLabels=list(stats.columns), loc="upper center")
+            table.auto_set_font_size(False)
+            table.set_fontsize(7)
+            pdf.savefig(fig, facecolor=face)
+            plt.close(fig)
+
+    return buf.getvalue()

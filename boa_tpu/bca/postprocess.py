@@ -1,0 +1,85 @@
+"""BCA segmentation postprocessing.
+
+Parity:
+* `body_composition_analysis/body_regions/postprocess.py:18-40` — unique-
+  segment rules: keep only the largest connected component globally, for
+  thorax∪mediastinum∪pericardium, and for pericardium & abdominal cavity
+  individually; removed fragments are set to 255 (ignore value).
+  Reference uses skimage.measure.label => 26-connectivity.
+* `body_composition_analysis/body_parts/postprocess.py:7-52` — per-label 2D
+  contour fill (cv2) + removal of objects and holes < 3000 voxels
+  (26-connectivity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from boa_tpu.bca.definitions import BodyRegion
+from boa_tpu.ops import connected_components as cc
+
+IGNORE_VALUE = 255
+
+
+def _filter_largest_unique_segment(seg: np.ndarray, mask: np.ndarray) -> None:
+    labels, n = cc.label(mask, connectivity=3)
+    if n <= 1:
+        return
+    sizes = cc.component_sizes(labels, n)
+    sizes[0] = 0
+    keep = int(np.argmax(sizes))
+    seg[(labels > 0) & (labels != keep)] = IGNORE_VALUE
+
+
+def postprocess_region_segmentation(seg: np.ndarray) -> np.ndarray:
+    out = seg.copy()
+    _filter_largest_unique_segment(out, out > 0)
+    _filter_largest_unique_segment(
+        out,
+        np.isin(out, [int(BodyRegion.THORACIC_CAVITY), int(BodyRegion.MEDIASTINUM),
+                      int(BodyRegion.PERICARDIUM)]))
+    for region in (BodyRegion.PERICARDIUM, BodyRegion.ABDOMINAL_CAVITY):
+        _filter_largest_unique_segment(out, out == int(region))
+    return out
+
+
+def _fill_2d_contours(label_mask: np.ndarray) -> np.ndarray:
+    """Slice-wise external-contour fill along the z axis (x,y,z volume)."""
+    import cv2
+
+    filled = np.zeros(label_mask.shape, np.uint8)
+    for k in range(label_mask.shape[2]):
+        sl = np.ascontiguousarray(label_mask[:, :, k].astype(np.uint8))
+        contours, _ = cv2.findContours(sl, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        canvas = np.zeros(sl.shape, np.uint8)
+        cv2.drawContours(canvas, contours, -1, color=1, thickness=cv2.FILLED)
+        filled[:, :, k] = canvas
+    return filled.astype(bool)
+
+
+def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.ndarray:
+    """Contour-fill then remove objects/holes smaller than `threshold` voxels.
+
+    Note: skimage remove_small_objects(max_size=threshold-1) removes
+    components with size <= threshold - 1, i.e. keeps size >= threshold.
+    """
+    out = np.zeros(mask.shape, dtype=mask.dtype)
+    for label_value in np.unique(mask):
+        if label_value == 0:
+            continue
+        filled = _fill_2d_contours(mask == label_value)
+        # remove small foreground objects (keep >= threshold)
+        filled = cc.filter_components_by_size(
+            filled, (threshold - 1, np.inf), connectivity=3).astype(bool)
+        # remove small holes: invert, drop small background islands, invert
+        inv = ~filled
+        inv = cc.filter_components_by_size(
+            inv, (threshold - 1, np.inf), connectivity=3).astype(bool)
+        filled = ~inv
+        out[filled] = label_value
+    return out
+
+
+def postprocess_part_segmentation(seg: np.ndarray) -> np.ndarray:
+    return remove_small_labeled_objects(seg.astype(np.uint8, copy=False))

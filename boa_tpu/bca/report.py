@@ -1,0 +1,355 @@
+"""BCA report builder: slice-wise tissue curves, aggregations, findings,
+JSON + PDF.
+
+Parity: `body_composition_analysis/report/builder.py` —
+`AggregatableBodyPart.from_body_regions` (`:44-112`: abdomen >= 200 mm of
+abdominal cavity, neck >= 100 mm above the mediastinum, thorax >= 200 mm
+overlapping the abdomen), `generate_aggregated_measurements` (`:163-261`),
+`_descriptive_statistics_from_measurements` (`:265-305`: pandas describe +
+per-tissue MeanHU + TAT), `generate_secondary_findings` (`:309-395`: cavity
+volumes, breast-implant detection), `prepare` (`:397-518`), `create_json`
+(`:520-598`, schema preserved exactly).
+
+Axis convention: volumes are (x, y, z) RAS; the reference works on (z, y, x)
+LPS sitk arrays — slice indices along z are identical in both; left/right
+logic is adapted to RAS (+x = patient right... +x points Right in RAS, which
+is LPS low-x).
+
+TPU design: all slice-wise reductions (tissue volumes per slice, per-tissue
+HU sums/counts per slice) come from ONE jitted segmented pass; group
+aggregations are then O(slices) host work on exact partial sums.
+"""
+
+from __future__ import annotations
+
+import enum
+import logging
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from boa_tpu.bca.definitions import ADIPOSE_TISSUES, BodyPart, BodyRegion, Tissue
+from boa_tpu.ops import connected_components as cc
+from boa_tpu.version import __version__
+
+logger = logging.getLogger(__name__)
+
+TISSUE_COLS = ["Bone", "Muscle", "TAT", "IMAT", "SAT", "VAT", "PAT", "EAT"]
+
+
+def _pretty_volume(value: float) -> str:
+    if value >= 1000:
+        return f"{value / 1000:.3f} L"
+    return f"{value:.2f} mL"
+
+
+class AggregatableBodyPart(enum.IntFlag):
+    NONE = 0
+    ABDOMEN = 1
+    THORAX = 2
+    NECK = 4
+
+    @staticmethod
+    def from_body_regions(region_data: np.ndarray, slice_thickness: float,
+                          min_abdomen_length: float = 200,
+                          min_neck_length: float = 100,
+                          min_thorax_length: float = 200) -> "AggregatableBodyPart":
+        result = AggregatableBodyPart.NONE
+        nz = region_data.shape[2]
+
+        abdomen_any = (region_data == int(BodyRegion.ABDOMINAL_CAVITY)).any(axis=(0, 1))
+        abdomen_slices = np.where(abdomen_any)[0]
+        n_abd = (abdomen_slices.max() - abdomen_slices.min() + 1
+                 if abdomen_slices.size else 0)
+        if n_abd * slice_thickness >= min_abdomen_length:
+            result |= AggregatableBodyPart.ABDOMEN
+
+        med_any = (region_data == int(BodyRegion.MEDIASTINUM)).any(axis=(0, 1))
+        med_slices = np.where(med_any)[0]
+        n_above = nz - med_slices.max() if med_slices.size else 0
+        if n_above * slice_thickness >= min_neck_length:
+            result |= AggregatableBodyPart.NECK
+
+        thorax_any = np.isin(
+            region_data, [int(BodyRegion.THORACIC_CAVITY), int(BodyRegion.MEDIASTINUM),
+                          int(BodyRegion.PERICARDIUM)]).any(axis=(0, 1))
+        thorax_slices = np.where(thorax_any)[0]
+        n_tho = (thorax_slices.max() - thorax_slices.min() + 1
+                 if thorax_slices.size else 0)
+        has_overlap = bool(np.logical_and(abdomen_any, thorax_any).any())
+        if has_overlap and n_tho * slice_thickness >= min_thorax_length:
+            result |= AggregatableBodyPart.THORAX
+        return result
+
+
+# ---------------------------------------------------------------------------
+# device pass: per-slice per-tissue volumes and HU sums (with/without limbs)
+# ---------------------------------------------------------------------------
+
+_N_TISSUE = len(Tissue) + 1  # + background
+
+
+@jax.jit
+def _slicewise_pass(ct: jax.Array, tissues: jax.Array, torso: jax.Array):
+    """Returns (counts, husums, counts_nl, husums_nl): (nz, n_tissue) each."""
+    nz = tissues.shape[2]
+    t = tissues.astype(jnp.int32)
+    zidx = jnp.arange(nz, dtype=jnp.int32)[None, None, :]
+    combined = (jnp.broadcast_to(zidx, t.shape) * _N_TISSUE + t).ravel()
+    ones = jnp.ones(combined.shape, jnp.float32)
+    ctf = ct.astype(jnp.float32).ravel()
+    n = nz * _N_TISSUE
+    counts = jax.ops.segment_sum(ones, combined, num_segments=n)
+    husums = jax.ops.segment_sum(ctf, combined, num_segments=n)
+    torso_f = torso.astype(jnp.float32).ravel()
+    counts_nl = jax.ops.segment_sum(torso_f, combined, num_segments=n)
+    husums_nl = jax.ops.segment_sum(ctf * torso_f, combined, num_segments=n)
+    shape = (nz, _N_TISSUE)
+    return (counts.reshape(shape), husums.reshape(shape),
+            counts_nl.reshape(shape), husums_nl.reshape(shape))
+
+
+def _tissue_name(t: Tissue) -> str:
+    return t.name.capitalize() if t in (Tissue.BONE, Tissue.MUSCLE) else t.name
+
+
+class Builder:
+    """Report builder over (x, y, z) RAS arrays on a common grid."""
+
+    def __init__(self, ct_data: np.ndarray, body_parts: np.ndarray,
+                 body_regions: np.ndarray, tissues: np.ndarray,
+                 spacing: tuple[float, float, float], theme: str = "light"):
+        self._ct = np.asarray(ct_data)
+        self._parts = np.asarray(body_parts)
+        self._regions = np.asarray(body_regions)
+        self._tissues = np.asarray(tissues)
+        self.spacing = tuple(float(s) for s in spacing)
+        self.theme = theme
+        self.examined_body_part = AggregatableBodyPart(0)
+
+        torso = self._parts == int(BodyPart.TORSO)
+        counts, husums, counts_nl, husums_nl = _slicewise_pass(
+            jnp.asarray(self._ct), jnp.asarray(self._tissues), jnp.asarray(torso))
+        self._counts = np.asarray(counts, np.float64)
+        self._husums = np.asarray(husums, np.float64)
+        self._counts_nl = np.asarray(counts_nl, np.float64)
+        self._husums_nl = np.asarray(husums_nl, np.float64)
+
+    # -- slice-wise dataframes (builder.prepare :397-444) ------------------
+    def _slicewise_df(self, counts: np.ndarray) -> pd.DataFrame:
+        ml_per_voxel = float(np.prod(self.spacing)) / 1000.0
+        data = {_tissue_name(t): counts[:, int(t)] * ml_per_voxel for t in Tissue}
+        df = pd.DataFrame(data)
+        df["TAT"] = df.SAT + df.VAT + df.IMAT + df.PAT + df.EAT
+        df["slice_idx"] = range(len(df))
+        return df[["slice_idx", *TISSUE_COLS]]
+
+    def slicewise_measurements(self) -> pd.DataFrame:
+        return self._slicewise_df(self._counts)
+
+    def slicewise_measurements_no_limbs(self) -> pd.DataFrame:
+        return self._slicewise_df(self._counts_nl)
+
+    # -- aggregation groups (:163-215) --------------------------------------
+    def aggregation_groups(self, vertebrae: dict[str, tuple[int, int]] | None
+                           ) -> list[tuple[str, int, int]]:
+        groups = [("Whole Scan", 0, self._regions.shape[2])]
+        rd = self._regions
+
+        def _range(mask2d) -> tuple[int, int]:
+            slices = np.where(mask2d)[0]
+            return int(slices.min()), int(slices.max() + 1)
+
+        if AggregatableBodyPart.ABDOMEN in self.examined_body_part:
+            groups.append(("Abdominal Cavity", *_range(
+                (rd == int(BodyRegion.ABDOMINAL_CAVITY)).any(axis=(0, 1)))))
+        if AggregatableBodyPart.THORAX in self.examined_body_part:
+            groups.append(("Thoracic Cavity", *_range(np.isin(
+                rd, [int(BodyRegion.THORACIC_CAVITY), int(BodyRegion.MEDIASTINUM),
+                     int(BodyRegion.PERICARDIUM)]).any(axis=(0, 1)))))
+            groups.append(("Mediastinum", *_range(
+                (rd == int(BodyRegion.MEDIASTINUM)).any(axis=(0, 1)))))
+            groups.append(("Pericardium", *_range(
+                (rd == int(BodyRegion.PERICARDIUM)).any(axis=(0, 1)))))
+        if (AggregatableBodyPart.ABDOMEN in self.examined_body_part
+                and AggregatableBodyPart.THORAX in self.examined_body_part):
+            groups.insert(1, ("Ventral Cavity", groups[1][1], groups[2][2]))
+        if vertebrae:
+            for name, (lo, hi) in vertebrae.items():
+                groups.append((name, lo, hi))
+        return groups
+
+    # -- describe-stats per group (:265-305) --------------------------------
+    def _group_stats(self, df: pd.DataFrame, counts: np.ndarray,
+                     husums: np.ndarray, lo: int, hi: int) -> pd.DataFrame:
+        sl = df[(df.slice_idx >= lo) & (df.slice_idx < hi)].drop("slice_idx", axis=1)
+        stats = sl.describe()
+        stats = stats.drop("count")
+        stats.index = ["Mean", "StdDev", "Minimum", "25%", "Median", "75%", "Maximum"]
+        stats.loc["Total"] = sl.sum()
+        for t in Tissue:
+            cnt = counts[lo:hi, int(t)].sum()
+            stats.loc["MeanHU", _tissue_name(t)] = (
+                husums[lo:hi, int(t)].sum() / cnt if cnt else None)
+        tat_cnt = sum(counts[lo:hi, int(t)].sum() for t in ADIPOSE_TISSUES)
+        tat_sum = sum(husums[lo:hi, int(t)].sum() for t in ADIPOSE_TISSUES)
+        stats.loc["MeanHU", "TAT"] = tat_sum / tat_cnt if tat_cnt else None
+        return stats.replace({np.nan: None})
+
+    def generate_aggregated_measurements(self, vertebrae) -> list[tuple]:
+        df = self.slicewise_measurements()
+        df_nl = self.slicewise_measurements_no_limbs()
+        result = []
+        for name, lo, hi in self.aggregation_groups(vertebrae):
+            stats = self._group_stats(df, self._counts, self._husums, lo, hi)
+            stats_nl = self._group_stats(df_nl, self._counts_nl, self._husums_nl,
+                                         lo, hi)
+            result.append((name, (lo, hi), None, stats, stats_nl))
+        return result
+
+    # -- secondary findings (:309-395) ---------------------------------------
+    def generate_secondary_findings(self) -> list[str]:
+        result = []
+        rd = self._regions
+        ml_per_voxel = float(np.prod(self.spacing)) / 1000.0
+        if AggregatableBodyPart.ABDOMEN in self.examined_body_part:
+            vol = (rd == int(BodyRegion.ABDOMINAL_CAVITY)).sum() * ml_per_voxel
+            result.append(
+                f"Total volume of the abdominal cavity is {_pretty_volume(vol)}")
+        if AggregatableBodyPart.THORAX in self.examined_body_part:
+            vol = np.isin(rd, [int(BodyRegion.THORACIC_CAVITY),
+                               int(BodyRegion.MEDIASTINUM),
+                               int(BodyRegion.PERICARDIUM)]).sum() * ml_per_voxel
+            result.append(f"Volume of thoracic cavity is {_pretty_volume(vol)}")
+            vol = np.isin(rd, [int(BodyRegion.MEDIASTINUM),
+                               int(BodyRegion.PERICARDIUM)]).sum() * ml_per_voxel
+            result.append(f"Volume of mediastinum is {_pretty_volume(vol)}")
+            vol = (rd == int(BodyRegion.PERICARDIUM)).sum() * ml_per_voxel
+            result.append("Volume enclosed by the pericardial sack is "
+                          f"{_pretty_volume(vol)}")
+            result.extend(self._breast_implant_findings(ml_per_voxel))
+        return result
+
+    def _breast_implant_findings(self, ml_per_voxel: float) -> list[str]:
+        mask = self._regions == int(BodyRegion.BREAST_IMPLANT)
+        if not mask.any():
+            return []
+        labels, n = cc.label(mask, connectivity=3)
+        implants = []
+        mid = self._regions.shape[0] // 2
+        for comp in range(1, n + 1):
+            comp_mask = labels == comp
+            vol = comp_mask.sum() * ml_per_voxel
+            if vol <= 10:
+                continue
+            cx = float(np.mean(np.where(comp_mask)[0]))
+            implants.append((cx, vol))
+        # sort along x like the reference's centroid sort
+        implants.sort(key=lambda t: t[0])
+        # RAS: +x is the patient's right... in RAS(+x=Right) a centroid with
+        # HIGH x lies on the patient's right; the reference (LPS) used low x.
+        named = [("right" if cx >= mid else "left", vol) for cx, vol in implants]
+        if len(named) == 1:
+            return [f"Patient has a single breast implant on the {named[0][0]} "
+                    f"side with volume of {_pretty_volume(named[0][1])}"]
+        if len(named) == 2:
+            return [f"Patient has two breast implants with volume of "
+                    f"{_pretty_volume(named[0][1])} ({named[0][0]}) and "
+                    f"{_pretty_volume(named[1][1])} ({named[1][0]})"]
+        logger.error("More than two breast implant segments found")
+        return []
+
+    # -- prepare + JSON (:397-598) -------------------------------------------
+    def prepare(self, vertebrae=None, total=None,
+                total_measurements: dict | None = None) -> dict[str, Any]:
+        df = self.slicewise_measurements()
+        df_nl = self.slicewise_measurements_no_limbs()
+        aggregations = self.generate_aggregated_measurements(vertebrae)
+
+        if (total_measurements is None or "segmentations" not in total_measurements
+                or "total" not in total_measurements["segmentations"]):
+            df_total = None
+        else:
+            df_total = pd.DataFrame(
+                total_measurements["segmentations"]["total"]).T
+            df_total = df_total.loc[df_total["present"].fillna(False).astype(bool)]
+            df_total = df_total.drop(columns="present")
+            df_total = df_total.rename(
+                index={v: v.replace("_", " ").title() for v in df_total.index},
+                columns={"25th_percentile_hu": "twentyfive_percentile_hu",
+                         "75th_percentile_hu": "seventyfive_percentile_hu"})
+
+        return {
+            "aggregated_measurements": aggregations,
+            "equidistant_slice_check": None,
+            "image_summary": None,
+            "other_findings": self.generate_secondary_findings(),
+            "slicewise_measurements": df,
+            "slicewise_measurements_no_limbs": df_nl,
+            "measurements_total": df_total,
+            "tissue_heatmaps": None,
+            "summary_totalsegmentator": None,
+        }
+
+    def create_json(self, **kwargs: Any) -> dict[str, Any]:
+        def _rename_stats(stats: pd.DataFrame) -> dict:
+            return stats.rename(
+                index={"Mean": "mean", "StdDev": "std", "Minimum": "min",
+                       "25%": "q1", "Median": "q2", "75%": "q3",
+                       "Maximum": "max", "Total": "sum", "MeanHU": "mean_hu"},
+                columns={x: x.lower() for x in stats.columns}).to_dict()
+
+        return {
+            "slices": (kwargs["slicewise_measurements"]
+                       .rename(columns=str.lower).drop("slice_idx", axis=1)
+                       .astype(float).to_dict("records")),
+            "slices_no_extremities": (kwargs["slicewise_measurements_no_limbs"]
+                                      .rename(columns=str.lower)
+                                      .drop("slice_idx", axis=1)
+                                      .astype(float).to_dict("records")),
+            "aggregated": {
+                name.lower().replace(" ", "_").replace("-", "_"): {
+                    "num_slices": int(hi - lo),
+                    "min_slice_idx": int(lo),
+                    "max_slice_idx": int(hi),
+                    "measurements": _rename_stats(stats),
+                    "measurements_no_extremities": _rename_stats(stats_nl),
+                }
+                for name, (lo, hi), _, stats, stats_nl
+                in kwargs["aggregated_measurements"]
+            },
+            "body_parts": {
+                "abdomen": AggregatableBodyPart.ABDOMEN in self.examined_body_part,
+                "neck": AggregatableBodyPart.NECK in self.examined_body_part,
+                "thorax": AggregatableBodyPart.THORAX in self.examined_body_part,
+            },
+        }
+
+    # -- PDF (:140-161; weasyprint replaced by matplotlib) -------------------
+    def create_pdf(self, **prepared) -> bytes:
+        from boa_tpu.bca.plots import render_report_pdf
+
+        return render_report_pdf(self, prepared, version=__version__)
+
+
+def create_vertebrae_info(total_seg: np.ndarray,
+                          detected_body_part: AggregatableBodyPart,
+                          class_map_total: dict[int, str]) -> dict[str, tuple[int, int]]:
+    """Per-vertebra z slice ranges (`commands.py:24-45`)."""
+    vertebrae_map = {name.removeprefix("vertebrae_"): idx
+                     for idx, name in class_map_total.items()
+                     if name.startswith("vertebrae_")}
+    info: dict[str, tuple[int, int]] = {}
+    for vid, label in vertebrae_map.items():
+        zs = np.where((total_seg == label).any(axis=(0, 1)))[0]
+        if len(zs) == 0:
+            continue
+        if (("C" in vid and AggregatableBodyPart.NECK not in detected_body_part)
+                or ("T" in vid and AggregatableBodyPart.THORAX not in detected_body_part)
+                or ("L" in vid and AggregatableBodyPart.ABDOMEN not in detected_body_part)):
+            continue
+        info[vid] = (int(zs.min()), int(zs.max() + 1))
+    return info

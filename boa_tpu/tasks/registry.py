@@ -159,7 +159,7 @@ BCA_TASKS: dict[str, TaskConfig] = {
         name="body_parts",
         task_ids=(543,),
         resample=(0.0, 0.0, 5.0),  # thickness-only; in-plane preserved
-        trainer="nnUNetTrainerNoMirroring",
+        trainer="nnUNetTrainer_1500epochs_NoMirroring",
         folds=(0, 1, 2, 3, 4),
         resample_only_thickness=True,
     ),

@@ -1,0 +1,194 @@
+"""BCA chain tests: postprocessing, tissues, report builder, pipeline."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from boa_tpu.bca import postprocess as bca_pp
+from boa_tpu.bca.definitions import BodyPart, BodyRegion, Tissue
+from boa_tpu.bca.report import AggregatableBodyPart, Builder, create_vertebrae_info
+from boa_tpu.bca.tissues import subclassify_tissues
+from boa_tpu.io.nifti import NiftiImage
+from boa_tpu.tasks import class_maps
+from boa_tpu.weights.store import ModelStore
+
+
+def test_region_postprocess_unique_segments():
+    seg = np.zeros((30, 30, 30), np.uint8)
+    # two pericardium blobs: larger kept, smaller -> 255
+    seg[5:15, 5:15, 5:15] = int(BodyRegion.PERICARDIUM)
+    seg[20:23, 20:23, 20:23] = int(BodyRegion.PERICARDIUM)
+    out = bca_pp.postprocess_region_segmentation(seg)
+    assert out[10, 10, 10] == int(BodyRegion.PERICARDIUM)
+    assert out[21, 21, 21] == 255
+
+
+def test_region_postprocess_global_largest():
+    seg = np.zeros((30, 30, 30), np.uint8)
+    seg[2:20, 2:20, 2:20] = int(BodyRegion.MUSCLE)  # big connected block
+    seg[25:28, 25:28, 25:28] = int(BodyRegion.BONE)  # small detached island
+    out = bca_pp.postprocess_region_segmentation(seg)
+    assert out[10, 10, 10] == int(BodyRegion.MUSCLE)
+    assert out[26, 26, 26] == 255
+
+
+def test_parts_postprocess_fills_holes_and_removes_small():
+    seg = np.zeros((40, 40, 20), np.uint8)
+    seg[5:35, 5:35, 2:18] = int(BodyPart.TORSO)
+    seg[15:20, 15:20, 5:10] = 0  # internal hole (small) -> filled
+    seg[36:38, 36:38, 2:4] = int(BodyPart.HEAD)  # tiny blob -> removed
+    out = bca_pp.postprocess_part_segmentation(seg)
+    assert out[17, 17, 7] == int(BodyPart.TORSO)
+    assert (out == int(BodyPart.HEAD)).sum() == 0
+
+
+def test_subclassify_tissues_rules(rng):
+    shape = (20, 20, 10)
+    ct = rng.integers(-400, 200, size=shape).astype(np.int16)
+    regions = np.zeros(shape, np.uint8)
+    regions[:10] = int(BodyRegion.MUSCLE)
+    regions[10:, :10] = int(BodyRegion.ABDOMINAL_CAVITY)
+    regions[10:, 10:] = int(BodyRegion.BONE)
+    out = subclassify_tissues(ct, regions)
+    # naive
+    ref = np.zeros(shape, np.uint8)
+    ref[(regions == int(BodyRegion.MUSCLE)) & (ct >= -29) & (ct <= 150)] = int(
+        Tissue.MUSCLE)
+    ref[(regions == int(BodyRegion.BONE)) & (ct >= -1000) & (ct <= 3000)] = int(
+        Tissue.BONE)
+    ref[(regions == int(BodyRegion.ABDOMINAL_CAVITY)) & (ct >= -190)
+        & (ct <= -30)] = int(Tissue.VAT)
+    ref[(regions == int(BodyRegion.MUSCLE)) & (ct >= -190) & (ct <= -30)] = int(
+        Tissue.IMAT)
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.fixture(scope="module")
+def synthetic_study():
+    rng = np.random.default_rng(5)
+    shape = (40, 40, 120)  # 120 slices at 5mm = 600mm scan
+    spacing = (2.0, 2.0, 5.0)
+    ct = rng.integers(-300, 200, size=shape).astype(np.int16)
+    regions = np.zeros(shape, np.uint8)
+    regions[10:30, 10:30, 5:55] = int(BodyRegion.ABDOMINAL_CAVITY)  # 250mm
+    regions[10:30, 10:30, 55:100] = int(BodyRegion.THORACIC_CAVITY)  # 225mm
+    regions[15:25, 15:25, 60:80] = int(BodyRegion.MEDIASTINUM)
+    regions[17:23, 17:23, 62:72] = int(BodyRegion.PERICARDIUM)
+    regions[5:35, 5:10, 5:100] = int(BodyRegion.MUSCLE)
+    regions[30:34, 12:28, 5:100] = int(BodyRegion.SUBCUTANEOUS_TISSUE)
+    # overlap slice between thorax and abdomen
+    regions[10:30, 10:30, 55] = int(BodyRegion.ABDOMINAL_CAVITY)
+    regions[12:28, 12:28, 55] = int(BodyRegion.THORACIC_CAVITY)
+    parts = np.zeros(shape, np.uint8)
+    parts[5:35, 5:35, :] = int(BodyPart.TORSO)
+    tissues = subclassify_tissues(ct, regions)
+    return ct, parts, regions, tissues, spacing
+
+
+def test_body_part_detection(synthetic_study):
+    ct, parts, regions, tissues, spacing = synthetic_study
+    bp = AggregatableBodyPart.from_body_regions(regions, spacing[2])
+    assert AggregatableBodyPart.ABDOMEN in bp
+    assert AggregatableBodyPart.THORAX in bp
+    assert AggregatableBodyPart.NECK in bp  # 20 slices above mediastinum = 100mm
+
+
+def test_builder_slicewise_matches_naive(synthetic_study):
+    ct, parts, regions, tissues, spacing = synthetic_study
+    b = Builder(ct, parts, regions, tissues, spacing)
+    df = b.slicewise_measurements()
+    ml = np.prod(spacing) / 1000.0
+    for t in [Tissue.MUSCLE, Tissue.VAT, Tissue.SAT]:
+        name = t.name.capitalize() if t in (Tissue.BONE, Tissue.MUSCLE) else t.name
+        ref = (tissues == int(t)).sum(axis=(0, 1)) * ml
+        np.testing.assert_allclose(df[name].values, ref, rtol=1e-6)
+    np.testing.assert_allclose(
+        df["TAT"].values,
+        df[["SAT", "VAT", "IMAT", "PAT", "EAT"]].sum(axis=1).values)
+    # no-limbs variant only counts torso voxels
+    df_nl = b.slicewise_measurements_no_limbs()
+    ref_nl = ((tissues == int(Tissue.MUSCLE)) & (parts == int(BodyPart.TORSO))
+              ).sum(axis=(0, 1)) * ml
+    np.testing.assert_allclose(df_nl["Muscle"].values, ref_nl, rtol=1e-6)
+
+
+def test_builder_aggregation_and_json(synthetic_study):
+    ct, parts, regions, tissues, spacing = synthetic_study
+    b = Builder(ct, parts, regions, tissues, spacing)
+    b.examined_body_part = AggregatableBodyPart.from_body_regions(regions, spacing[2])
+    vertebrae = {"L3": (20, 26)}
+    prepared = b.prepare(vertebrae)
+    data = b.create_json(**prepared)
+
+    names = [n for n, *_ in prepared["aggregated_measurements"]]
+    assert names[:6] == ["Whole Scan", "Ventral Cavity", "Abdominal Cavity",
+                         "Thoracic Cavity", "Mediastinum", "Pericardium"]
+    assert "L3" in names
+    agg = data["aggregated"]["whole_scan"]
+    assert agg["num_slices"] == 120
+    # describe parity: mean of slice-wise muscle volumes
+    df = prepared["slicewise_measurements"]
+    ref_mean = float(df["Muscle"].mean())
+    np.testing.assert_allclose(agg["measurements"]["muscle"]["mean"], ref_mean)
+    ref_std = float(df["Muscle"].std())  # pandas ddof=1
+    np.testing.assert_allclose(agg["measurements"]["muscle"]["std"], ref_std)
+    # MeanHU parity for a group (abdominal cavity includes the overlap
+    # slice at z=55, so the range is [5, 56))
+    lo, hi = 5, 56
+    abd = data["aggregated"]["abdominal_cavity"]
+    assert abd["min_slice_idx"] == lo and abd["max_slice_idx"] == hi
+    m = tissues[:, :, lo:hi] == int(Tissue.VAT)
+    ref_hu = float(ct[:, :, lo:hi][m].mean())
+    np.testing.assert_allclose(abd["measurements"]["vat"]["mean_hu"], ref_hu,
+                               rtol=1e-5)
+    assert data["body_parts"]["abdomen"] is True
+    # slices records
+    assert len(data["slices"]) == 120
+    assert set(data["slices"][0].keys()) == {
+        "bone", "muscle", "tat", "imat", "sat", "vat", "pat", "eat"}
+
+
+def test_vertebrae_info():
+    cm = class_maps.get_class_map("total")
+    inv = {v: k for k, v in cm.items()}
+    seg = np.zeros((20, 20, 50), np.uint8)
+    seg[5:10, 5:10, 10:15] = inv["vertebrae_L3"]
+    seg[5:10, 5:10, 30:36] = inv["vertebrae_T5"]
+    seg[5:10, 5:10, 40:42] = inv["vertebrae_C7"]
+    bp = AggregatableBodyPart.ABDOMEN | AggregatableBodyPart.THORAX
+    info = create_vertebrae_info(seg, bp, cm)
+    assert info["L3"] == (10, 15)
+    assert info["T5"] == (30, 36)
+    assert "C7" not in info  # no neck detected
+
+
+def test_run_pipeline_fake(tmp_path, synthetic_study):
+    from boa_tpu.bca.pipeline import run_pipeline
+
+    ct, parts, regions, tissues, spacing = synthetic_study
+    affine = np.diag([*spacing, 1.0])
+    img = NiftiImage(data=ct, affine=affine)
+
+    def fake(vol, sp, task_id):
+        # return parts for 543, regions for 542 at model grid; the model grid
+        # equals the input grid here except z (5mm == input z already)
+        src = parts if task_id == 543 else regions
+        if vol.shape == src.shape:
+            return src
+        from boa_tpu.ops import resample as rs
+
+        return np.asarray(rs.resample_nearest(src, vol.shape, "zoom"))
+
+    out = run_pipeline(img, tmp_path, store=ModelStore("/nonexistent"),
+                       save_pdf=True, fake_predict=fake)
+    assert (tmp_path / "body_parts.nii.gz").exists()
+    assert (tmp_path / "body_regions.nii.gz").exists()
+    assert (tmp_path / "tissues.nii.gz").exists()
+    assert (tmp_path / "bca-measurements.json").exists()
+    assert (tmp_path / "report.pdf").exists()
+    assert (tmp_path / "report.pdf").stat().st_size > 1000
+    assert out["body_parts"]["abdomen"] is True
+    saved = json.loads((tmp_path / "bca-measurements.json").read_text())
+    assert saved["aggregated"]["whole_scan"]["num_slices"] == 120

@@ -1,0 +1,94 @@
+"""Headline benchmark: fast-total study inference end-to-end, one chip.
+
+Runs the full TotalSegmentator-level pipeline (`boa_tpu.inference.pipeline.
+predict_image`, parity `totalsegmentator/nnunet.py:326-829`) on a synthetic
+512×512×300 CT at 1.5×1.5×3 mm: canonical RAS → cubic device resample to
+the 3 mm model grid → sliding-window inference with Gaussian fusion →
+multilabel postprocess → order-0 resample back → undo canonical.
+
+Weights are synthetic (randomly initialized) at the real `total_fast`
+architecture (task 297: 6-stage PlainConvUNet, 32→320 features, 118
+classes, patch 128³, step 0.8): identical FLOPs/memory traffic to the
+converted public checkpoints.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the driver north-star of 10 s for a full
+512×512×600 study (BASELINE.md) scaled to this volume's z extent
+(300/600 → 5 s target); >1.0 means faster than target.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from boa_tpu.inference.pipeline import predict_image
+    from boa_tpu.io.nifti import NiftiImage
+    from boa_tpu.weights.store import ModelStore, create_synthetic_model
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        shape, spacing = (512, 512, 300), (1.5, 1.5, 3.0)
+        patch, feats = (128, 128, 128), (32, 64, 128, 256, 320, 320)
+        target_s = 5.0
+    else:  # CPU smoke fallback so the script always emits a line
+        shape, spacing = (96, 96, 64), (1.5, 1.5, 3.0)
+        patch, feats = (32, 32, 32), (8, 16, 32)
+        target_s = 60.0
+
+    tmp = tempfile.mkdtemp(prefix="boa_bench_")
+    from boa_tpu.tasks.class_maps import get_class_map
+
+    label_names = ["background"] + list(get_class_map("total").values())
+    create_synthetic_model(
+        tmp, 297, "TotalSegmentator_total_3mm_1559subj",
+        num_classes=len(label_names),
+        trainer="nnUNetTrainer_4000epochs_NoMirroring",
+        patch_size=patch, spacing=(3.0, 3.0, 3.0), features=feats,
+        n_folds=1, label_names=label_names)
+    store = ModelStore(tmp)
+
+    # synthetic anatomy: air background, soft-tissue ellipsoid, bone-ish
+    # core, mild noise — realistic CT entropy (real CTs are smooth + air)
+    rng = np.random.default_rng(0)
+    gx = np.linspace(-1, 1, shape[0], dtype=np.float32)[:, None]
+    gy = np.linspace(-1, 1, shape[1], dtype=np.float32)[None, :]
+    body = (gx ** 2 / 0.49 + gy ** 2 / 0.36) < 1.0
+    core = (gx ** 2 / 0.04 + gy ** 2 / 0.04) < 1.0
+    base = np.where(body, 40.0, -1000.0).astype(np.float32)
+    base += np.where(core, 660.0, 0.0).astype(np.float32)
+    vol = base[:, :, None] + 12.0 * rng.standard_normal(shape, dtype=np.float32)
+    affine = np.diag([-spacing[0], -spacing[1], spacing[2], 1.0])
+    affine[:3, 3] = (200.0, 180.0, -400.0)
+    img = NiftiImage(data=vol.astype(np.int16), affine=affine)
+
+    # warmup compiles the bucketed shapes
+    res = predict_image(img, "total", store, fast=True)
+    assert res.seg.shape == shape
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = predict_image(img, "total", store, fast=True)
+        times.append(time.perf_counter() - t0)
+    sec = float(min(times))
+
+    print(json.dumps({
+        "metric": "sec_per_512x512x300_fast_total_study" if on_tpu
+                  else "sec_cpu_smoke_study",
+        "value": round(sec, 3),
+        "unit": "s",
+        "vs_baseline": round(target_s / sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,27 +100,29 @@ def predict_image(
         img, bbox = cropping.crop_to_mask(img, crop_mask, addon_mm=addon,
                                           dtype=np.int32)
 
-    # --- canonical RAS
-    img_canon, ornt = nifti.as_closest_canonical(img)
-    canon_shape = img_canon.shape
-    canon_affine = img_canon.affine.copy()
-    canon_zooms = img_canon.zooms
+    # --- canonical RAS: affine math on host, voxel flips/transpose on device
+    import jax.numpy as jnp
 
-    # --- resample to model grid (change_spacing: zoom convention, order 3,
-    #     int32 cast — nnunet.py:457-476)
+    ornt, canon_affine, canon_shape, canon_zooms = nifti.canonical_geometry(img)
+
+    # --- upload ONCE (int16-sized payload), then canonicalize + resample to
+    #     the model grid on device (change_spacing: zoom convention, order 3,
+    #     int32 cast — nnunet.py:457-476). The volume stays device-resident
+    #     from here until the final seg download.
+    data_dev = nifti.apply_orientation_device(jnp.asarray(img.data), ornt)
     resample = task.resample
     if task.resample_only_thickness and resample is not None:
         resample = (canon_zooms[0], canon_zooms[1], resample[2])
     if resample is not None and not np.allclose(canon_zooms, resample):
         out_shape, zoom, new_spacing = rs.change_spacing_shape(
             canon_shape, canon_zooms, resample)
-        data_rsp = np.asarray(
-            rs.resample_volume(np.asarray(img_canon.data, np.float32), out_shape,
-                               order=3, convention="zoom")).astype(np.int32)
+        data_rsp = rs.resample_volume(data_dev, out_shape,
+                                      order=3, convention="zoom"
+                                      ).astype(jnp.int32)
         rsp_affine = rs.rescale_affine(canon_affine, zoom)
         rsp_spacing = tuple(float(s) for s in new_spacing)
     else:
-        data_rsp = np.asarray(img_canon.data, np.float32).astype(np.int32)
+        data_rsp = data_dev.astype(jnp.int32)
         rsp_affine = canon_affine
         rsp_spacing = canon_zooms
         resample = None if np.allclose(canon_zooms, task.resample or canon_zooms) \
@@ -134,62 +136,70 @@ def predict_image(
         else:
             step_size = 0.5
 
-    # --- per-task-id prediction + merge
+    # --- per-task-id prediction + merge (device-side LUT remap instead of
+    #     the reference's per-class boolean-mask writes, nnunet.py:534-559)
     use_folds = folds if folds is not None else task.folds
     if multimodel:
-        seg_combined = np.zeros(data_rsp.shape, dtype=np.uint8)
+        seg_combined = jnp.zeros(data_rsp.shape, dtype=jnp.uint8)
         inv = {v: k for k, v in label_map.items()}
         for tid in task.task_ids:
             seg_part = _predict_one(data_rsp, rsp_spacing, tid, task, use_folds,
                                     step_size, store, compute_dtype, fake_predict)
+            seg_part = jnp.asarray(seg_part)
             part_map = class_maps.class_map_5_parts[
                 class_maps.map_taskid_to_partname[tid]]
+            lut = np.zeros(max(part_map) + 1, np.uint8)
             for jdx, class_name in part_map.items():
-                seg_combined[seg_part == jdx] = inv[class_name]
+                lut[jdx] = inv[class_name]
+            mapped = jnp.take(jnp.asarray(lut), seg_part.astype(jnp.int32))
+            seg_combined = jnp.where(seg_part > 0, mapped, seg_combined)
         seg_rsp = seg_combined
     else:
         seg_rsp = _predict_one(data_rsp, rsp_spacing, task.task_ids[0], task,
                                use_folds, step_size, store, compute_dtype,
-                               fake_predict).astype(np.uint8)
+                               fake_predict)
+        seg_rsp = jnp.asarray(seg_rsp).astype(jnp.uint8)
 
-    # --- multilabel postprocessing on the model grid
-    if task.keep_largest_blob:
-        from boa_tpu.ops import postprocessing as pped
-
-        vox_vol = float(np.prod(rsp_spacing))
-        seg_rsp = pped.keep_largest_blob_multilabel(seg_rsp, label_map, ["body_trunc"])
-        seg_rsp = pped.remove_small_blobs_multilabel(
-            seg_rsp, label_map, ["body_extremities"],
-            interval=(50000.0 / vox_vol, 1e10))
-
-    seg_model_grid = NiftiImage(data=seg_rsp, affine=rsp_affine)
-
-    # --- fast statistics on the model grid (statistics.py:91-141)
+    # --- fast statistics on the model grid (statistics.py:91-141), device
     stats = None
     if statistics:
         from boa_tpu.measure.statistics import get_basic_statistics
 
-        stats = get_basic_statistics(seg_rsp, np.asarray(data_rsp), rsp_spacing,
-                                     label_map)
+        stats = get_basic_statistics(seg_rsp, data_rsp, rsp_spacing, label_map)
 
-    # --- resample back to the canonical grid (order 0, exact target shape)
-    if resample is not None and seg_rsp.shape != canon_shape:
-        seg_canon_data = np.asarray(
-            rs.resample_nearest(seg_rsp, canon_shape, convention="zoom")
-        ).astype(np.uint8)
+    # --- multilabel postprocessing on the model grid (host: native C++ CC;
+    #     only the `body` task needs it — one extra download+upload there)
+    if task.keep_largest_blob:
+        from boa_tpu.ops import postprocessing as pped
+
+        vox_vol = float(np.prod(rsp_spacing))
+        seg_np = np.asarray(seg_rsp)
+        seg_np = pped.keep_largest_blob_multilabel(seg_np, label_map, ["body_trunc"])
+        seg_np = pped.remove_small_blobs_multilabel(
+            seg_np, label_map, ["body_extremities"],
+            interval=(50000.0 / vox_vol, 1e10))
+        seg_rsp = jnp.asarray(seg_np)
+        seg_model_grid = NiftiImage(data=seg_np, affine=rsp_affine)
     else:
-        seg_canon_data = seg_rsp
-    seg_canon = NiftiImage(data=seg_canon_data, affine=canon_affine)
+        seg_model_grid = NiftiImage(data=np.asarray(seg_rsp), affine=rsp_affine)
 
-    # --- undo canonical / undo crop
-    seg_out = nifti.undo_canonical(seg_canon, ornt, img.affine)
+    # --- back to the original grid, all on device: order-0 resample to the
+    #     canonical grid (exact target shape) + inverse orientation, then the
+    #     final download (uint8 label maps compress well through the tunnel)
+    if resample is not None and seg_rsp.shape != canon_shape:
+        seg_canon_dev = rs.resample_nearest(seg_rsp, canon_shape,
+                                            convention="zoom")
+    else:
+        seg_canon_dev = seg_rsp
+    inv = nifti.inv_orientation(ornt)
+    seg_out_dev = nifti.apply_orientation_device(seg_canon_dev, inv)
+    seg_out = NiftiImage(data=np.asarray(seg_out_dev), affine=img.affine.copy())
     if bbox is not None:
         seg_out = cropping.undo_crop(seg_out, img_orig, bbox)
 
     if seg_out.shape != img_orig.shape:
         raise RuntimeError(
             f"shape mismatch after pipeline: {seg_out.shape} vs {img_orig.shape}")
-    seg_out.data = seg_out.data.astype(np.uint8)
     seg_out.set_label_map(label_map)
     return PredictImageResult(seg=seg_out, seg_model_grid=seg_model_grid,
                               stats=stats, label_map=label_map)
@@ -199,9 +209,9 @@ def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
                  step_size: float, store: ModelStore, compute_dtype: str,
                  fake_predict) -> np.ndarray:
     if fake_predict is not None:
-        return np.asarray(fake_predict(data_rsp, spacing, task_id))
+        return np.asarray(fake_predict(np.asarray(data_rsp), spacing, task_id))
     plans, params = store.load(task_id, trainer=task.trainer, model=task.model,
                                folds=folds)
     predictor = Predictor(plans=plans, fold_params=params,
                           tile_step_size=step_size, compute_dtype=compute_dtype)
-    return predictor.predict(np.asarray(data_rsp, np.float32), spacing)
+    return predictor.predict(data_rsp, spacing, return_device=True)

@@ -54,6 +54,24 @@ def determine_separate_z(current_spacing, new_spacing,
     return True, int(axis[0])
 
 
+def _argmax_resampled(logits: jax.Array, target_shape: tuple[int, ...],
+                      sep_z, chunk: int = 8) -> jax.Array:
+    """argmax over classes of order-1-resampled logits, streamed in class
+    chunks with a running (max, argmax) pair."""
+    n_cls = logits.shape[0]
+    best = jnp.full(target_shape, -jnp.inf, jnp.float32)
+    idx = jnp.zeros(target_shape, jnp.int32)
+    for c0 in range(0, n_cls, chunk):
+        ch = rs.resample_volume(logits[c0:c0 + chunk].astype(jnp.float32),
+                                target_shape, order=1,
+                                convention="resize", separate_z_order=sep_z)
+        m = jnp.max(ch, axis=0)
+        a = jnp.argmax(ch, axis=0).astype(jnp.int32) + c0
+        idx = jnp.where(m > best, a, idx)
+        best = jnp.maximum(best, m)
+    return idx
+
+
 @dataclass
 class Predictor:
     """Fold-ensemble sliding-window predictor for one model."""
@@ -64,6 +82,11 @@ class Predictor:
     use_gaussian: bool = True
     mirror_axes: tuple[int, ...] = ()  # empty: NoMirroring (all BOA models)
     compute_dtype: str = "bfloat16"
+    # accumulator dtype for the fused logit volume: "auto" keeps fp32 until
+    # the volume would exceed ~2 GB, then drops to fp16 (the reference is
+    # always fp16, predict_from_raw_data.py:587; fp32 is strictly better and
+    # we only give it up when HBM forces us to)
+    accum_dtype: str = "auto"
 
     def __post_init__(self) -> None:
         self.cfg: ArchConfig = self.plans.arch_config()
@@ -72,38 +95,69 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def predict_logits(self, vol_cxyz: np.ndarray | jax.Array) -> jax.Array:
-        """Sliding-window logits for an already-preprocessed (C,X,Y,Z) volume."""
+        """Sliding-window logits for an already-preprocessed (C,X,Y,Z) volume.
+
+        Device-resident: if the input is already a device array nothing
+        crosses the host boundary (padding runs as a device op).
+        """
         patch = self.plans.patch_size_xyz
-        vol = np.asarray(vol_cxyz, dtype=np.float32)
-        padded, revert = pp.pad_to_patch(vol, patch)
-        starts = pp.tile_starts(padded.shape[-3:], patch, self.tile_step_size)
+        vol = jnp.asarray(vol_cxyz)
+        if vol.dtype != jnp.float32:
+            vol = vol.astype(jnp.float32)
+        spatial = vol.shape[-3:]
+        pads = []
+        for n, p in zip(spatial, patch):
+            d = max(p - n, 0)
+            pads.append((d // 2, d - d // 2))
+        if any(p != (0, 0) for p in pads):
+            vol = jnp.pad(vol, [(0, 0)] * (vol.ndim - 3) + pads)
+        revert = tuple(slice(b, b + n) for (b, _), n in zip(pads, spatial))
+        starts = pp.tile_starts(vol.shape[-3:], patch, self.tile_step_size)
         if self.use_gaussian:
             gauss = pp.gaussian_importance_map(patch)
         else:
             gauss = np.ones(patch, np.float32)
+        if self.accum_dtype == "auto":
+            nbytes = 4 * self.cfg.num_classes * int(np.prod(vol.shape[-3:]))
+            acc = jnp.float16 if nbytes > 2e9 else jnp.float32
+        else:
+            acc = {"float16": jnp.float16, "float32": jnp.float32,
+                   "bfloat16": jnp.bfloat16}[self.accum_dtype]
         logits = sliding_window_logits(
-            self._stacked, jnp.asarray(padded), jnp.asarray(starts),
-            jnp.asarray(gauss), self.cfg, self.mirror_axes, self._dtype)
-        return logits[(slice(None), *revert)]
+            self._stacked, vol, jnp.asarray(starts),
+            jnp.asarray(gauss), self.cfg, self.mirror_axes, self._dtype, acc)
+        if any(p != (0, 0) for p in pads):
+            logits = logits[(slice(None), *revert)]
+        return logits
 
     # ------------------------------------------------------------------
-    def predict(self, vol_xyz: np.ndarray, spacing_xyz) -> np.ndarray:
+    def predict(self, vol_xyz: np.ndarray | jax.Array, spacing_xyz,
+                return_device: bool = False) -> np.ndarray | jax.Array:
         """Full nnU-Net-equivalent prediction for a raw (X,Y,Z) volume at
         `spacing_xyz`; returns a uint8/uint16 label volume of the same shape.
+
+        The volume is uploaded at most once and every stage runs on device;
+        with ``return_device`` the result stays there too (the pipeline
+        downloads only the final model-grid seg — host↔device bandwidth is
+        the scarcest resource, see bench notes).
         """
         assert self.plans.transpose_forward == [0, 1, 2], (
             "non-identity transpose_forward not yet supported")
-        vol = np.asarray(vol_xyz, dtype=np.float32)
-        orig_shape = vol.shape
+        dev = jnp.asarray(vol_xyz)
+        if dev.dtype != jnp.float32:
+            dev = dev.astype(jnp.float32)
+        orig_shape = dev.shape
 
-        # 1. crop to nonzero (cropping.py:19-39)
-        bbox = pp.nonzero_bbox(vol)
-        cropped = pp.crop_to_bbox(vol, bbox)
-        shape_before_resample = cropped.shape
+        # 1. crop to nonzero (cropping.py:19-39); one host sync for the bbox
+        bbox = np.asarray(pp.bbox_array(dev))
+        full_extent = bool((bbox[:, 0] == 0).all()
+                           and (bbox[:, 1] == np.array(orig_shape)).all())
+        if not full_extent:
+            dev = jax.lax.slice(dev, bbox[:, 0].tolist(), bbox[:, 1].tolist())
+        shape_before_resample = dev.shape
 
         # 2. normalize BEFORE resampling (default_preprocessor.py:85-88)
         scheme = self.plans.normalization_schemes[0]
-        dev = jnp.asarray(cropped)
         if scheme == "CTNormalization":
             dev = pp.ct_normalize(dev, self.plans.intensity_properties)
         elif scheme in ("ZScoreNormalization", "ZScore"):
@@ -125,16 +179,26 @@ class Predictor:
         # 4. sliding window
         logits = self.predict_logits(dev[None])
 
-        # 5. resample logits back to pre-resample shape (order 1), argmax
+        # 5. resample logits back to pre-resample shape (order 1), argmax.
+        #    Done class-chunked with a running max so the full-resolution
+        #    (C, X, Y, Z) fp32 logit volume is never materialized (the
+        #    reference pays this cost on host RAM in the export pool,
+        #    `export_prediction.py:14-56`; at 117 classes × 512³ it would
+        #    be tens of GB of HBM here).
+        np_dt = np.uint8 if self.cfg.num_classes <= 255 else np.uint16
+        dt = jnp.uint8 if self.cfg.num_classes <= 255 else jnp.uint16
         if tuple(new_shape) != tuple(shape_before_resample):
-            logits = rs.resample_volume(logits, shape_before_resample, order=1,
-                                        convention="resize", separate_z_order=sep_z)
-        seg_cropped = np.asarray(jnp.argmax(logits, axis=0))
-        dt = np.uint8 if self.cfg.num_classes <= 255 else np.uint16
-        seg_cropped = seg_cropped.astype(dt)
+            seg_cropped = _argmax_resampled(
+                logits, tuple(shape_before_resample), sep_z).astype(dt)
+        else:
+            seg_cropped = jnp.argmax(logits, axis=0).astype(dt)
 
         # 6. re-insert into original shape at bbox (export_prediction.py:57-77)
-        seg = np.zeros(orig_shape, dtype=dt)
-        sl = tuple(slice(b[0], b[1]) for b in bbox)
-        seg[sl] = seg_cropped
-        return seg
+        if full_extent:
+            seg = seg_cropped
+        else:
+            seg = jax.lax.dynamic_update_slice(
+                jnp.zeros(orig_shape, dt), seg_cropped, bbox[:, 0].tolist())
+        if return_device:
+            return seg
+        return np.asarray(seg).astype(np_dt)

@@ -54,7 +54,8 @@ def _forward_tta(params, x: jax.Array, cfg: ArchConfig,
     return out[0]
 
 
-@partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype"),
+@partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
+                                   "accum_dtype"),
          donate_argnums=())
 def sliding_window_logits(
     fold_params,            # pytree with leading fold axis F on every leaf
@@ -64,14 +65,21 @@ def sliding_window_logits(
     cfg: ArchConfig,
     mirror_axes: tuple[int, ...] = (),
     compute_dtype=jnp.bfloat16,
+    accum_dtype=jnp.float16,
 ) -> jax.Array:
-    """Returns fused logits (n_classes, X, Y, Z), already weight-normalized."""
+    """Returns fused logits (n_classes, X, Y, Z), already weight-normalized.
+
+    Accumulators default to fp16, matching the reference's fp16 logit volume
+    (`predict_from_raw_data.py:587-620`): at 117 classes × a 512³ grid an
+    fp32 volume alone would be ~56 GB of HBM. Per-tile math stays fp32; only
+    the resident volumes are fp16.
+    """
     n_ch, X, Y, Z = vol.shape
     px, py, pz = gaussian.shape
     n_cls = cfg.num_classes
 
-    logits0 = jnp.zeros((n_cls, X, Y, Z), jnp.float32)
-    weights0 = jnp.zeros((X, Y, Z), jnp.float32)
+    logits0 = jnp.zeros((n_cls, X, Y, Z), accum_dtype)
+    weights0 = jnp.zeros((X, Y, Z), accum_dtype)
     gaussian = gaussian.astype(jnp.float32)
 
     cast_params = jax.tree.map(
@@ -93,13 +101,18 @@ def sliding_window_logits(
         pred = jnp.transpose(pred_sum / n_folds, (3, 0, 1, 2)) * gaussian
 
         cur = jax.lax.dynamic_slice(logits, (0, sx, sy, sz), (n_cls, px, py, pz))
-        logits = jax.lax.dynamic_update_slice(logits, cur + pred, (0, sx, sy, sz))
+        logits = jax.lax.dynamic_update_slice(
+            logits, (cur.astype(jnp.float32) + pred).astype(accum_dtype),
+            (0, sx, sy, sz))
         curw = jax.lax.dynamic_slice(weights, (sx, sy, sz), (px, py, pz))
-        weights = jax.lax.dynamic_update_slice(weights, curw + gaussian, (sx, sy, sz))
+        weights = jax.lax.dynamic_update_slice(
+            weights, (curw.astype(jnp.float32) + gaussian).astype(accum_dtype),
+            (sx, sy, sz))
         return (logits, weights), None
 
     (logits, weights), _ = jax.lax.scan(one_tile, (logits0, weights0), starts)
-    return logits / weights[None]
+    return (logits.astype(jnp.float32) /
+            weights[None].astype(jnp.float32)).astype(accum_dtype)
 
 
 def stack_fold_params(fold_params_list: list) -> object:

@@ -388,5 +388,33 @@ def undo_canonical(img_canonical: NiftiImage, original_ornt: np.ndarray,
     return NiftiImage(data=np.ascontiguousarray(data), affine=original_affine.copy())
 
 
+def canonical_geometry(img: NiftiImage):
+    """(ornt, canonical affine, canonical shape, canonical zooms) WITHOUT
+    touching voxel data — pure affine math, so the reorientation itself can
+    run as device flips/transposes (`apply_orientation_device`) instead of
+    host numpy passes (each full-volume host pass costs ~1 s/150 MB on a
+    single-core worker)."""
+    ornt = io_orientation(img.affine)
+    new_affine = img.affine @ orientation_affine(ornt, img.shape)
+    perm = np.argsort(ornt[:, 0])
+    shape = tuple(int(np.asarray(img.shape)[p]) for p in perm)
+    zooms = tuple(float(np.sqrt((new_affine[:3, i] ** 2).sum())) for i in range(3))
+    return ornt, new_affine, shape, zooms
+
+
+def apply_orientation_device(data, ornt: np.ndarray):
+    """`apply_orientation` with jnp ops on a device array (no host copy)."""
+    import jax.numpy as jnp
+
+    out = data
+    flips = [ax for ax in range(3) if ornt[ax, 1] < 0]
+    if flips:
+        out = jnp.flip(out, axis=flips)
+    perm = np.argsort(ornt[:, 0]).tolist() + list(range(3, data.ndim))
+    if perm != list(range(data.ndim)):
+        out = jnp.transpose(out, perm)
+    return out
+
+
 def empty_like(shape: tuple[int, ...], affine: np.ndarray, dtype=np.uint8) -> NiftiImage:
     return NiftiImage(data=np.zeros(shape, dtype=dtype), affine=affine.copy())

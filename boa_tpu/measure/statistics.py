@@ -87,8 +87,11 @@ def get_basic_statistics(seg: np.ndarray, ct: np.ndarray, spacing,
                          roi_subset: list[str] | None = None) -> dict:
     """TotalSegmentator statistics dict: {name: {volume, intensity}}."""
     num_classes = max(class_map.keys()) + 1
-    ct16 = np.asarray(ct, dtype=np.int16)  # reference casts to int16
-    res = segmented_stats(jnp.asarray(seg), jnp.asarray(ct16), num_classes,
+    if isinstance(ct, jax.Array):  # device-resident: cast on device
+        ct16 = ct.astype(jnp.int16)
+    else:
+        ct16 = jnp.asarray(np.asarray(ct, dtype=np.int16))  # reference int16 cast
+    res = segmented_stats(jnp.asarray(seg), ct16, num_classes,
                           with_histogram=(metric == "median"))
     count = np.asarray(res["count"])
     hu_sum = np.asarray(res["hu_sum"])

@@ -37,6 +37,25 @@ def nonzero_bbox(vol: np.ndarray | jax.Array) -> tuple[tuple[int, int], ...]:
     return tuple(out)
 
 
+@jax.jit
+def bbox_array(vol: jax.Array) -> jax.Array:
+    """(3, 2) int32 nonzero bbox of the last 3 axes in ONE device program —
+    a single host sync instead of six scalar pulls (each dispatch costs
+    ~30 ms of round-trip latency on a tunneled TPU)."""
+    nz = jnp.any(vol != 0, axis=0) if vol.ndim == 4 else vol != 0
+    rows = []
+    for ax in range(3):
+        other = tuple(i for i in range(3) if i != ax)
+        line = jnp.any(nz, axis=other)
+        n = line.shape[0]
+        idx = jnp.arange(n)
+        any_nz = jnp.any(line)
+        first = jnp.where(any_nz, jnp.min(jnp.where(line, idx, n)), 0)
+        last = jnp.where(any_nz, jnp.max(jnp.where(line, idx, -1)) + 1, n)
+        rows.append(jnp.stack([first, last]))
+    return jnp.stack(rows).astype(jnp.int32)
+
+
 def crop_to_bbox(vol: np.ndarray, bbox) -> np.ndarray:
     sl = tuple(slice(b[0], b[1]) for b in bbox)
     if vol.ndim == 4:
@@ -126,8 +145,11 @@ def gaussian_importance_map(patch_size: tuple[int, ...], sigma_scale: float = 1.
     tmp[center] = 1
     g = gaussian_filter(tmp, sigmas, 0, mode="constant", cval=0)
     g = g / g.max() * value_scaling
-    g = g.astype(np.float32)
+    # round through fp16 and clamp zeros to the min nonzero fp16 value,
+    # exactly like the reference (`compute_gaussian` .half() + zero-fix):
+    # keeps the fp16 tile accumulators free of 0/0 at patch corners.
+    g = g.astype(np.float16)
     mask = g == 0
     if mask.any():
         g[mask] = g[~mask].min()
-    return g
+    return g.astype(np.float32)

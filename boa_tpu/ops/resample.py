@@ -134,6 +134,22 @@ def resample_nearest(vol: jax.Array | np.ndarray, new_shape: tuple[int, int, int
     return jnp.take(out, iz, axis=-1)
 
 
+def resample_nearest_host(vol: np.ndarray, new_shape: tuple[int, int, int],
+                          convention: str = "zoom") -> np.ndarray:
+    """Order-0 resample on the HOST (pure np.take gathers, same cached index
+    vectors as the device path — bit-identical results). Used when the label
+    volume is already host-side and an extra device round-trip would cost
+    more than the gather (host↔device bandwidth is ~20-80 MB/s through the
+    TPU tunnel)."""
+    in_shape = vol.shape[-3:]
+    ix = axis_nearest_indices(in_shape[0], new_shape[0], convention)
+    iy = axis_nearest_indices(in_shape[1], new_shape[1], convention)
+    iz = axis_nearest_indices(in_shape[2], new_shape[2], convention)
+    out = np.take(vol, ix, axis=-3)
+    out = np.take(out, iy, axis=-2)
+    return np.take(out, iz, axis=-1)
+
+
 def resample_seg_onehot(seg: jax.Array | np.ndarray, new_shape: tuple[int, int, int],
                         num_classes: int, order: int = 1,
                         convention: str = "resize",

@@ -1,0 +1,172 @@
+"""Segmentation losses, channels-last, fp32 accumulation.
+
+Parity: `nnunetv2/training/loss/dice.py` (MemoryEfficientSoftDiceLoss,
+batch_dice + smooth=1e-5 + denominator clamp 1e-8), `robust_ce_loss.py`
+(CE on integer targets, TopK variant k=10%), `compound_losses.py`
+(DC_and_CE_loss with weight_ce=weight_dice=1, do_bg=False for the dice
+term), and `deep_supervision.py` + `nnUNetTrainer.py:410-418` (exp-decay
+weights 1/2^i, lowest resolution zeroed, normalized to sum 1).
+
+Design difference vs the reference: the DDP cross-rank AllGatherGrad of
+tp/fp/fn (`dice.py:36-38,108-110`, `utilities/ddp_allgather.py:25-48`) is
+unnecessary here — under `jit` over a `Mesh` the batch axis is a *global*
+logical axis, so `jnp.sum` over it already is the cross-chip reduction
+(GSPMD inserts the psum); under `shard_map` pass `axis_name="dp"` and the
+same loss emits an explicit `lax.psum`.
+
+Layout: logits (N, X, Y, Z, C), integer targets (N, X, Y, Z).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _one_hot(target: jax.Array, num_classes: int) -> jax.Array:
+    return jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
+
+
+def soft_dice_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    *,
+    batch_dice: bool = True,
+    do_bg: bool = False,
+    smooth: float = 1e-5,
+    loss_mask: jax.Array | None = None,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Memory-efficient soft dice (`dice.py:58-120`), negated dice score.
+
+    With ``batch_dice`` the tp/pred/gt sums run over batch + spatial axes
+    (`dice.py:25-28` axes = [0, 2, 3, 4]); cross-device reduction via
+    ``axis_name`` replaces AllGatherGrad when used inside shard_map.
+    """
+    n_cls = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    y = _one_hot(target, n_cls)
+    if not do_bg:
+        probs = probs[..., 1:]
+        y = y[..., 1:]
+    spatial = tuple(range(1, probs.ndim - 1))
+    if loss_mask is not None:
+        m = loss_mask[..., None].astype(jnp.float32)
+        intersect = jnp.sum(probs * y * m, spatial)
+        sum_pred = jnp.sum(probs * m, spatial)
+        sum_gt = jnp.sum(y * m, spatial)
+    else:
+        intersect = jnp.sum(probs * y, spatial)      # (N, C')
+        sum_pred = jnp.sum(probs, spatial)
+        sum_gt = jnp.sum(y, spatial)
+    if batch_dice:
+        intersect = jnp.sum(intersect, axis=0)
+        sum_pred = jnp.sum(sum_pred, axis=0)
+        sum_gt = jnp.sum(sum_gt, axis=0)
+        if axis_name is not None:
+            intersect = jax.lax.psum(intersect, axis_name)
+            sum_pred = jax.lax.psum(sum_pred, axis_name)
+            sum_gt = jax.lax.psum(sum_gt, axis_name)
+    dc = (2.0 * intersect + smooth) / jnp.clip(sum_gt + sum_pred + smooth, 1e-8)
+    return -jnp.mean(dc)
+
+
+def softmax_ce_loss(logits: jax.Array, target: jax.Array,
+                    loss_mask: jax.Array | None = None) -> jax.Array:
+    """Cross-entropy on integer labels (`robust_ce_loss.py` RobustCrossEntropyLoss)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    if loss_mask is not None:
+        m = loss_mask.astype(jnp.float32)
+        return jnp.sum(nll * m) / jnp.clip(jnp.sum(m), 1.0)
+    return jnp.mean(nll)
+
+
+def topk_ce_loss(logits: jax.Array, target: jax.Array, k_percent: float = 10.0) -> jax.Array:
+    """TopK CE (`robust_ce_loss.py:22-31`): mean of the worst k% voxel losses."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0].reshape(-1)
+    k = max(1, int(nll.size * k_percent / 100.0))
+    topk = jax.lax.top_k(nll, k)[0]
+    return jnp.mean(topk)
+
+
+def dice_ce_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    *,
+    batch_dice: bool = True,
+    weight_ce: float = 1.0,
+    weight_dice: float = 1.0,
+    loss_mask: jax.Array | None = None,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """DC_and_CE_loss (`compound_losses.py:9-47`, built at
+    `nnUNetTrainer.py:399-402`): dice term do_bg=False, smooth=1e-5."""
+    dc = soft_dice_loss(logits, target, batch_dice=batch_dice, do_bg=False,
+                        smooth=1e-5, loss_mask=loss_mask, axis_name=axis_name)
+    ce = softmax_ce_loss(logits, target, loss_mask=loss_mask)
+    return weight_ce * ce + weight_dice * dc
+
+
+def ds_weights(n_outputs: int) -> np.ndarray:
+    """Deep-supervision weights (`nnUNetTrainer.py:410-418`): 1/2^i,
+    lowest-resolution head zeroed, normalized to sum 1."""
+    w = np.array([1.0 / (2.0 ** i) for i in range(n_outputs)])
+    if n_outputs > 1:
+        w[-1] = 0.0
+    return w / w.sum()
+
+
+def downsample_target(target: jax.Array, shape: Sequence[int]) -> jax.Array:
+    """Nearest-neighbor label downsampling for DS heads (the reference does
+    this in the augmenter: DownsampleSegForDSTransform, order 0)."""
+    if tuple(target.shape[1:]) == tuple(shape):
+        return target
+    return jax.image.resize(target, (target.shape[0], *shape), method="nearest")
+
+
+def deep_supervision_loss(
+    outputs: Sequence[jax.Array],
+    target: jax.Array,
+    *,
+    batch_dice: bool = True,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Weighted Dice+CE over all DS heads (`deep_supervision.py` wrapper).
+
+    ``outputs`` is highest resolution first, as `unet_forward(all_heads=True)`
+    returns; the target is nearest-downsampled per head.
+    """
+    w = ds_weights(len(outputs))
+    total = jnp.float32(0.0)
+    for wi, out in zip(w, outputs):
+        if wi == 0.0:
+            continue
+        t = downsample_target(target, out.shape[1:-1])
+        total = total + wi * dice_ce_loss(out, t, batch_dice=batch_dice,
+                                          axis_name=axis_name)
+    return total
+
+
+def pseudo_dice(logits: jax.Array, target: jax.Array,
+                axis_name: str | None = None) -> jax.Array:
+    """Online per-class hard dice on the highest-resolution head, used for
+    the EMA validation metric (`nnUNetTrainer.py:1040-1086`). Returns (C-1,)
+    foreground dice."""
+    n_cls = logits.shape[-1]
+    pred = jnp.argmax(logits, axis=-1)
+    p = _one_hot(pred, n_cls)[..., 1:]
+    y = _one_hot(target, n_cls)[..., 1:]
+    axes = tuple(range(0, p.ndim - 1))
+    tp = jnp.sum(p * y, axes)
+    fp = jnp.sum(p * (1 - y), axes)
+    fn = jnp.sum((1 - p) * y, axes)
+    if axis_name is not None:
+        tp, fp, fn = (jax.lax.psum(v, axis_name) for v in (tp, fp, fn))
+    return 2 * tp / jnp.clip(2 * tp + fp + fn, 1e-8)

@@ -1,0 +1,203 @@
+"""Functional nnU-Net trainer: one jitted SPMD train step + epoch loop.
+
+Parity: `nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py` —
+`train_step:973-1003` (autocast fwd, loss, grad-clip 12, SGD step),
+`on_train_epoch_start:960` (PolyLR per epoch), `run_training:1366-1387`
+(250 it/epoch × 1000 epochs), checkpointing `:1149-1210` (every 50 epochs
++ best-EMA pseudo-dice), `_set_batch_size_and_oversample:346-390` (global
+batch split across DDP ranks).
+
+TPU design: params live fp32 sharded per `boa_tpu.parallel` rules, the
+forward runs bf16 (≙ torch AMP autocast), the loss/grad accumulate fp32,
+and the whole step — fwd, bwd, clip, SGD — is ONE jitted program over the
+mesh; GSPMD inserts the gradient psums that DDP did with NCCL allreduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pickle
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boa_tpu.models.unet import ArchConfig, init_unet, unet_forward
+from boa_tpu.train.losses import deep_supervision_loss, dice_ce_loss, pseudo_dice
+from boa_tpu.train.optim import (clip_by_global_norm, init_sgd_state, poly_lr,
+                                 sgd_nesterov_update)
+
+CHECKPOINT_EVERY = 50  # nnUNetTrainer.py:158 save_every
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Static training hyperparameters (nnUNetTrainer.py:145-158)."""
+
+    arch: ArchConfig                      # with deep_supervision=True
+    initial_lr: float = 1e-2
+    weight_decay: float = 3e-5
+    momentum: float = 0.99
+    grad_clip: float = 12.0
+    num_epochs: int = 1000
+    iters_per_epoch: int = 250
+    batch_dice: bool = True
+    oversample_foreground_percent: float = 0.33
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class TrainState:
+    params: Any
+    momentum_buf: Any
+    epoch: int = 0
+    best_ema: float = -1.0
+    ema_dice: float | None = None
+    logs: list = field(default_factory=list)
+
+
+def make_train_step(cfg: TrainConfig,
+                    in_shardings=None, donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    step(params, momentum_buf, x, y, lr) ->
+        (params, momentum_buf, {"loss", "grad_norm", "dice"})
+
+    x: (N, X, Y, Z, C) fp32, y: (N, X, Y, Z) int. With `in_shardings`
+    (params_sharding, params_sharding, batch_sharding, label_sharding,
+    None), the same step runs 1-chip or over any dp×sp×tp mesh.
+    """
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, x, y):
+        cast = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+        outs = unet_forward(cast, x.astype(dtype), cfg.arch, all_heads=True)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        outs = [o.astype(jnp.float32) for o in outs]
+        if len(outs) > 1:
+            loss = deep_supervision_loss(outs, y, batch_dice=cfg.batch_dice)
+        else:
+            loss = dice_ce_loss(outs[0], y, batch_dice=cfg.batch_dice)
+        return loss, outs[0]
+
+    def step(params, momentum_buf, x, y, lr):
+        (loss, top), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y)
+        grads, gnorm = clip_by_global_norm(grads, cfg.grad_clip)
+        params, momentum_buf = sgd_nesterov_update(
+            params, grads, momentum_buf, lr,
+            momentum=cfg.momentum, weight_decay=cfg.weight_decay)
+        metrics = {"loss": loss, "grad_norm": gnorm,
+                   "dice": jnp.mean(pseudo_dice(top, y))}
+        return params, momentum_buf, metrics
+
+    kw: dict[str, Any] = {}
+    if in_shardings is not None:
+        kw["in_shardings"] = in_shardings
+        kw["out_shardings"] = (in_shardings[0], in_shardings[1], None)
+    if donate:
+        kw["donate_argnums"] = (0, 1)
+    return jax.jit(step, **kw)
+
+
+def make_eval_step(cfg: TrainConfig) -> Callable:
+    """Jitted validation step: (params, x, y) -> per-class pseudo-dice."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def step(params, x, y):
+        cast = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+        out = unet_forward(cast, x.astype(dtype),
+                           dataclasses.replace(cfg.arch, deep_supervision=False))
+        return pseudo_dice(out.astype(jnp.float32), y)
+
+    return step
+
+
+class Trainer:
+    """Epoch-loop driver around the jitted step.
+
+    The data source is any iterator yielding (x, y) numpy batches — see
+    `boa_tpu.train.dataloader` for the foreground-oversampling loader.
+    """
+
+    def __init__(self, cfg: TrainConfig, out_dir: str | Path,
+                 seed: int = 0, in_shardings=None):
+        self.cfg = cfg
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        key = jax.random.PRNGKey(seed)
+        params = init_unet(key, cfg.arch)
+        self.state = TrainState(params=params,
+                                momentum_buf=init_sgd_state(params))
+        self._step = make_train_step(cfg, in_shardings=in_shardings)
+        self._eval = make_eval_step(cfg)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
+                    n_iters: int | None = None) -> dict:
+        cfg, st = self.cfg, self.state
+        lr = poly_lr(cfg.initial_lr, st.epoch, cfg.num_epochs)
+        n = n_iters if n_iters is not None else cfg.iters_per_epoch
+        losses, t0 = [], time.time()
+        for _ in range(n):
+            x, y = next(batches)
+            st.params, st.momentum_buf, m = self._step(
+                st.params, st.momentum_buf, jnp.asarray(x), jnp.asarray(y),
+                jnp.float32(lr))
+            losses.append(m)
+        losses = {k: float(np.mean([float(m[k]) for m in losses]))
+                  for k in losses[0]}
+        losses.update(epoch=st.epoch, lr=float(lr),
+                      epoch_time=time.time() - t0)
+        # EMA pseudo-dice (nnUNetTrainer.py:1087-1095, alpha 0.9)
+        d = losses["dice"]
+        st.ema_dice = d if st.ema_dice is None else 0.9 * st.ema_dice + 0.1 * d
+        losses["ema_dice"] = st.ema_dice
+        st.logs.append(losses)
+        st.epoch += 1
+        if st.ema_dice > st.best_ema:
+            st.best_ema = st.ema_dice
+            self.save_checkpoint(self.out_dir / "checkpoint_best.pkl")
+        if st.epoch % CHECKPOINT_EVERY == 0 or st.epoch == cfg.num_epochs:
+            self.save_checkpoint(self.out_dir / "checkpoint_latest.pkl")
+        return losses
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str | Path) -> None:
+        """Full resumable state (nnUNetTrainer.py:1149-1181: weights,
+        optimizer, epoch, EMA/best, logs)."""
+        st = self.state
+        blob = {
+            "params": jax.tree.map(np.asarray, st.params),
+            "momentum_buf": jax.tree.map(np.asarray, st.momentum_buf),
+            "epoch": st.epoch,
+            "best_ema": st.best_ema,
+            "ema_dice": st.ema_dice,
+            "logs": st.logs,
+        }
+        tmp = Path(str(path) + ".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(blob, f)
+        tmp.replace(path)
+
+    def load_checkpoint(self, path: str | Path) -> None:
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.state = TrainState(
+            params=jax.tree.map(jnp.asarray, blob["params"]),
+            momentum_buf=jax.tree.map(jnp.asarray, blob["momentum_buf"]),
+            epoch=blob["epoch"], best_ema=blob["best_ema"],
+            ema_dice=blob["ema_dice"], logs=blob["logs"])
+
+    def final_checkpoint(self) -> None:
+        self.save_checkpoint(self.out_dir / "checkpoint_final.pkl")
+        with open(self.out_dir / "training_log.json", "w") as f:
+            json.dump(self.state.logs, f, indent=2)

@@ -1,0 +1,174 @@
+"""IV / GIT contrast phase prediction from organ HU features.
+
+Parity: the external `boa_contrast==0.1.5` package used at
+`body_organ_analysis/commands.py:216-241` — per-organ HU statistics from
+the `total` segmentation feed a sklearn gradient-boosting ensemble that
+predicts the IV contrast phase (native / arterial / portal-venous) and
+whether GIT contrast is present. The trained pickles are not vendored in
+the reference repo, so this module provides:
+
+* the same feature extraction (per-organ HU mean/std/median/quantiles),
+* a loader for trained sklearn ensembles (`BOA_CONTRAST_MODEL` env or
+  explicit path; joblib/pickle format),
+* `fit_contrast_model` to train a fresh ensemble on labeled studies, and
+* a physiology-based fallback so the pipeline still reports a phase when
+  no trained model is installed (aorta/portal/kidney enhancement rules).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from boa_tpu.io import nifti
+from boa_tpu.tasks import class_maps
+from boa_tpu.utils.misc import create_mask
+
+logger = logging.getLogger(__name__)
+
+# organs whose HU statistics carry the contrast signal (boa_contrast feature
+# set: vascular + parenchymal + excretory + GI compartments)
+FEATURE_ORGANS = [
+    "aorta", "inferior_vena_cava", "portal_vein_and_splenic_vein",
+    "heart", "pulmonary_vein",
+    "liver", "spleen", "pancreas",
+    "kidney_left", "kidney_right",
+    "urinary_bladder",
+    "stomach", "duodenum", "small_bowel", "colon",
+]
+FEATURE_STATS = ["mean", "std", "median", "q25", "q75"]
+
+PHASES = ["native", "arterial", "portal_venous"]
+
+
+def extract_features(ct_data: np.ndarray, total_seg: np.ndarray) -> dict[str, float]:
+    """Per-organ HU statistics; NaN for absent organs."""
+    inv = {v: k for k, v in class_maps.get_class_map("total").items()}
+    feats: dict[str, float] = {}
+    for organ in FEATURE_ORGANS:
+        label = inv.get(organ)
+        vals = ct_data[create_mask(total_seg, label)] if label is not None else \
+            np.empty(0)
+        if vals.size == 0:
+            for s in FEATURE_STATS:
+                feats[f"{organ}_{s}"] = float("nan")
+            continue
+        vals = vals.astype(np.float32)
+        q25, med, q75 = np.percentile(vals, [25, 50, 75])
+        feats[f"{organ}_mean"] = float(vals.mean())
+        feats[f"{organ}_std"] = float(vals.std())
+        feats[f"{organ}_median"] = float(med)
+        feats[f"{organ}_q25"] = float(q25)
+        feats[f"{organ}_q75"] = float(q75)
+    return feats
+
+
+def feature_vector(feats: dict[str, float]) -> np.ndarray:
+    return np.array([feats[f"{o}_{s}"] for o in FEATURE_ORGANS
+                     for s in FEATURE_STATS], dtype=np.float32)
+
+
+def _model_path(explicit: str | Path | None = None) -> Path | None:
+    p = explicit or os.environ.get("BOA_CONTRAST_MODEL")
+    if p and Path(p).exists():
+        return Path(p)
+    default = Path.home() / ".boa_tpu" / "contrast_model.pkl"
+    return default if default.exists() else None
+
+
+def _heuristic_phase(feats: dict[str, float]) -> tuple[int, list[float]]:
+    """Fallback enhancement rules when no trained ensemble is installed.
+
+    Native: aorta < 120 HU. Arterial: aorta strongly enhanced and clearly
+    above the portal system. Portal-venous: portal vein/liver enhanced with
+    aorta near equilibrium.
+    """
+    aorta = feats.get("aorta_median", float("nan"))
+    portal = feats.get("portal_vein_and_splenic_vein_median", float("nan"))
+    if np.isnan(aorta):
+        return 0, [1.0, 0.0, 0.0]
+    if aorta < 120:
+        return 0, [0.9, 0.05, 0.05]
+    if not np.isnan(portal) and aorta - portal > 60:
+        return 1, [0.05, 0.85, 0.10]
+    return 2, [0.05, 0.15, 0.80]
+
+
+def _heuristic_git(feats: dict[str, float]) -> tuple[int, float]:
+    # oral contrast pushes bowel contents far above water/soft tissue
+    vals = [feats.get(f"{o}_q75", float("nan"))
+            for o in ("stomach", "duodenum", "small_bowel", "colon")]
+    vals = [v for v in vals if not np.isnan(v)]
+    score = max(vals) if vals else float("nan")
+    if np.isnan(score):
+        return 0, 0.0
+    prob = float(1.0 / (1.0 + np.exp(-(score - 150.0) / 30.0)))
+    return int(prob > 0.5), prob
+
+
+def predict(ct_path: Path | str | nifti.NiftiImage,
+            segmentation_folder: Path | str,
+            model_path: str | Path | None = None,
+            one_mask_per_file: bool = False) -> dict[str, Any]:
+    """boa_contrast.predict-compatible entry (`commands.py:216`)."""
+    ct_img = ct_path if isinstance(ct_path, nifti.NiftiImage) else \
+        nifti.load(Path(ct_path))
+    total = nifti.load(Path(segmentation_folder) / "total.nii.gz")
+    ct_data = np.asarray(ct_img.data)
+    feats = extract_features(ct_data, np.asarray(total.data))
+
+    mp = _model_path(model_path)
+    if mp is not None:
+        with open(mp, "rb") as f:
+            bundle = pickle.load(f)
+        x = np.nan_to_num(feature_vector(feats), nan=-1024.0)[None]
+        phase_probs = np.mean([m.predict_proba(x)[0]
+                               for m in bundle["phase_models"]], axis=0)
+        git_probs = np.mean([m.predict_proba(x)[0]
+                             for m in bundle["git_models"]], axis=0)
+        phase_idx = int(np.argmax(phase_probs))
+        git_idx = int(np.argmax(git_probs))
+        git_prob = float(git_probs[1]) if len(git_probs) > 1 else 0.0
+        phase_list = [float(p) for p in phase_probs]
+    else:
+        logger.info("No trained contrast model found; using heuristic rules")
+        phase_idx, phase_list = _heuristic_phase(feats)
+        git_idx, git_prob = _heuristic_git(feats)
+
+    return {
+        "phase_ensemble_predicted_class": PHASES[phase_idx],
+        "phase_ensemble_prediction": phase_idx,
+        "git_ensemble_predicted_class": bool(git_idx),
+        "git_ensemble_prediction": git_prob,
+        "features": feats,
+    }
+
+
+def fit_contrast_model(features: np.ndarray, phase_labels: np.ndarray,
+                       git_labels: np.ndarray, n_ensemble: int = 5,
+                       out_path: str | Path | None = None) -> dict:
+    """Train a fresh sklearn GBM ensemble (the reference ships pre-trained
+    pickles; training data is per-study feature_vector rows)."""
+    from sklearn.ensemble import HistGradientBoostingClassifier
+
+    x = np.nan_to_num(np.asarray(features, np.float32), nan=-1024.0)
+    bundle = {"phase_models": [], "git_models": [],
+              "feature_names": [f"{o}_{s}" for o in FEATURE_ORGANS
+                                for s in FEATURE_STATS]}
+    for i in range(n_ensemble):
+        pm = HistGradientBoostingClassifier(random_state=i)
+        pm.fit(x, phase_labels)
+        bundle["phase_models"].append(pm)
+        gm = HistGradientBoostingClassifier(random_state=100 + i)
+        gm.fit(x, git_labels)
+        bundle["git_models"].append(gm)
+    if out_path:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(bundle, f)
+    return bundle

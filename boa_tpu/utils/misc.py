@@ -39,6 +39,20 @@ def convert_name(name: str) -> str:
     return "".join(s.capitalize() for s in name.split("_"))
 
 
+def np_json_default(o):
+    """json.dump default= handler for numpy scalars/arrays."""
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, (np.bool_,)):
+        return bool(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"Object of type {o.__class__.__name__} "
+                    f"is not JSON serializable")
+
+
 def to_png_data_url(image: np.ndarray) -> str:
     """Encode an RGB ndarray as a base64 PNG data URL for HTML embedding."""
     import cv2

@@ -19,6 +19,7 @@ from boa_tpu.version import __version__
 __all__ = [
     "__version__",
     "analyze_ct",
+    "store_dicoms",
     "store_excel",
 ]
 
@@ -28,8 +29,8 @@ def __getattr__(name):  # lazy imports keep `import boa_tpu` dependency-light
         from boa_tpu.commands import analyze_ct
 
         return analyze_ct
-    if name == "store_excel":
-        from boa_tpu.io.storage import store_excel
+    if name in ("store_excel", "store_dicoms"):
+        from boa_tpu.io import storage
 
-        return store_excel
+        return getattr(storage, name)
     raise AttributeError(f"module 'boa_tpu' has no attribute {name!r}")

@@ -1,0 +1,197 @@
+"""DICOM codec tests: series round-trip, validation gates, SEG round-trip,
+encapsulated PDF, deterministic UIDs, STOW payload construction."""
+
+import numpy as np
+import pytest
+
+from boa_tpu.io import dicom, dicom_io, dicom_seg, nifti, storage
+
+
+@pytest.fixture()
+def ct_image(rng):
+    data = rng.integers(-1000, 1500, size=(32, 28, 12)).astype(np.int16)
+    affine = np.diag([-0.7, -0.7, 2.5, 1.0])
+    affine[:3, 3] = (100.0, 80.0, -50.0)
+    return nifti.NiftiImage(data=data, affine=affine)
+
+
+@pytest.fixture()
+def series_dir(ct_image, tmp_path):
+    dicom_io.write_ct_series(ct_image, tmp_path / "dicoms",
+                             extra={"KVP": 120.0, "XRayTubeCurrent": 200})
+    return tmp_path / "dicoms"
+
+
+def test_series_roundtrip(ct_image, series_dir):
+    img, files, hdr = dicom_io.read_series(series_dir)
+    assert len(files) == 12
+    np.testing.assert_array_equal(np.asarray(img.data),
+                                  np.asarray(ct_image.data))
+    np.testing.assert_allclose(img.affine, ct_image.affine, atol=1e-6)
+    assert hdr.Modality == "CT"
+    assert hdr.get("KVP") == 120.0
+
+
+def test_dcmread_implicit_vr(ct_image, series_dir, tmp_path):
+    """Implicit-VR-LE datasets parse via the tag dictionary."""
+    ds = dicom.dcmread(sorted(series_dir.iterdir())[0])
+    # re-encode body as implicit VR is not supported for writing; check the
+    # raw-dataset fallback path instead (no preamble, implicit VR)
+    import struct
+
+    raw = bytearray()
+    for kw, val in [("Modality", "CT"), ("SeriesNumber", 7)]:
+        g, e, vr = dicom.DICT[kw]
+        enc = dicom._encode_value(vr, val)
+        raw += struct.pack("<HHI", g, e, len(enc)) + enc
+    ds2 = dicom.dcmread(bytes(raw))
+    assert ds2.Modality == "CT"
+    assert ds2.SeriesNumber == 7
+    assert ds.SOPClassUID == dicom.CT_IMAGE_STORAGE
+
+
+def test_get_image_info(series_dir, tmp_path):
+    nifti_path, info = dicom_io.get_image_info(series_dir, tmp_path / "out")
+    assert nifti_path.exists()
+    names = {r["name"] for r in info}
+    assert {"StudyInstanceUID", "SeriesInstanceUID", "Modality", "KVP",
+            "PixelSpacingX", "SliceThickness"} <= names
+    kvp = next(r["value"] for r in info if r["name"] == "KVP")
+    assert kvp == 120.0
+
+
+def test_validate_dicom_gates(series_dir):
+    ds = dicom.dcmread(sorted(series_dir.iterdir())[0],
+                       stop_before_pixels=True)
+    assert dicom_io.validate_dicom(ds, 12) is None
+    assert "less than 10" in dicom_io.validate_dicom(ds, 3)
+    ds.Modality = "MR"
+    assert "not CT" in dicom_io.validate_dicom(ds, 12)
+    ds.Modality = "CT"
+    ds.ImageType = ["DERIVED", "SECONDARY", "LOCALIZER"]
+    assert "disqualifying" in dicom_io.validate_dicom(ds, 12)
+    ds.ImageType = ["ORIGINAL"]
+    ds.ImageOrientationPatient = [1, 0, 0, 0, 0, 1]  # coronal
+    msg = dicom_io.validate_dicom(ds, 12)
+    assert "coronal" in msg
+
+
+def test_deterministic_uids():
+    a = dicom.generate_uid(entropy_srcs=["x", "y"])
+    b = dicom.generate_uid(entropy_srcs=["x", "y"])
+    c = dicom.generate_uid(entropy_srcs=["x", "z"])
+    assert a == b != c
+    assert a.startswith(dicom.PYDICOM_ROOT_UID) and len(a) <= 64
+    r1, r2 = dicom.generate_uid(), dicom.generate_uid()
+    assert r1 != r2
+
+
+def test_seg_roundtrip(ct_image, series_dir, rng):
+    img, files, hdr = dicom_io.read_series(series_dir)
+    headers = [dicom.dcmread(f, stop_before_pixels=True) for f in files]
+    seg = np.zeros(img.shape, np.uint8)
+    seg[4:12, 5:15, 2:6] = 1
+    seg[20:28, 10:20, 7:11] = 3
+    label_map = {1: "liver", 3: "spleen"}
+    ds = dicom_seg.write_multiclass_seg(seg, label_map, headers,
+                                        "Total Body Segmentation",
+                                        colors={1: (200, 30, 30),
+                                                3: (30, 30, 200)})
+    assert ds.Modality == "SEG"
+    assert ds.SegmentationType == "BINARY"
+    assert [s.SegmentLabel for s in ds.SegmentSequence] == ["liver", "spleen"]
+    back, names = dicom_seg.read_seg_labelmap(ds)
+    # labels renumbered to segment numbers 1..n
+    expect = np.zeros_like(seg)
+    expect[seg == 1] = 1
+    expect[seg == 3] = 2
+    # only slices containing any segment are present in the SEG
+    zs = sorted(set(np.where(seg.any(axis=(0, 1)))[0]))
+    np.testing.assert_array_equal(back, expect[:, :, zs])
+    assert names == {1: "liver", 2: "spleen"}
+
+
+def test_seg_file_roundtrip(ct_image, series_dir, tmp_path):
+    img, files, hdr = dicom_io.read_series(series_dir)
+    headers = [dicom.dcmread(f, stop_before_pixels=True) for f in files]
+    seg = np.zeros(img.shape, np.uint8)
+    seg[10:20, 10:20, :] = 2
+    ds = dicom_seg.write_multiclass_seg(seg, {2: "aorta"}, headers, "seg")
+    p = tmp_path / "seg.dcm"
+    dicom.dcmwrite(p, ds)
+    ds2 = dicom.dcmread(p)
+    assert ds2.SegmentSequence[0].SegmentLabel == "aorta"
+    assert int(ds2.NumberOfFrames) == 12
+    back, _ = dicom_seg.read_seg_labelmap(ds2)
+    assert back.shape == (32, 28, 12)
+    assert (back == 1).sum() == (seg == 2).sum()
+
+
+def test_encapsulated_pdf(series_dir, tmp_path):
+    hdr = dicom.dcmread(sorted(series_dir.iterdir())[0],
+                        stop_before_pixels=True)
+    pdf = b"%PDF-1.4 fake pdf content"
+    ds = dicom_seg.write_encapsulated_pdf(pdf, hdr)
+    assert ds.Modality == "DOC"
+    assert ds.MIMETypeOfEncapsulatedDocument == "application/pdf"
+    p = tmp_path / "report.dcm"
+    dicom.dcmwrite(p, ds)
+    ds2 = dicom.dcmread(p)
+    assert ds2.get("EncapsulatedDocument")[:9] == b"%PDF-1.4 "
+    assert ds2.StudyInstanceUID == hdr.StudyInstanceUID
+
+
+def test_build_output_dicoms(ct_image, series_dir, tmp_path):
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    seg = np.zeros(ct_image.shape, np.uint8)
+    seg[5:15, 5:15, 3:9] = 1
+    seg_img = nifti.NiftiImage(data=seg, affine=ct_image.affine.copy())
+    seg_img.set_label_map({1: "spleen"})
+    nifti.save(seg_img, seg_dir / "total.nii.gz")
+    (seg_dir / "report.pdf").write_bytes(b"%PDF-1.4 x")
+    generated, info = storage.build_output_dicoms(series_dir, seg_dir)
+    kinds = [i["name"] for i in info]
+    assert kinds == ["total", "report"]
+    assert len(generated) == 2
+    # deterministic UIDs: same inputs -> same series UIDs
+    g2, info2 = storage.build_output_dicoms(series_dir, seg_dir)
+    assert info[0]["series_instance_uid"] == info2[0]["series_instance_uid"]
+
+
+def test_cielab_encoding():
+    # white -> L*=100 -> 65535; neutral a/b -> ~32896 (128/255)
+    L, a, b = dicom.rgb_to_cielab_dicom((255, 255, 255))
+    assert L == 65535
+    assert abs(a - 32896) < 300 and abs(b - 32896) < 300
+    L0, _, _ = dicom.rgb_to_cielab_dicom((0, 0, 0))
+    assert L0 == 0
+
+
+def test_analyze_ct_from_dicom_dir(tmp_path, rng):
+    """Full study run with a DICOM directory input (io ingest path)."""
+    from boa_tpu.commands import analyze_ct
+
+    data = np.full((40, 40, 16), -1000, np.int16)
+    data[8:32, 8:32, :] = 40
+    img = nifti.NiftiImage(data=data, affine=np.diag([-1.5, -1.5, 3.0, 1.0]))
+    dicom_io.write_ct_series(img, tmp_path / "dicoms")
+
+    def fake(vol, spacing, task_id):
+        seg = np.zeros(vol.shape, np.uint8)
+        seg[10:20, 10:20, 2:10] = 1
+        return seg
+
+    out = tmp_path / "out"
+    excel_path, stats = analyze_ct(
+        input_folder=tmp_path / "dicoms",
+        processed_output_folder=out, excel_output_folder=out,
+        models=["total"], bca_pdf=False, compute_contrast_information=False,
+        fast_total=True, fake_predict=fake)
+    assert (out / "image.nii.gz").exists()
+    assert excel_path.exists()
+    from boa_tpu.io import xlsx
+
+    info_rows = xlsx.read_xlsx(excel_path)["info"]
+    names = [r[0] for r in info_rows if r]
+    assert "StudyInstanceUID" in names and "Modality" in names

@@ -1,0 +1,132 @@
+"""Training batch sampler with foreground oversampling + prefetch.
+
+Parity: `nnunetv2/training/dataloading/data_loader.py:91-165` — per-sample
+oversampling decision by position in the (global) batch
+(`nnUNetTrainer._set_batch_size_and_oversample:346-390` round rule),
+foreground patches centered on a random precomputed class location, random
+crops with symmetric out-of-bounds padding (data 0, seg -1).
+
+The reference runs this through batchgenerators' MultiThreadedAugmenter
+process pool; here a single prefetch thread suffices because augmentation
+runs jitted on the device (boa_tpu.train.augment), not on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from boa_tpu.train.dataset import Case, CaseStore
+
+
+def oversample_flags(batch_size: int, oversample_percent: float = 0.33
+                     ) -> list[bool]:
+    """Sample i is foreground-forced iff i >= round(batch*(1-p))
+    (`nnUNetTrainer.py:371-376` exact rounding semantics)."""
+    cutoff = round(batch_size * (1 - oversample_percent))
+    return [i >= cutoff for i in range(batch_size)]
+
+
+class DataLoader:
+    """Yields (data (N,X,Y,Z,C) fp32, seg (N,X,Y,Z) int32) numpy batches in
+    the channels-last layout the TPU network consumes."""
+
+    def __init__(self, store: CaseStore, patch_size: tuple[int, int, int],
+                 batch_size: int, oversample_percent: float = 0.33,
+                 seed: int = 0, case_ids: list[str] | None = None,
+                 cache_cases: bool = True):
+        self.store = store
+        self.patch_size = tuple(patch_size)
+        self.batch_size = batch_size
+        self.oversample = oversample_flags(batch_size, oversample_percent)
+        self.rng = np.random.RandomState(seed)
+        self.case_ids = case_ids if case_ids is not None else store.case_ids()
+        if not self.case_ids:
+            raise ValueError("empty case store")
+        self._cache: dict[str, Case] = {}
+        self.cache_cases = cache_cases
+
+    # ------------------------------------------------------------------
+    def _case(self, cid: str) -> Case:
+        if self.cache_cases and cid in self._cache:
+            return self._cache[cid]
+        c = self.store.load_case(cid)
+        if self.cache_cases:
+            self._cache[cid] = c
+        return c
+
+    def _sample_patch(self, case: Case, force_fg: bool
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        data, seg = case.data, case.seg
+        shape = seg.shape
+        ps = self.patch_size
+        need = [max(0, ps[i] - shape[i]) for i in range(3)]
+        lbs = [-need[i] // 2 for i in range(3)]
+        ubs = [shape[i] + need[i] // 2 + need[i] % 2 - ps[i] for i in range(3)]
+
+        sel_center = None
+        if force_fg:
+            eligible = [k for k, v in case.class_locations.items() if len(v)]
+            if eligible:
+                cls = eligible[self.rng.choice(len(eligible))]
+                locs = case.class_locations[cls]
+                sel_center = locs[self.rng.choice(len(locs))]
+        if sel_center is not None:
+            bbox_lbs = [max(lbs[i], int(sel_center[i]) - ps[i] // 2)
+                        for i in range(3)]
+        else:
+            bbox_lbs = [self.rng.randint(lbs[i], ubs[i] + 1) for i in range(3)]
+        bbox_ubs = [bbox_lbs[i] + ps[i] for i in range(3)]
+
+        # valid region inside the case
+        vlb = [max(0, bbox_lbs[i]) for i in range(3)]
+        vub = [min(shape[i], bbox_ubs[i]) for i in range(3)]
+        sl = tuple(slice(vlb[i], vub[i]) for i in range(3))
+        dpatch = np.zeros((data.shape[0], *ps), np.float32)
+        spatch = np.full(ps, -1, np.int32)  # oob seg = -1 (reference pad)
+        ins = tuple(slice(vlb[i] - bbox_lbs[i], vub[i] - bbox_lbs[i])
+                    for i in range(3))
+        dpatch[(slice(None), *ins)] = data[(slice(None), *sl)]
+        spatch[ins] = seg[sl]
+        return dpatch, spatch
+
+    def next_batch(self) -> tuple[np.ndarray, np.ndarray]:
+        ps = self.patch_size
+        n_ch = self._case(self.case_ids[0]).data.shape[0]
+        x = np.empty((self.batch_size, *ps, n_ch), np.float32)
+        y = np.empty((self.batch_size, *ps), np.int32)
+        for i in range(self.batch_size):
+            cid = self.case_ids[self.rng.randint(len(self.case_ids))]
+            dp, sp = self._sample_patch(self._case(cid), self.oversample[i])
+            x[i] = np.moveaxis(dp, 0, -1)
+            y[i] = sp
+        return x, y
+
+    # ------------------------------------------------------------------
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        while True:
+            yield self.next_batch()
+
+    def prefetched(self, depth: int = 2) -> Iterator[tuple[np.ndarray,
+                                                           np.ndarray]]:
+        """Background-thread prefetch (replaces MultiThreadedAugmenter)."""
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def producer() -> None:
+            while not stop.is_set():
+                try:
+                    q.put(self.next_batch(), timeout=1.0)
+                except queue.Full:
+                    continue
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

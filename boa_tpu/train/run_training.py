@@ -1,0 +1,150 @@
+"""Training entry point.
+
+Parity: `nnunetv2/run/run_training.py:137-190` `nnUNetv2_train` — but the
+reference's mp.spawn-per-GPU + NCCL process group becomes a single SPMD
+program over a `jax.sharding.Mesh`: pass --dp/--sp/--tp to shard the jitted
+train step across chips (GSPMD inserts the gradient all-reduces DDP did).
+
+Usage:
+    python -m boa_tpu.train.run_training CASES_DIR OUT_DIR \
+        --patch 128 128 128 --batch 2 --epochs 1000 [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_trainer(cases_dir: Path, out_dir: Path, patch, batch_size: int,
+                  num_classes: int, features=(32, 64, 128, 256, 320, 320),
+                  epochs: int = 1000, iters: int = 250,
+                  mesh_shape=None, compute_dtype: str = "bfloat16"):
+    from boa_tpu.models.unet import ArchConfig
+    from boa_tpu.parallel.mesh import (batch_sharding, label_sharding,
+                                       make_mesh, param_shardings)
+    from boa_tpu.train.trainer import TrainConfig, Trainer
+
+    n = len(features)
+    # cap pool depth by patch size (stride-2 per stage)
+    max_pools = int(np.log2(min(patch)))
+    n = min(n, max_pools + 1)
+    arch = ArchConfig(
+        n_stages=n, features_per_stage=tuple(features[:n]),
+        kernel_sizes=((3, 3, 3),) * n,
+        strides=((1, 1, 1),) + ((2, 2, 2),) * (n - 1),
+        n_conv_per_stage=(2,) * n, n_conv_per_stage_decoder=(2,) * (n - 1),
+        num_classes=num_classes, input_channels=1, deep_supervision=True)
+    cfg = TrainConfig(arch=arch, num_epochs=epochs, iters_per_epoch=iters,
+                      compute_dtype=compute_dtype)
+
+    in_shardings = None
+    mesh = None
+    if mesh_shape is not None:
+        mesh = make_mesh(int(np.prod(mesh_shape)), ("dp", "sp", "tp"),
+                         mesh_shape)
+        trainer = Trainer(cfg, out_dir)
+        ps = param_shardings(mesh, trainer.state.params)
+        in_shardings = (ps, ps, batch_sharding(mesh), label_sharding(mesh),
+                        None)
+        from boa_tpu.train.trainer import make_train_step
+
+        trainer._step = make_train_step(cfg, in_shardings=in_shardings)
+        trainer.state.params = jax.device_put(trainer.state.params, ps)
+        trainer.state.momentum_buf = jax.device_put(
+            trainer.state.momentum_buf, ps)
+        return trainer, mesh
+    return Trainer(cfg, out_dir), None
+
+
+def run_training(cases_dir: str | Path, out_dir: str | Path,
+                 patch=(128, 128, 128), batch_size: int = 2,
+                 num_classes: int | None = None, epochs: int = 1000,
+                 iters: int = 250, resume: bool = False,
+                 mesh_shape=None, augment: bool = True,
+                 mirror_axes: tuple[int, ...] = (), seed: int = 0) -> dict:
+    from boa_tpu.train.augment import augment_batch
+    from boa_tpu.train.dataloader import DataLoader
+    from boa_tpu.train.dataset import CaseStore
+
+    cases_dir, out_dir = Path(cases_dir), Path(out_dir)
+    store = CaseStore(cases_dir)
+    if num_classes is None:
+        seg = store.load_case(store.case_ids()[0]).seg
+        num_classes = int(np.max(np.asarray(seg))) + 1
+    trainer, mesh = build_trainer(cases_dir, out_dir, patch, batch_size,
+                                  num_classes, epochs=epochs, iters=iters,
+                                  mesh_shape=mesh_shape)
+    ckpt = out_dir / "checkpoint_latest.pkl"
+    if resume and ckpt.exists():
+        trainer.load_checkpoint(ckpt)
+        logger.info("Resumed from epoch %d", trainer.state.epoch)
+
+    loader = DataLoader(store, patch, batch_size, seed=seed)
+    key = jax.random.PRNGKey(seed)
+
+    def batches():
+        nonlocal key
+        for x, y in loader.prefetched():
+            if augment:
+                key, sub = jax.random.split(key)
+                xd, yd = augment_batch(sub, jax.numpy.asarray(x),
+                                       jax.numpy.asarray(y),
+                                       mirror_axes=mirror_axes)
+                yield xd, yd
+            else:
+                yield x, y
+
+    gen = batches()
+    last = {}
+    ctx = mesh or _nullcontext()
+    with ctx:
+        while trainer.state.epoch < epochs:
+            last = trainer.train_epoch(gen)
+            logger.info("epoch %d: loss=%.4f dice=%.4f ema=%.4f (%.1fs)",
+                        last["epoch"], last["loss"], last["dice"],
+                        last["ema_dice"], last["epoch_time"])
+    trainer.final_checkpoint()
+    return last
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser("boa_tpu-train")
+    ap.add_argument("cases_dir", type=Path)
+    ap.add_argument("out_dir", type=Path)
+    ap.add_argument("--patch", type=int, nargs=3, default=[128, 128, 128])
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--iters", type=int, default=250)
+    ap.add_argument("--num-classes", type=int, default=None)
+    ap.add_argument("--resume", "--c", action="store_true")
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--sp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--no-augment", action="store_true")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    mesh_shape = None
+    if args.dp * args.sp * args.tp > 1:
+        mesh_shape = (args.dp, args.sp, args.tp)
+    run_training(args.cases_dir, args.out_dir, tuple(args.patch), args.batch,
+                 args.num_classes, args.epochs, args.iters, args.resume,
+                 mesh_shape, augment=not args.no_augment)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Training data pipeline: case store, oversampling loader, device
+augmentation, end-to-end run_training smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boa_tpu.train.augment import augment_batch, mirror, spatial_transform
+from boa_tpu.train.dataloader import DataLoader, oversample_flags
+from boa_tpu.train.dataset import CaseStore, sample_class_locations
+
+
+@pytest.fixture()
+def store(tmp_path, rng):
+    st = CaseStore(tmp_path / "cases")
+    for i in range(3):
+        shape = (20 + i, 18, 16)
+        data = rng.normal(size=shape).astype(np.float32)
+        seg = np.zeros(shape, np.int8)
+        seg[5:9, 5:9, 5:9] = 1
+        seg[12:15, 10:13, 8:12] = 2
+        st.save_case(f"case_{i}", data, seg)
+    return st
+
+
+def test_case_store_roundtrip(store):
+    assert store.case_ids() == ["case_0", "case_1", "case_2"]
+    c = store.load_case("case_0")
+    assert c.data.shape == (1, 20, 18, 16)
+    assert set(c.class_locations) == {1, 2}
+    assert (c.class_locations[1] >= 0).all()
+    # every stored location actually is that class
+    locs = c.class_locations[2]
+    vals = np.asarray(c.seg)[locs[:, 0], locs[:, 1], locs[:, 2]]
+    assert (vals == 2).all()
+
+
+def test_class_locations_cap(rng):
+    seg = np.ones((40, 40, 40), np.int8)
+    locs = sample_class_locations(seg, [1], max_per_class=500)
+    assert len(locs[1]) == 500
+
+
+def test_oversample_flags():
+    # round rule: batch 2 p=0.33 -> exactly 1 forced-fg (reference comment
+    # "an oversample of 0.33 with a batch size of 2 will be rounded to 0.5")
+    assert oversample_flags(2, 0.33) == [False, True]
+    assert oversample_flags(3, 0.33) == [False, False, True]
+    assert sum(oversample_flags(9, 0.33)) == 3
+
+
+def test_dataloader_batches(store):
+    dl = DataLoader(store, (12, 12, 12), batch_size=4, seed=1)
+    x, y = dl.next_batch()
+    assert x.shape == (4, 12, 12, 12, 1) and x.dtype == np.float32
+    assert y.shape == (4, 12, 12, 12) and y.dtype == np.int32
+    # forced-fg samples must contain foreground
+    flags = dl.oversample
+    for i, f in enumerate(flags):
+        if f:
+            assert (y[i] > 0).any()
+
+
+def test_dataloader_patch_larger_than_case(store):
+    dl = DataLoader(store, (32, 32, 32), batch_size=2, seed=0)
+    x, y = dl.next_batch()
+    assert x.shape == (2, 32, 32, 32, 1)
+    assert (y == -1).any()  # oob seg padded with -1 (reference semantics)
+
+
+def test_augment_shapes_and_determinism(store):
+    dl = DataLoader(store, (12, 12, 12), batch_size=2, seed=3)
+    x, y = dl.next_batch()
+    key = jax.random.PRNGKey(0)
+    x1, y1 = augment_batch(key, jnp.asarray(x), jnp.asarray(y))
+    x2, y2 = augment_batch(key, jnp.asarray(x), jnp.asarray(y))
+    assert x1.shape == x.shape and y1.shape == y.shape
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert np.isfinite(np.asarray(x1)).all()
+    # labels stay labels
+    assert set(np.unique(np.asarray(y1))) <= {-1, 0, 1, 2}
+
+
+def test_spatial_transform_identity_prob0(rng):
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, size=(1, 8, 8, 8)))
+    key = jax.random.PRNGKey(0)
+    xo, yo = spatial_transform(key, x, y, p_rotation=0.0, p_scaling=0.0)
+    np.testing.assert_allclose(np.asarray(xo), np.asarray(x), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(yo), np.asarray(y))
+
+
+def test_mirror_transform(rng):
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, 6, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 2, size=(2, 6, 6, 6)))
+    xo, yo = mirror(jax.random.PRNGKey(1), x, y, axes=(0,), p=1.0)
+    np.testing.assert_allclose(np.asarray(xo),
+                               np.asarray(jnp.flip(x, 1)), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(yo), np.asarray(jnp.flip(y, 1)))
+
+
+def test_run_training_smoke(store, tmp_path):
+    from boa_tpu.train.run_training import run_training
+
+    last = run_training(store.root, tmp_path / "train_out",
+                        patch=(16, 16, 16), batch_size=2, epochs=2, iters=3,
+                        augment=True, seed=0)
+    assert last["epoch"] == 1
+    assert np.isfinite(last["loss"])
+    assert (tmp_path / "train_out" / "checkpoint_final.pkl").exists()
+    assert (tmp_path / "train_out" / "training_log.json").exists()
+    # resume continues from epoch 2
+    last2 = run_training(store.root, tmp_path / "train_out",
+                         patch=(16, 16, 16), batch_size=2, epochs=3, iters=3,
+                         resume=True, augment=False, seed=0)
+    assert last2["epoch"] == 2

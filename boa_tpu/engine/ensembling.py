@@ -1,0 +1,95 @@
+"""Cross-configuration ensembling + postprocessing determination.
+
+Parity: `nnunetv2/ensembling/ensemble.py:16-127` (probability averaging
+across configurations before argmax) and
+`nnunetv2/postprocessing/remove_connected_components.py:21-317`
+(keep-largest-component applied per label — first jointly on all
+foreground, then per class — kept only where it does not reduce the
+cross-validation Dice).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable, Sequence
+
+import numpy as np
+
+from boa_tpu.engine.evaluation import evaluate_folder_arrays
+from boa_tpu.ops.connected_components import largest_component
+
+
+def ensemble_probabilities(prob_list: Sequence[np.ndarray]) -> np.ndarray:
+    """Mean of per-config (C, X, Y, Z) probability/logit volumes."""
+    out = np.zeros_like(prob_list[0], dtype=np.float32)
+    for p in prob_list:
+        out += np.asarray(p, np.float32)
+    return out / len(prob_list)
+
+
+def ensemble_segmentations(prob_list: Sequence[np.ndarray]) -> np.ndarray:
+    return np.argmax(ensemble_probabilities(prob_list), axis=0)
+
+
+def remove_all_but_largest_component_from_segmentation(
+        seg: np.ndarray, labels_or_regions, background: int = 0) -> np.ndarray:
+    """`remove_connected_components.py:21-33` equivalent."""
+    if not isinstance(labels_or_regions, (list, tuple)):
+        labels_or_regions = [labels_or_regions]
+    out = seg.copy()
+    for lr in labels_or_regions:
+        mask = np.isin(seg, np.asarray(lr)) if isinstance(lr, (list, tuple)) \
+            else seg == lr
+        if not mask.any():
+            continue
+        keep = largest_component(mask).astype(bool)
+        out[mask & ~keep] = background
+    return out
+
+
+def determine_postprocessing(
+        refs: dict[str, np.ndarray], preds: dict[str, np.ndarray],
+        labels: Sequence[int], out_file: str | Path | None = None
+) -> list[dict]:
+    """Decide which largest-component filters help, by CV Dice.
+
+    Mirrors `determine_postprocessing:52-246`: first test keeping only the
+    largest joint-foreground component, then per-label filters; keep each
+    step only if the mean foreground Dice does not get worse.
+    """
+    fg_labels = [lb for lb in labels if lb != 0]
+    chosen: list[dict] = []
+    cur = {k: v.copy() for k, v in preds.items()}
+    base = evaluate_folder_arrays(refs, cur, fg_labels)["foreground_mean"]
+
+    joint = {k: remove_all_but_largest_component_from_segmentation(
+        v, [list(fg_labels)]) for k, v in cur.items()}
+    after = evaluate_folder_arrays(refs, joint, fg_labels)["foreground_mean"]
+    if after.get("Dice", 0) >= base.get("Dice", 0):
+        cur = joint
+        base = after
+        chosen.append({"fn": "remove_all_but_largest_component",
+                       "kwargs": {"labels_or_regions": [list(fg_labels)]}})
+
+    for lb in fg_labels:
+        cand = {k: remove_all_but_largest_component_from_segmentation(v, lb)
+                for k, v in cur.items()}
+        after = evaluate_folder_arrays(refs, cand, fg_labels)[
+            "foreground_mean"]
+        if after.get("Dice", 0) > base.get("Dice", 0):
+            cur = cand
+            base = after
+            chosen.append({"fn": "remove_all_but_largest_component",
+                           "kwargs": {"labels_or_regions": lb}})
+    if out_file:
+        Path(out_file).write_text(json.dumps(chosen, indent=2))
+    return chosen
+
+
+def apply_postprocessing(seg: np.ndarray, pp_fns: list[dict]) -> np.ndarray:
+    for step in pp_fns:
+        assert step["fn"] == "remove_all_but_largest_component"
+        seg = remove_all_but_largest_component_from_segmentation(
+            seg, **step["kwargs"])
+    return seg

@@ -1,0 +1,223 @@
+"""Experiment planner: fingerprint → training plans.
+
+Parity: `nnunetv2/experiment_planning/experiment_planners/
+default_experiment_planner.py:24-574` — target-spacing rule (median, with
+the 10th-percentile override for strongly anisotropic axes, `:155-197`),
+initial patch from the 1/spacing aspect ratio scaled to a 256³-voxel
+volume clipped to median shape (`:249-268`), pooling topology (pool while
+feature-map edge ≥ 4, aniso axes pool later, kernels start 1 on aniso
+axes), and the shrink-under-memory-budget loop (`:315-360`).
+
+Memory model: the torch planner instantiates the network and counts
+feature-map elements (`static_estimate_VRAM_usage`); here the activation
+element count is computed analytically from the topology — the same
+quantity, no instantiation. The reference budget (560e6 elements ≙ 8 GB at
+batch 2) is kept so plans match nnU-Net's on equal budgets; pass
+`hbm_target_gb=16` for a v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+ANISO_THRESHOLD = 3.0
+REFERENCE_VAL_3D = 560_000_000
+REFERENCE_CORRESP_GB = 8.0
+REFERENCE_CORRESP_BS = 2
+FEATUREMAP_MIN_EDGE = 4
+MAX_POOLS = 999
+BASE_FEATURES = 32
+MAX_FEATURES_3D = 320
+
+
+def determine_target_spacing(spacings: np.ndarray, sizes: np.ndarray,
+                             aniso_threshold: float = ANISO_THRESHOLD
+                             ) -> np.ndarray:
+    spacings = np.vstack(spacings)
+    sizes = np.vstack(sizes)
+    target = np.percentile(spacings, 50, 0)
+    target_size = np.percentile(sizes, 50, 0)
+    worst = int(np.argmax(target))
+    other_axes = [i for i in range(len(target)) if i != worst]
+    other_spacings = [target[i] for i in other_axes]
+    other_sizes = [target_size[i] for i in other_axes]
+    has_aniso_spacing = target[worst] > aniso_threshold * max(other_spacings)
+    has_aniso_voxels = target_size[worst] * aniso_threshold < min(other_sizes)
+    if has_aniso_spacing and has_aniso_voxels:
+        t = np.percentile(spacings[:, worst], 10)
+        if t < max(other_spacings):
+            t = max(max(other_spacings), t) + 1e-5
+        target[worst] = t
+    return target
+
+
+def pool_and_conv_props(spacing, patch_size,
+                        min_edge: int = FEATUREMAP_MIN_EDGE):
+    """(num_pool_per_axis, pool_kernels, conv_kernels, adjusted_patch).
+
+    Axes with much coarser spacing start with kernel 1 and pool later
+    (nnU-Net dynamic topology rules).
+    """
+    spacing = np.asarray(spacing, np.float64)
+    patch = np.asarray(patch_size, np.int64).copy()
+    dim = len(patch)
+    num_pool_per_axis = np.zeros(dim, np.int64)
+    pool_kernels: list[list[int]] = []
+    conv_kernels: list[list[int]] = []
+    cur_spacing = spacing.copy()
+    cur_size = patch.astype(np.float64)
+    while True:
+        # axes eligible to pool: edge after pooling >= min_edge and spacing
+        # within 2x of the finest axis
+        min_sp = np.min(cur_spacing)
+        valid = [(cur_size[i] >= 2 * min_edge)
+                 and (cur_spacing[i] / min_sp < 2)
+                 for i in range(dim)]
+        if not any(valid):
+            break
+        pool = [2 if valid[i] else 1 for i in range(dim)]
+        conv = [3 if cur_spacing[i] / min_sp < ANISO_THRESHOLD or
+                cur_size[i] >= min_edge else 1 for i in range(dim)]
+        pool_kernels.append(pool)
+        conv_kernels.append(conv)
+        for i in range(dim):
+            if pool[i] == 2:
+                num_pool_per_axis[i] += 1
+                cur_spacing[i] *= 2
+                cur_size[i] = np.ceil(cur_size[i] / 2)
+    conv_kernels.append([3] * dim)
+    # patch must be divisible by the total pooling per axis
+    must_div = 2 ** num_pool_per_axis
+    patch = (np.round(patch / must_div) * must_div).astype(np.int64)
+    patch = np.maximum(patch, must_div * min_edge)
+    n_stages = len(pool_kernels) + 1
+    strides = [[1] * dim] + pool_kernels
+    kernels = conv_kernels[:n_stages]
+    return num_pool_per_axis.tolist(), strides, kernels, patch.tolist()
+
+
+def estimate_activation_elements(patch_size, features_per_stage, strides,
+                                 num_classes: int,
+                                 n_conv_per_stage: int = 2) -> float:
+    """Feature-map element count of one fwd pass (encoder+decoder+heads)."""
+    size = np.asarray(patch_size, np.float64)
+    total = 0.0
+    sizes = []
+    for s, (f, st) in enumerate(zip(features_per_stage, strides)):
+        size = np.ceil(size / np.asarray(st))
+        sizes.append(size.copy())
+        total += n_conv_per_stage * f * float(np.prod(size))
+    for s in range(len(features_per_stage) - 2, -1, -1):
+        total += n_conv_per_stage * features_per_stage[s] * \
+            float(np.prod(sizes[s]))
+    total += num_classes * float(np.prod(patch_size))
+    return total
+
+
+def plan_configuration(fingerprint: dict, num_classes: int,
+                       num_input_channels: int = 1,
+                       hbm_target_gb: float = REFERENCE_CORRESP_GB,
+                       overwrite_target_spacing=None) -> dict:
+    spacings = np.vstack(fingerprint["spacings"])
+    shapes = np.vstack(fingerprint["shapes_after_crop"])
+    target = np.asarray(overwrite_target_spacing, np.float64) \
+        if overwrite_target_spacing is not None else \
+        determine_target_spacing(spacings, shapes)
+    # median shape AFTER resampling to target spacing
+    new_shapes = np.round(shapes * spacings / target[None]).astype(np.int64)
+    median_shape = np.median(new_shapes, 0)
+
+    tmp = 1.0 / target
+    initial_patch = np.round(tmp * (256 ** 3 / np.prod(tmp)) ** (1 / 3))
+    initial_patch = np.minimum(initial_patch, median_shape).astype(np.int64)
+    initial_patch = np.maximum(initial_patch, FEATUREMAP_MIN_EDGE)
+
+    def _feats(n_stages):
+        return [min(MAX_FEATURES_3D, BASE_FEATURES * 2 ** i)
+                for i in range(n_stages)]
+
+    reference = REFERENCE_VAL_3D * (hbm_target_gb / REFERENCE_CORRESP_GB)
+    patch = initial_patch.copy()
+    while True:
+        npool, strides, kernels, patch_adj = pool_and_conv_props(target, patch)
+        feats = _feats(len(strides))
+        est = estimate_activation_elements(patch_adj, feats, strides,
+                                           num_classes)
+        if est / REFERENCE_CORRESP_BS * 2 <= reference:
+            break
+        # shrink the axis largest relative to median shape
+        ratios = [p / m for p, m in zip(patch_adj, median_shape)]
+        axis = int(np.argsort(ratios)[-1])
+        must_div = 2 ** npool[axis]
+        patch = np.asarray(patch_adj, np.int64)
+        patch[axis] -= must_div
+        if patch[axis] < FEATUREMAP_MIN_EDGE:
+            patch[axis] = FEATUREMAP_MIN_EDGE
+            break
+
+    batch_size = max(REFERENCE_CORRESP_BS,
+                     int(np.floor(reference / est * REFERENCE_CORRESP_BS)))
+    # 5%-of-dataset cap (planner bs cap)
+    total_vox = float(np.sum([np.prod(s) for s in new_shapes]))
+    bs_cap = max(2, int(round(total_vox * 0.05 / np.prod(patch_adj))))
+    batch_size = min(batch_size, bs_cap)
+
+    n_stages = len(strides)
+    ip = fingerprint["foreground_intensity_properties_per_channel"]
+    return {
+        "configurations": {
+            "3d_fullres": {
+                "data_identifier": "boaTPUPlans_3d_fullres",
+                "patch_size": [int(p) for p in patch_adj],
+                "spacing": [float(s) for s in target],
+                "batch_size": int(batch_size),
+                "batch_dice": True,
+                "normalization_schemes": ["CTNormalization"],
+                "use_mask_for_norm": [False],
+                "resampling_fn_data": "resample_data_or_seg_to_shape",
+                "resampling_fn_data_kwargs": {
+                    "is_seg": False, "order": 3, "order_z": 0,
+                    "force_separate_z": None},
+                "resampling_fn_probabilities":
+                    "resample_data_or_seg_to_shape",
+                "resampling_fn_probabilities_kwargs": {
+                    "is_seg": False, "order": 1, "order_z": 0,
+                    "force_separate_z": None},
+                "resampling_fn_seg": "resample_data_or_seg_to_shape",
+                "resampling_fn_seg_kwargs": {
+                    "is_seg": True, "order": 1, "order_z": 0,
+                    "force_separate_z": None},
+                "architecture": {
+                    "network_class_name": "dynamic_network_architectures."
+                                          "architectures.unet.PlainConvUNet",
+                    "arch_kwargs": {
+                        "n_stages": n_stages,
+                        "features_per_stage": _feats(n_stages),
+                        "kernel_sizes": kernels,
+                        "strides": strides,
+                        "n_conv_per_stage": [2] * n_stages,
+                        "n_conv_per_stage_decoder": [2] * (n_stages - 1),
+                        "conv_bias": True,
+                        "norm_op_kwargs": {"eps": 1e-5, "affine": True},
+                    },
+                },
+            }
+        },
+        "foreground_intensity_properties_per_channel": ip,
+        "transpose_forward": [0, 1, 2],
+        "transpose_backward": [0, 1, 2],
+        "plans_name": "boaTPUPlans",
+    }
+
+
+def plan_experiment(fingerprint: dict, num_classes: int,
+                    out_file: str | Path | None = None,
+                    hbm_target_gb: float = REFERENCE_CORRESP_GB) -> dict:
+    plans = plan_configuration(fingerprint, num_classes,
+                               hbm_target_gb=hbm_target_gb)
+    if out_file:
+        Path(out_file).write_text(json.dumps(plans, indent=2))
+    return plans

@@ -38,6 +38,9 @@ _CLASS_MAP_KEY = {
     "total_fast": "total",
     "total_fastest": "total",
     "body_fast": "body",
+    "total_mr_fast": "total_mr",
+    "total_mr_fastest": "total_mr",
+    "body_mr_fast": "body_mr",
     "lung_vessels": "lung_vessels",
 }
 

@@ -27,6 +27,9 @@ class TaskConfig:
     # only resample slice thickness (z), keep in-plane spacing (BCA models)
     resample_only_thickness: bool = False
     license_required: bool = False
+    # model whose output provides the crop organs (default `total`; teeth
+    # crops from craniofacial_structures — python_api.py crop_model)
+    crop_model: str = "total"
     # postprocessing
     remove_outside: tuple[str, ...] | None = None  # masks for remove-outside
     remove_outside_dilation_mm: float | None = None
@@ -151,6 +154,153 @@ TASKS: dict[str, TaskConfig] = {
         crop_addon=(20, 20, 20),
         license_required=True,
     ),
+    # ---- remaining public python_api.py tasks (full registry parity) ----
+    "total_mr": TaskConfig(
+        name="total_mr", task_ids=(850, 851), resample=_iso(1.5),
+        trainer="nnUNetTrainer_2000epochs_NoMirroring"),
+    "total_mr_fast": TaskConfig(
+        name="total_mr_fast", task_ids=(852,), resample=_iso(3.0),
+        trainer="nnUNetTrainer_2000epochs_NoMirroring"),
+    "total_mr_fastest": TaskConfig(
+        name="total_mr_fastest", task_ids=(853,), resample=_iso(6.0),
+        trainer="nnUNetTrainer_2000epochs_NoMirroring"),
+    "total_highres_test": TaskConfig(
+        name="total_highres_test", task_ids=(957,),
+        resample=(0.75, 0.75, 1.0), trainer="nnUNetTrainerNoMirroring",
+        model="3d_fullres_high"),
+    "body_mr": TaskConfig(
+        name="body_mr", task_ids=(597,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_DASegOrd0"),
+    "body_mr_fast": TaskConfig(
+        name="body_mr_fast", task_ids=(598,), resample=_iso(6.0),
+        trainer="nnUNetTrainer_DASegOrd0"),
+    "vertebrae_mr": TaskConfig(
+        name="vertebrae_mr", task_ids=(756,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring"),
+    "head_glands_cavities": TaskConfig(
+        name="head_glands_cavities", task_ids=(775,),
+        resample=(0.75, 0.75, 1.0),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        model="3d_fullres_high", crop=("skull",), crop_addon=(10, 10, 10)),
+    "headneck_bones_vessels": TaskConfig(
+        name="headneck_bones_vessels", task_ids=(776,),
+        resample=(0.75, 0.75, 1.0),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        model="3d_fullres_high",
+        crop=("clavicula_left", "clavicula_right", "vertebrae_C1",
+              "vertebrae_C5", "vertebrae_T1", "vertebrae_T4"),
+        crop_addon=(40, 40, 40)),
+    "head_muscles": TaskConfig(
+        name="head_muscles", task_ids=(777,), resample=(0.75, 0.75, 1.0),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        model="3d_fullres_high", crop=("skull",), crop_addon=(10, 10, 10)),
+    "headneck_muscles": TaskConfig(
+        name="headneck_muscles", task_ids=(778, 779),
+        resample=(0.75, 0.75, 1.0),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        model="3d_fullres_high",
+        crop=("clavicula_left", "clavicula_right", "vertebrae_C1",
+              "vertebrae_C5", "vertebrae_T1", "vertebrae_T4"),
+        crop_addon=(40, 40, 40)),
+    "oculomotor_muscles": TaskConfig(
+        name="oculomotor_muscles", task_ids=(351,),
+        resample=(0.47251562774181366, 0.47251562774181366,
+                  0.8500002026557922),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        crop=("skull",), crop_addon=(20, 20, 20)),
+    "lung_nodules": TaskConfig(
+        name="lung_nodules", task_ids=(913,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_MOSAIC_1k_QuarterLR_NoMirroring",
+        crop=("lung_upper_lobe_left", "lung_lower_lobe_left",
+              "lung_upper_lobe_right", "lung_middle_lobe_right",
+              "lung_lower_lobe_right"),
+        crop_addon=(10, 10, 10)),
+    "kidney_cysts": TaskConfig(
+        name="kidney_cysts", task_ids=(789,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        crop=("kidney_left", "kidney_right", "liver", "spleen", "colon"),
+        crop_addon=(10, 10, 10)),
+    "breasts": TaskConfig(
+        name="breasts", task_ids=(527,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring"),
+    "ventricle_parts": TaskConfig(
+        name="ventricle_parts", task_ids=(552,),
+        resample=(0.4384765625, 0.4345703125, 1.0),
+        trainer="nnUNetTrainerNoMirroring",
+        crop=("brain",), crop_addon=(0, 0, 0)),
+    "liver_segments_mr": TaskConfig(
+        name="liver_segments_mr", task_ids=(576,),
+        resample=(1.1250001788139343, 1.1875, 3.0),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        crop=("liver",), crop_addon=(10, 10, 10)),
+    "craniofacial_structures": TaskConfig(
+        name="craniofacial_structures", task_ids=(115,), resample=_iso(0.5),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        crop=("skull",), crop_addon=(20, 20, 20)),
+    "abdominal_muscles": TaskConfig(
+        name="abdominal_muscles", task_ids=(952,),
+        resample=(0.75, 0.75, 1.0),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        model="3d_fullres_high", crop=("body_trunc",),
+        crop_addon=(5, 5, 5)),
+    "teeth": TaskConfig(
+        name="teeth", task_ids=(113,), resample=_iso(0.5),
+        trainer="nnUNetTrainer_onlyMirror01", model="3d_lowres_high",
+        crop=("teeth_lower", "teeth_upper"), crop_addon=(10, 10, 10),
+        crop_model="craniofacial_structures"),
+    "trunk_cavities": TaskConfig(
+        name="trunk_cavities", task_ids=(343,), resample=_iso(1.5),
+        trainer="nnUNetTrainer"),
+    "brain_aneurysm": TaskConfig(
+        name="brain_aneurysm", task_ids=(615,),
+        resample=(0.390625, 0.390625, 0.5000016391277313),
+        trainer="nnUNetTrainerDiceTopK10Loss_2000epochs", folds=None),
+    # ---- license-gated commercial models (show_license_info tasks) ----
+    "vertebrae_body": TaskConfig(
+        name="vertebrae_body", task_ids=(305,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_DASegOrd0", license_required=True),
+    "appendicular_bones": TaskConfig(
+        name="appendicular_bones", task_ids=(304,), resample=_iso(1.5),
+        trainer="nnUNetTrainerNoMirroring", license_required=True),
+    "appendicular_bones_mr": TaskConfig(
+        name="appendicular_bones_mr", task_ids=(855,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_2000epochs_NoMirroring",
+        license_required=True),
+    "tissue_types": TaskConfig(
+        name="tissue_types", task_ids=(481,), resample=_iso(1.5),
+        trainer="nnUNetTrainer", license_required=True),
+    "tissue_types_mr": TaskConfig(
+        name="tissue_types_mr", task_ids=(925,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        license_required=True),
+    "tissue_4_types": TaskConfig(
+        name="tissue_4_types", task_ids=(485,), resample=_iso(1.5),
+        trainer="nnUNetTrainer", license_required=True),
+    "face": TaskConfig(
+        name="face", task_ids=(303,), resample=_iso(1.5),
+        trainer="nnUNetTrainerNoMirroring", license_required=True),
+    "face_mr": TaskConfig(
+        name="face_mr", task_ids=(856,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_2000epochs_NoMirroring",
+        license_required=True),
+    "brain_structures": TaskConfig(
+        name="brain_structures", task_ids=(409,), resample=(0.5, 0.5, 1.0),
+        trainer="nnUNetTrainer_DASegOrd0", model="3d_fullres_high",
+        crop=("brain",), crop_addon=(10, 10, 10), license_required=True),
+    "thigh_shoulder_muscles": TaskConfig(
+        name="thigh_shoulder_muscles", task_ids=(857,), resample=_iso(1.5),
+        trainer="nnUNetTrainer_2000epochs_NoMirroring",
+        license_required=True),
+    "thigh_shoulder_muscles_mr": TaskConfig(
+        name="thigh_shoulder_muscles_mr", task_ids=(857,),
+        resample=_iso(1.5),
+        trainer="nnUNetTrainer_2000epochs_NoMirroring",
+        license_required=True),
+    "aortic_sinuses": TaskConfig(
+        name="aortic_sinuses", task_ids=(920,), resample=(0.7, 0.7, 0.7),
+        trainer="nnUNetTrainer_DASegOrd0_NoMirroring",
+        model="3d_fullres_high", crop=("heart",), crop_addon=(0, 0, 0),
+        license_required=True),
 }
 
 # --- BCA tasks (body_composition_analysis/tasks.py:15-48) ---
@@ -174,11 +324,13 @@ BCA_TASKS: dict[str, TaskConfig] = {
 }
 
 
+_FAST_VARIANTS = {"total": "total_fast", "body": "body_fast",
+                  "total_mr": "total_mr_fast", "body_mr": "body_mr_fast"}
+
+
 def get_task(name: str, fast: bool = False) -> TaskConfig:
-    if name == "total":
-        return TASKS["total_fast" if fast else "total"]
-    if name == "body":
-        return TASKS["body_fast" if fast else "body"]
+    if name in _FAST_VARIANTS:
+        return TASKS[_FAST_VARIANTS[name] if fast else name]
     if name in TASKS:
         if fast:
             raise ValueError(f"task {name} does not support the fast option")

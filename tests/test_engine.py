@@ -1,0 +1,150 @@
+"""Engine auxiliaries: fingerprint, planner, evaluation, ensembling,
+postprocessing determination, benchmark harness."""
+
+import json
+
+import numpy as np
+import pytest
+
+from boa_tpu.engine.benchmark import benchmark_training
+from boa_tpu.engine.ensembling import (
+    apply_postprocessing, determine_postprocessing, ensemble_probabilities,
+    ensemble_segmentations, remove_all_but_largest_component_from_segmentation)
+from boa_tpu.engine.evaluation import evaluate_case, evaluate_folder_arrays
+from boa_tpu.engine.fingerprint import extract_fingerprint
+from boa_tpu.engine.planner import (determine_target_spacing,
+                                    estimate_activation_elements,
+                                    plan_experiment, pool_and_conv_props)
+from boa_tpu.plans.plans import ModelPlans
+
+
+@pytest.fixture()
+def fingerprint(rng):
+    cases = []
+    for _ in range(6):
+        shape = tuple(rng.integers(30, 60, 3))
+        data = rng.normal(40, 200, shape).astype(np.float32)
+        seg = (data > 100).astype(np.int8)
+        cases.append((data, seg, (0.8, 0.8, 3.0)))
+    return extract_fingerprint(cases)
+
+
+def test_fingerprint_schema(fingerprint):
+    assert len(fingerprint["spacings"]) == 6
+    props = fingerprint["foreground_intensity_properties_per_channel"]["0"]
+    assert props["percentile_00_5"] < props["median"] < props["percentile_99_5"]
+
+
+def test_target_spacing_median_and_aniso():
+    # isotropic-ish: median
+    sp = np.tile([1.0, 1.0, 1.5], (10, 1))
+    sz = np.tile([512, 512, 400], (10, 1))
+    np.testing.assert_allclose(determine_target_spacing(sp, sz),
+                               [1.0, 1.0, 1.5])
+    # strongly anisotropic z with few slices -> 10th percentile override
+    sp = np.vstack([np.tile([1.0, 1.0, 8.0], (9, 1)), [[1.0, 1.0, 4.0]]])
+    sz = np.tile([512, 512, 40], (10, 1))
+    target = determine_target_spacing(sp, sz)
+    assert target[2] < 8.0  # pulled below the median by the aniso rule
+
+
+def test_pool_and_conv_props():
+    npool, strides, kernels, patch = pool_and_conv_props(
+        (1.0, 1.0, 1.0), (128, 128, 128))
+    assert strides[0] == [1, 1, 1]
+    assert all(s == [2, 2, 2] for s in strides[1:])
+    assert patch == [128, 128, 128]
+    # anisotropic: z pools later
+    npool2, strides2, _, _ = pool_and_conv_props((1.0, 1.0, 5.0),
+                                                 (128, 128, 32))
+    assert npool2[2] < npool2[0]
+    assert strides2[1][2] == 1  # first pool skips the coarse axis
+
+
+def test_plan_experiment(fingerprint, tmp_path):
+    plans = plan_experiment(fingerprint, num_classes=5,
+                            out_file=tmp_path / "plans.json")
+    conf = plans["configurations"]["3d_fullres"]
+    assert conf["batch_size"] >= 2
+    arch = conf["architecture"]["arch_kwargs"]
+    assert arch["n_stages"] == len(arch["strides"]) == len(arch["kernel_sizes"])
+    # budget respected
+    est = estimate_activation_elements(conf["patch_size"],
+                                       arch["features_per_stage"],
+                                       arch["strides"], 5)
+    assert est / 2 * 2 <= 560e6 * 1.001
+    # plans are loadable by our ModelPlans/ArchConfig machinery
+    mp = ModelPlans(plans=plans, dataset={"labels": {
+        "background": 0, "a": 1, "b": 2, "c": 3, "d": 4},
+        "channel_names": {"0": "CT"}})
+    cfg = mp.arch_config()
+    assert cfg.num_classes == 5
+    assert (tmp_path / "plans.json").exists()
+
+
+def test_plan_scales_with_memory(fingerprint):
+    small = plan_experiment(fingerprint, 5, hbm_target_gb=4)
+    big = plan_experiment(fingerprint, 5, hbm_target_gb=16)
+    assert np.prod(big["configurations"]["3d_fullres"]["patch_size"]) * \
+        big["configurations"]["3d_fullres"]["batch_size"] >= \
+        np.prod(small["configurations"]["3d_fullres"]["patch_size"]) * \
+        small["configurations"]["3d_fullres"]["batch_size"]
+
+
+def test_evaluate_case_and_folder(rng):
+    ref = rng.integers(0, 3, (16, 16, 16))
+    res = evaluate_case(ref, ref, [0, 1, 2])
+    assert res["1"]["Dice"] == pytest.approx(1.0)
+    pred = ref.copy()
+    pred[ref == 2] = 0
+    res2 = evaluate_folder_arrays({"c": ref}, {"c": pred}, [1, 2])
+    assert res2["mean"]["2"]["Dice"] == pytest.approx(0.0)
+    assert 0 < res2["foreground_mean"]["Dice"] < 1
+
+
+def test_ensembling(rng):
+    p1 = rng.random((3, 8, 8, 8)).astype(np.float32)
+    p2 = rng.random((3, 8, 8, 8)).astype(np.float32)
+    mean = ensemble_probabilities([p1, p2])
+    np.testing.assert_allclose(mean, (p1 + p2) / 2, rtol=1e-6)
+    seg = ensemble_segmentations([p1, p2])
+    np.testing.assert_array_equal(seg, np.argmax((p1 + p2) / 2, 0))
+
+
+def test_largest_component_removal():
+    seg = np.zeros((20, 20, 20), np.uint8)
+    seg[2:8, 2:8, 2:8] = 1          # big blob
+    seg[15:17, 15:17, 15:17] = 1    # small blob
+    out = remove_all_but_largest_component_from_segmentation(seg, 1)
+    assert out[3, 3, 3] == 1 and out[16, 16, 16] == 0
+
+
+def test_determine_postprocessing_helps():
+    ref = np.zeros((20, 20, 20), np.uint8)
+    ref[2:8, 2:8, 2:8] = 1
+    pred = ref.copy()
+    pred[15:17, 15:17, 15:17] = 1  # spurious island the filter removes
+    pp = determine_postprocessing({"c": ref}, {"c": pred}, [0, 1])
+    assert pp  # at least one filter chosen
+    fixed = apply_postprocessing(pred, pp)
+    assert (fixed == ref).all()
+
+
+def test_determine_postprocessing_refuses_harm():
+    # two genuine components: filter would delete one -> must NOT be chosen
+    ref = np.zeros((20, 20, 20), np.uint8)
+    ref[2:8, 2:8, 2:8] = 1
+    ref[14:18, 14:18, 14:18] = 1
+    pp = determine_postprocessing({"c": ref}, {"c": ref.copy()}, [0, 1])
+    fixed = apply_postprocessing(ref.copy(), pp)
+    assert (fixed == ref).all()
+
+
+def test_benchmark_training(tmp_path):
+    res = benchmark_training(tmp_path, patch=(16, 16, 16), batch_size=1,
+                             num_classes=3, features=(4, 8), n_epochs=2,
+                             iters_per_epoch=2)
+    assert res["it_per_s"] > 0
+    blob = json.loads((tmp_path / "benchmark_result.json").read_text())
+    assert blob["backend"] in ("cpu", "tpu")
+    assert len(blob["epoch_times_s"]) == 2

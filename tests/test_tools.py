@@ -1,0 +1,159 @@
+"""bin-tool equivalents: phase mapping, modality, combine-masks, Evans
+index, weights manager CLI, full task-registry coverage."""
+
+import numpy as np
+import pytest
+
+from boa_tpu.io import nifti
+from boa_tpu.tasks import class_maps
+from boa_tpu.tasks.registry import BCA_TASKS, TASKS, get_task
+from boa_tpu.tools.combine_masks import (combine_masks,
+                                         combine_masks_to_multilabel_file)
+from boa_tpu.tools.evans_index import evans_index, max_diameter_x
+from boa_tpu.tools.get_modality import get_modality
+from boa_tpu.tools.get_phase import (features_from_stats,
+                                     get_ct_contrast_phase,
+                                     pi_time_to_phase)
+
+
+def test_pi_time_to_phase_table():
+    # exact reference mapping (totalseg_get_phase.py:23-55)
+    assert pi_time_to_phase(2) == ("native", 1.0)
+    assert pi_time_to_phase(7) == ("native", 0.7)
+    assert pi_time_to_phase(15) == ("arterial_early", 0.7)
+    assert pi_time_to_phase(25) == ("arterial_early", 1.0)
+    assert pi_time_to_phase(40) == ("arterial_late", 1.0)
+    assert pi_time_to_phase(55) == ("arterial_late", 0.7)
+    assert pi_time_to_phase(75) == ("portal_venous", 1.0)
+    assert pi_time_to_phase(95) == ("portal_venous", 0.7)
+    assert pi_time_to_phase(150) == ("portal_venous", 0.3)
+
+
+def test_get_phase_heuristic():
+    stats = {"aorta": {"intensity": 300}, "portal_vein_and_splenic_vein":
+             {"intensity": 120}, "liver": {"intensity": 60}}
+    res = get_ct_contrast_phase(stats)
+    assert res["phase"] == "arterial_early"
+    stats2 = {"aorta": {"intensity": 60}}
+    assert get_ct_contrast_phase(stats2)["phase"] == "native"
+    feats = features_from_stats(stats)
+    assert feats["aorta"] == 300 and feats["brain"] == 0.0
+
+
+def test_get_modality_heuristic(rng):
+    ct = rng.normal(40, 300, (20, 20, 20)).astype(np.float32)
+    ct[0:5] = -1000
+    assert get_modality(ct)["modality"] == "ct"
+    mr = np.abs(rng.normal(400, 150, (20, 20, 20))).astype(np.float32)
+    assert get_modality(mr)["modality"] == "mr"
+
+
+def test_combine_masks_multilabel(tmp_path):
+    cmap = class_maps.get_class_map("total")
+    inv = {v: k for k, v in cmap.items()}
+    seg = np.zeros((16, 16, 16), np.uint8)
+    seg[2:6] = inv["lung_upper_lobe_left"]
+    seg[8:12] = inv["liver"]
+    img = nifti.NiftiImage(data=seg, affine=np.eye(4))
+    img.set_label_map(cmap)
+    p = tmp_path / "total.nii.gz"
+    nifti.save(img, p)
+    lung = combine_masks(p, "lung")
+    assert lung.data[3, 0, 0] == 1 and lung.data[9, 0, 0] == 0
+
+
+def test_combine_masks_dir_and_multilabel_file(tmp_path):
+    affine = np.eye(4)
+    shape = (10, 10, 10)
+    for name, sl in [("liver", np.s_[1:4]), ("spleen", np.s_[6:9])]:
+        m = np.zeros(shape, np.uint8)
+        m[sl] = 1
+        nifti.save(nifti.NiftiImage(data=m, affine=affine),
+                   tmp_path / f"{name}.nii.gz")
+    out = combine_masks(tmp_path, ["liver", "spleen"])
+    assert out.data[2, 0, 0] == 1 and out.data[7, 0, 0] == 1
+    combine_masks_to_multilabel_file(tmp_path, tmp_path / "multi.nii.gz")
+    ml = nifti.load(tmp_path / "multi.nii.gz")
+    cmap = class_maps.get_class_map("total")
+    inv = {v: k for k, v in cmap.items()}
+    assert ml.data[2, 0, 0] == inv["liver"]
+    assert ml.data[7, 0, 0] == inv["spleen"]
+
+
+def test_max_diameter_x():
+    m = np.zeros((20, 10, 5), bool)
+    m[3:15, 4, 2] = True   # 11-voxel x-extent at z=2
+    m[5:8, 2, 1] = True
+    d, (start, end) = max_diameter_x(m)
+    assert d == 11
+    assert start == [3, 4, 2] and end == [14, 4, 2]
+
+
+def test_evans_index(tmp_path):
+    vent = np.zeros((40, 40, 10), np.uint8)
+    label_map = {1: "frontal_horn_left", 2: "frontal_horn_right",
+                 3: "occipital_horn_left"}
+    vent[12:19, 20, 5] = 1
+    vent[21:28, 20, 5] = 2   # horns span x=12..27 -> diameter 15
+    brain = np.zeros((40, 40, 10), bool)
+    brain[5:35, 10:30, :] = True  # diameter 29
+    res = evans_index(vent, label_map, brain, (1.0, 1.0, 5.0),
+                      plot_file=tmp_path / "evans.png")
+    assert res["success"]
+    assert res["evans_index"] == pytest.approx(15 / 29, abs=1e-3)
+    assert (tmp_path / "evans.png").exists()
+
+
+def test_evans_index_empty():
+    res = evans_index(np.zeros((5, 5, 5), np.uint8), {}, np.zeros((5, 5, 5),
+                      bool), (1, 1, 1))
+    assert not res["success"]
+
+
+def test_registry_covers_reference_tasks():
+    """Every public CT/MR task of python_api.py:168-624 is registered."""
+    expected = {
+        "total", "total_fast", "total_fastest", "total_mr", "total_highres_test",
+        "lung_vessels", "cerebral_bleed", "hip_implant", "body", "body_mr",
+        "vertebrae_mr", "pleural_pericard_effusion", "liver_vessels",
+        "head_glands_cavities", "headneck_bones_vessels", "head_muscles",
+        "headneck_muscles", "oculomotor_muscles", "lung_nodules",
+        "kidney_cysts", "breasts", "ventricle_parts", "liver_segments",
+        "liver_segments_mr", "craniofacial_structures", "abdominal_muscles",
+        "teeth", "trunk_cavities", "brain_aneurysm", "vertebrae_body",
+        "heartchambers_highres", "appendicular_bones",
+        "appendicular_bones_mr", "tissue_types", "tissue_types_mr",
+        "tissue_4_types", "face", "face_mr", "brain_structures",
+        "thigh_shoulder_muscles", "thigh_shoulder_muscles_mr",
+        "coronary_arteries", "aortic_sinuses",
+    }
+    missing = expected - set(TASKS)
+    assert not missing, f"missing tasks: {sorted(missing)}"
+    # every registered task has a class map (label semantics available)
+    from boa_tpu.inference.pipeline import class_map_for_task
+
+    for name in expected:
+        cmap = class_map_for_task(name)
+        assert cmap and all(isinstance(k, int) for k in cmap)
+    # crop-model indirection for teeth
+    assert TASKS["teeth"].crop_model == "craniofacial_structures"
+    # BCA side unchanged
+    assert set(BCA_TASKS) == {"body_parts", "body_regions"}
+    assert get_task("total_mr", fast=True).task_ids == (852,)
+
+
+def test_weights_manager_cli(tmp_path, monkeypatch):
+    from boa_tpu.weights import manager
+
+    monkeypatch.setenv("BOA_WEIGHTS_PATH", str(tmp_path))
+    manager.main(["create-synthetic", "--task", "total_fastest",
+                  "--root", str(tmp_path)])
+    installed = manager.list_installed(tmp_path)
+    assert any("298" in n for n in installed)
+    # store can load it
+    from boa_tpu.weights.store import ModelStore
+
+    plans, params = ModelStore(tmp_path).load(
+        298, trainer="nnUNetTrainer_4000epochs_NoMirroring")
+    assert plans.num_segmentation_heads == 118
+    assert len(params) == 1

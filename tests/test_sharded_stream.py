@@ -1,0 +1,81 @@
+"""Sharded sliding-window parity on the 8-device CPU mesh + stream mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boa_tpu.inference.sliding_window import (sliding_window_logits,
+                                              stack_fold_params)
+from boa_tpu.models.unet import ArchConfig, init_unet
+from boa_tpu.ops import preprocess as pp
+from boa_tpu.parallel.mesh import make_mesh
+from boa_tpu.parallel.sharded_inference import (pad_starts_for_mesh,
+                                                sliding_window_logits_sharded)
+
+
+def _cfg(n_cls=4, feats=(4, 8)):
+    n = len(feats)
+    return ArchConfig(
+        n_stages=n, features_per_stage=tuple(feats),
+        kernel_sizes=((3, 3, 3),) * n,
+        strides=((1, 1, 1),) + ((2, 2, 2),) * (n - 1),
+        n_conv_per_stage=(2,) * n, n_conv_per_stage_decoder=(2,) * (n - 1),
+        num_classes=n_cls, input_channels=1)
+
+
+def test_pad_starts():
+    starts = np.arange(21).reshape(7, 3).astype(np.int32)
+    padded, valid = pad_starts_for_mesh(starts, 4)
+    assert len(padded) == 8 and valid.sum() == 7
+    np.testing.assert_array_equal(padded[7], starts[0])
+
+
+def test_sharded_matches_single_device(rng):
+    cfg = _cfg()
+    params = [init_unet(jax.random.PRNGKey(k), cfg) for k in range(2)]
+    stacked = stack_fold_params(params)
+    vol = rng.normal(size=(1, 24, 20, 18)).astype(np.float32)
+    patch = (16, 16, 16)
+    starts = pp.tile_starts(vol.shape[1:], patch, 0.5)
+    gauss = pp.gaussian_importance_map(patch)
+
+    ref = np.asarray(sliding_window_logits(
+        stacked, jnp.asarray(vol), jnp.asarray(starts), jnp.asarray(gauss),
+        cfg, (), jnp.float32, jnp.float32))
+
+    mesh = make_mesh(8, ("dp",), (8,))
+    got = np.asarray(sliding_window_logits_sharded(
+        stacked, jnp.asarray(vol), starts, gauss, cfg, mesh,
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+    agree = (got.argmax(0) == ref.argmax(0)).mean()
+    assert agree > 0.999
+
+
+def test_stream_runner(tmp_path, rng):
+    from boa_tpu.serve.stream import StreamRunner, StudyJob
+
+    jobs = []
+    for k in range(5):
+        data = np.full((24, 24, 12), -1000, np.int16)
+        data[6:18, 6:18, :] = 40 + k
+        from boa_tpu.io.nifti import NiftiImage
+
+        jobs.append(StudyJob(
+            study_id=f"s{k}",
+            image=NiftiImage(data=data,
+                             affine=np.diag([-1.5, -1.5, 3.0, 1.0])),
+            output_dir=tmp_path / f"out{k}"))
+
+    def fake(vol, spacing, task_id):
+        seg = np.zeros(vol.shape, np.uint8)
+        seg[4:12, 4:12, 2:8] = 1
+        return seg
+
+    runner = StreamRunner(task="total", fast=True, fake_predict=fake)
+    stats = runner.run(jobs)
+    assert stats.n_studies == 5
+    assert stats.volumes_per_min > 0
+    for k in range(5):
+        assert (tmp_path / f"out{k}" / "total.nii.gz").exists()

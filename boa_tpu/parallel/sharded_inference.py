@@ -71,8 +71,11 @@ def sliding_window_logits_sharded(
     n_folds = jax.tree.leaves(fold_params)[0].shape[0]
 
     def shard_fn(params, vol, starts, valid):
-        logits = jnp.zeros((n_cls, X, Y, Z), jnp.float32)
-        weights = jnp.zeros((X, Y, Z), jnp.float32)
+        # mark accumulators as device-varying so scan carries typecheck
+        # under shard_map's varying-axis tracking
+        logits = jax.lax.pvary(jnp.zeros((n_cls, X, Y, Z), jnp.float32),
+                               ("dp",))
+        weights = jax.lax.pvary(jnp.zeros((X, Y, Z), jnp.float32), ("dp",))
 
         def one_tile(carry, inp):
             logits, weights = carry
@@ -87,7 +90,9 @@ def sliding_window_logits_sharded(
                     jnp.float32), None
 
             pred_sum, _ = jax.lax.scan(
-                fold_step, jnp.zeros((px, py, pz, n_cls), jnp.float32),
+                fold_step,
+                jax.lax.pvary(jnp.zeros((px, py, pz, n_cls), jnp.float32),
+                              ("dp",)),
                 params)
             pred = jnp.transpose(pred_sum / n_folds, (3, 0, 1, 2)) \
                 * gauss * ok
@@ -110,6 +115,5 @@ def sliding_window_logits_sharded(
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P("dp"), P("dp")),
-        out_specs=P(),
-        check_rep=False)
+        out_specs=P())
     return jax.jit(fn)(cast_params, vol, starts_sh, valid_sh)

@@ -109,8 +109,18 @@ def analyze_ct(
         f"Models: {models}\n\n"
     )
 
+    import contextlib
+    import os
+
+    # SURVEY §5 tracing: stage-span stats (below) plus optional device
+    # traces — set BOA_PROFILE=<dir> to capture a jax.profiler trace of the
+    # whole study for xprof/tensorboard.
+    profile_dir = os.environ.get("BOA_PROFILE")
+    profiler_ctx = jax.profiler.trace(profile_dir) if profile_dir \
+        else contextlib.nullcontext()
+
     with _debug_log_handler(processed_output_folder / "debug_information.txt",
-                            header=header) as write_debug:
+                            header=header) as write_debug, profiler_ctx:
         if cnr_adjustment and "heartchambers_highres" not in models:
             logger.warning(
                 "--cnr-adjustment is enabled but 'heartchambers_highres' is "

@@ -54,3 +54,52 @@ def sgd_nesterov_update(params, grads, momentum_buf, lr,
     new_buf = jax.tree.map(lambda t: t[1], out,
                            is_leaf=lambda t: isinstance(t, tuple))
     return new_params, new_buf
+
+
+# ---------------------------------------------------------------------------
+# AdamW + warmup schedules (Primus trainers: AdamW lr 3e-4, wd 5e-2,
+# betas (0.9, 0.98); `lr_scheduler/warmup.py` Lin_incr / PolyLR-offset)
+# ---------------------------------------------------------------------------
+
+
+def init_adamw_state(params):
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params),
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def adamw_update(params, grads, state, lr, betas=(0.9, 0.98),
+                 eps: float = 1e-8, weight_decay: float = 5e-2):
+    """torch.optim.AdamW semantics (decoupled weight decay)."""
+    b1, b2 = betas
+    step = state["step"] + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1 - b1 ** t
+    bc2 = 1 - b2 ** t
+
+    def upd(p, g, m, v):
+        g = g.astype(jnp.float32)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        p = p * (1 - lr * weight_decay)
+        p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+        return p, m, v
+
+    out = jax.tree.map(upd, params, grads, state["m"], state["v"])
+    is3 = lambda x: isinstance(x, tuple)
+    new_p = jax.tree.map(lambda o: o[0], out, is_leaf=is3)
+    new_m = jax.tree.map(lambda o: o[1], out, is_leaf=is3)
+    new_v = jax.tree.map(lambda o: o[2], out, is_leaf=is3)
+    return new_p, {"m": new_m, "v": new_v, "step": step}
+
+
+def lin_incr_lr(initial_lr: float, step, warmup_steps: int):
+    """Linear warmup 0 → initial_lr (`lr_scheduler/warmup.py` Lin_incr)."""
+    return initial_lr * jnp.minimum((step + 1) / warmup_steps, 1.0)
+
+
+def poly_lr_offset(initial_lr: float, step, max_steps: int,
+                   offset: int, exponent: float = 0.9):
+    """PolyLR starting after a warmup offset (PolyLRScheduler_offset)."""
+    eff = jnp.maximum(step - offset, 0)
+    return initial_lr * (1 - eff / max(max_steps - offset, 1)) ** exponent

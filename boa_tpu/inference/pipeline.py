@@ -186,23 +186,44 @@ def predict_image(
     else:
         seg_model_grid = NiftiImage(data=np.asarray(seg_rsp), affine=rsp_affine)
 
-    # --- back to the original grid, all on device: order-0 resample to the
-    #     canonical grid (exact target shape) + inverse orientation, then the
-    #     final download (uint8 label maps compress well through the tunnel)
-    if resample is not None and seg_rsp.shape != canon_shape:
+    # --- back to the original grid. Host↔device transfer is the scarcest
+    #     resource (tunneled TPU): when the model grid is COARSER than the
+    #     canonical grid, download the small model-grid seg once and do the
+    #     order-0 upsample + inverse orientation as host gathers/views;
+    #     when it is finer (full-res total), downsample on device first so
+    #     only the small canonical seg crosses the link.
+    inv = nifti.inv_orientation(ornt)
+    if resample is not None and seg_rsp.shape != canon_shape and \
+            np.prod(seg_rsp.shape) > np.prod(canon_shape):
         seg_canon_dev = rs.resample_nearest(seg_rsp, canon_shape,
                                             convention="zoom")
+        seg_out_dev = nifti.apply_orientation_device(seg_canon_dev, inv)
+        seg_out_np = np.asarray(seg_out_dev)
     else:
-        seg_canon_dev = seg_rsp
-    inv = nifti.inv_orientation(ornt)
-    seg_out_dev = nifti.apply_orientation_device(seg_canon_dev, inv)
-    seg_out = NiftiImage(data=np.asarray(seg_out_dev), affine=img.affine.copy())
+        if seg_model_grid is not None:
+            seg_small = np.asarray(seg_model_grid.data)
+        else:
+            seg_small = np.asarray(seg_rsp)
+        if resample is not None and seg_small.shape != canon_shape:
+            seg_canon_np = rs.resample_nearest_host(seg_small, canon_shape,
+                                                    convention="zoom")
+        else:
+            seg_canon_np = seg_small
+        seg_out_np = np.ascontiguousarray(
+            nifti.apply_orientation(seg_canon_np, inv))
+    seg_out = NiftiImage(data=seg_out_np, affine=img.affine.copy())
     if bbox is not None:
         seg_out = cropping.undo_crop(seg_out, img_orig, bbox)
 
     if seg_out.shape != img_orig.shape:
         raise RuntimeError(
             f"shape mismatch after pipeline: {seg_out.shape} vs {img_orig.shape}")
+    try:  # per-install prediction counter (totalseg config.py:123-131)
+        from boa_tpu.utils.persistent_config import increase_prediction_counter
+
+        increase_prediction_counter()
+    except Exception:  # never let bookkeeping break a study
+        logger.debug("prediction counter update failed", exc_info=True)
     seg_out.set_label_map(label_map)
     return PredictImageResult(seg=seg_out, seg_model_grid=seg_model_grid,
                               stats=stats, label_map=label_map)

@@ -1,0 +1,78 @@
+"""Numeric regression against a committed ground-truth workbook.
+
+Parity: `tests/test_results.py:18-28` of the reference — the generated
+Excel sheets must match the committed golden values within tolerance
+(the reference uses rtol=0.12 against a real-scanner ground truth; our
+pipeline is deterministic given the fake segmentation, so the tolerance
+is tight)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from boa_tpu.commands import analyze_ct
+from boa_tpu.io import nifti, xlsx
+
+GOLDEN = Path(__file__).parent / "data" / "golden_workbook.json"
+
+
+def _fake(vol, spacing, task_id):
+    seg = np.zeros(vol.shape, np.uint8)
+    cx, cy, cz = (s // 2 for s in vol.shape)
+    seg[cx - 8:cx + 8, cy - 8:cy + 8, cz - 6:cz + 6] = 5
+    seg[cx - 3:cx + 3, cy - 3:cy + 3, :] = 9
+    seg[2:12, 2:12, 2:12] = 20
+    return seg
+
+
+def test_workbook_matches_golden(tmp_path):
+    rng = np.random.default_rng(42)
+    shape = (64, 64, 48)
+    gx = np.linspace(-1, 1, shape[0], dtype=np.float32)[:, None]
+    gy = np.linspace(-1, 1, shape[1], dtype=np.float32)[None, :]
+    body = (gx ** 2 / 0.6 + gy ** 2 / 0.5) < 1.0
+    vol = np.where(body, 40.0, -1000.0).astype(np.float32)[:, :, None] + \
+        10 * rng.standard_normal(shape, dtype=np.float32)
+    img = nifti.NiftiImage(data=vol.astype(np.int16),
+                           affine=np.diag([-1.5, -1.5, 3.0, 1.0]))
+    nifti.save(img, tmp_path / "study.nii.gz")
+
+    out = tmp_path / "out"
+    excel_path, _ = analyze_ct(
+        input_folder=tmp_path / "study.nii.gz",
+        processed_output_folder=out, excel_output_folder=out,
+        models=["total"], bca_pdf=False,
+        compute_contrast_information=False, fast_total=True,
+        cnr_adjustment=True, fake_predict=_fake)
+
+    golden = json.loads(GOLDEN.read_text())
+    sheets = xlsx.read_xlsx(excel_path)
+    for name in ("regions-statistics", "cnr-adjusted"):
+        got, want = sheets[name], golden[name]
+        assert len(got) == len(want), f"{name}: row count changed"
+        for r, (grow, wrow) in enumerate(zip(got, want)):
+            assert len(grow) == len(wrow), f"{name} row {r} width"
+            for g, w in zip(grow, wrow):
+                if isinstance(w, (int, float)) and not isinstance(w, bool) \
+                        and w is not None and g is not None:
+                    assert g == pytest.approx(w, rel=1e-3, abs=1e-6), \
+                        f"{name} row {r}: {g} != {w}"
+                else:
+                    assert g == w, f"{name} row {r}: {g!r} != {w!r}"
+
+
+def test_persistent_config(tmp_path, monkeypatch):
+    from boa_tpu.utils import persistent_config as pc
+
+    monkeypatch.setenv("BOA_TPU_CONFIG_DIR", str(tmp_path))
+    cfg = pc.setup_config()
+    assert cfg["boa_tpu_id"].startswith("boa_")
+    assert pc.get_config_key("prediction_counter") == 0
+    assert pc.increase_prediction_counter() == 1
+    assert pc.increase_prediction_counter() == 2
+    pc.set_license_number("aca_12345678AB", skip_validation=True)
+    assert pc.get_license_number() == "aca_12345678AB"
+    # reload from disk
+    assert pc.setup_config()["prediction_counter"] == 2

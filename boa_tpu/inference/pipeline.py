@@ -218,6 +218,17 @@ def predict_image(
     if seg_out.shape != img_orig.shape:
         raise RuntimeError(
             f"shape mismatch after pipeline: {seg_out.shape} vs {img_orig.shape}")
+
+    # --- remove-outside-dilated-crop-mask postprocess on the original grid
+    #     (heartchambers_highres: nnunet.py:711-717, addon = mm/mean(zoom))
+    if task.remove_outside is not None and crop_mask is not None:
+        from boa_tpu.ops import postprocessing as pped
+
+        mm = task.remove_outside_dilation_mm or 10.0
+        addon = max(1, int(mm / float(np.mean(img_orig.zooms))))
+        seg_out.data = pped.remove_outside_of_mask(
+            np.asarray(seg_out.data), np.asarray(crop_mask.data) > 0,
+            addon=addon)
     try:  # per-install prediction counter (totalseg config.py:123-131)
         from boa_tpu.utils.persistent_config import increase_prediction_counter
 

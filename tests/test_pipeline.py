@@ -111,3 +111,54 @@ def test_real_synthetic_model_end_to_end(tmp_path):
     assert res.seg.shape == img.shape
     assert res.stats is not None and "spleen" in res.stats
     assert res.seg_model_grid is not None
+
+
+def test_real_multimodel_merge_end_to_end(tmp_path):
+    """Full `total` 5-sub-model path with real synthetic predictors: the
+    class-map merge must place each part's labels at the global indices."""
+    from boa_tpu.tasks import class_maps
+
+    store_dir = tmp_path / "weights"
+    names = {
+        291: "part1_organs", 292: "part2_vertebrae", 293: "part3_cardiac",
+        294: "part4_muscles", 295: "part5_ribs",
+    }
+    for tid, name in names.items():
+        part = class_maps.class_map_5_parts[
+            class_maps.map_taskid_to_partname[tid]]
+        create_synthetic_model(
+            store_dir, tid, name, num_classes=max(part) + 1,
+            trainer="nnUNetTrainerNoMirroring",
+            patch_size=(16, 16, 16), spacing=(6.0, 6.0, 6.0),
+            features=(4, 8))
+    img = _ct(shape=(40, 36, 32))
+    store = ModelStore(store_dir)
+    res = predict_image(img, "total", store, compute_dtype="float32",
+                        folds=(0,))
+    assert res.seg.shape == img.shape
+    # all produced labels must be valid `total` label-map indices
+    labels = set(np.unique(np.asarray(res.seg.data))) - {0}
+    assert labels <= set(res.label_map.keys())
+
+
+def test_remove_outside_postprocess(tmp_path):
+    """heartchambers-style remove-outside-dilated-crop-mask postprocess."""
+    store_dir = tmp_path / "weights"
+    create_synthetic_model(store_dir, 301, "heartchambers", num_classes=8,
+                           trainer="nnUNetTrainer",
+                           patch_size=(16, 16, 16), spacing=(6.0, 6.0, 6.0),
+                           features=(4, 8))
+    img = _ct(shape=(40, 36, 32))
+    mask = np.zeros(img.shape, np.uint8)
+    mask[14:26, 12:24, 10:22] = 1  # "heart" region
+    crop = NiftiImage(data=mask, affine=img.affine.copy())
+    store = ModelStore(store_dir)
+    res = predict_image(img, "heartchambers_highres", store,
+                        crop_mask=crop, compute_dtype="float32")
+    seg = np.asarray(res.seg.data)
+    # nothing outside the (dilated) heart mask survives
+    from boa_tpu.ops.morphology import binary_dilation_cross
+
+    addon = max(1, int(10.0 / float(np.mean(img.zooms))))
+    dil = binary_dilation_cross(mask > 0, iterations=addon)
+    assert (seg[dil == 0] == 0).all()

@@ -30,7 +30,29 @@ from boa_tpu.utils.misc import ADDITIONAL_MODELS_OUTPUT_NAME
 
 logger = logging.getLogger(__name__)
 
-__githash__ = "unknown"
+def _resolve_githash() -> str:
+    """Best-effort repo hash for provenance rows (reference _version.py)."""
+    try:
+        from pathlib import Path
+
+        root = Path(__file__).resolve().parent.parent / ".git"
+        head = (root / "HEAD").read_text().strip()
+        if head.startswith("ref: "):
+            ref = root / head[5:]
+            if ref.exists():
+                return ref.read_text().strip()[:12]
+            packed = root / "packed-refs"
+            if packed.exists():
+                for line in packed.read_text().splitlines():
+                    if line.endswith(head[5:]):
+                        return line.split()[0][:12]
+            return "unknown"
+        return head[:12]
+    except Exception:
+        return "unknown"
+
+
+__githash__ = _resolve_githash()
 
 
 @contextmanager

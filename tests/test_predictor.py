@@ -153,3 +153,24 @@ def test_mirror_tta_against_torch(plans, rng):
     got = np.transpose(got, (3, 0, 1, 2))[None]
     np.testing.assert_allclose(got, ref[0][None].transpose(1, 0, 2, 3, 4)[0][None]
                                if False else ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fp16_accumulator_parity(plans, rng):
+    """The auto-fp16 accumulator path (large class counts) stays close to
+    fp32 accumulation and produces identical argmax segs (SURVEY §7(d))."""
+    from boa_tpu.inference.predictor import Predictor
+
+    net, params = _make_model(plans, 0)
+    vol = rng.normal(size=(1, 24, 20, 18)).astype(np.float32)
+    p32 = Predictor(plans=plans, fold_params=[params],
+                    compute_dtype="float32", accum_dtype="float32")
+    p16 = Predictor(plans=plans, fold_params=[params],
+                    compute_dtype="float32", accum_dtype="float16")
+    l32 = np.asarray(p32.predict_logits(vol), np.float32)
+    l16 = np.asarray(p16.predict_logits(vol), np.float32)
+    # tile-corner voxels carry fp16-subnormal Gaussian weights and underflow
+    # in BOTH this and the reference fp16 path; compare the interior
+    c = (slice(None), slice(2, -2), slice(2, -2), slice(2, -2))
+    scale = np.abs(l32[c]).max() + 1e-6
+    assert np.abs(l32[c] - l16[c]).max() / scale < 0.02
+    assert (l32[c].argmax(0) == l16[c].argmax(0)).mean() > 0.999

@@ -123,9 +123,26 @@ class Predictor:
         else:
             acc = {"float16": jnp.float16, "float32": jnp.float32,
                    "bfloat16": jnp.bfloat16}[self.accum_dtype]
-        logits = sliding_window_logits(
-            self._stacked, vol, jnp.asarray(starts),
-            jnp.asarray(gauss), self.cfg, self.mirror_axes, self._dtype, acc)
+        try:
+            logits = sliding_window_logits(
+                self._stacked, vol, jnp.asarray(starts),
+                jnp.asarray(gauss), self.cfg, self.mirror_axes, self._dtype,
+                acc)
+        except Exception as exc:  # HBM OOM → halve the accumulator footprint
+            # (engine-tier recovery, SURVEY §5: the reference retries the
+            # sliding window with CPU result arrays on CUDA OOM,
+            # predict_from_raw_data.py:663-675)
+            if "RESOURCE_EXHAUSTED" not in str(exc) or acc == jnp.float16:
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sliding window ran out of HBM with %s accumulators; "
+                "retrying with float16", acc.__name__)
+            logits = sliding_window_logits(
+                self._stacked, vol, jnp.asarray(starts),
+                jnp.asarray(gauss), self.cfg, self.mirror_axes, self._dtype,
+                jnp.float16)
         if any(p != (0, 0) for p in pads):
             logits = logits[(slice(None), *revert)]
         return logits

@@ -21,6 +21,7 @@ __all__ = [
     "analyze_ct",
     "store_dicoms",
     "store_excel",
+    "totalsegmentator",
 ]
 
 
@@ -33,4 +34,8 @@ def __getattr__(name):  # lazy imports keep `import boa_tpu` dependency-light
         from boa_tpu.io import storage
 
         return getattr(storage, name)
+    if name == "totalsegmentator":
+        from boa_tpu.python_api import totalsegmentator
+
+        return totalsegmentator
     raise AttributeError(f"module 'boa_tpu' has no attribute {name!r}")

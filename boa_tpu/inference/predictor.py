@@ -204,7 +204,21 @@ class Predictor:
         #    be tens of GB of HBM here).
         np_dt = np.uint8 if self.cfg.num_classes <= 255 else np.uint16
         dt = jnp.uint8 if self.cfg.num_classes <= 255 else jnp.uint16
-        if tuple(new_shape) != tuple(shape_before_resample):
+        if self.plans.has_regions:
+            # sigmoid heads: paint regions in regions_class_order
+            # (LabelManager.convert_probabilities_to_segmentation:170-176)
+            order = self.plans.regions_class_order
+            assert order is not None, "region-based plans need " \
+                "regions_class_order in dataset.json"
+            if tuple(new_shape) != tuple(shape_before_resample):
+                logits = rs.resample_volume(
+                    logits.astype(jnp.float32), shape_before_resample,
+                    order=1, convention="resize", separate_z_order=sep_z)
+            seg_cropped = jnp.zeros(logits.shape[1:], dt)
+            for i, c in enumerate(order):
+                seg_cropped = jnp.where(logits[i] > 0.0, jnp.asarray(c, dt),
+                                        seg_cropped)  # sigmoid(x)>0.5 ⇔ x>0
+        elif tuple(new_shape) != tuple(shape_before_resample):
             seg_cropped = _argmax_resampled(
                 logits, tuple(shape_before_resample), sep_z).astype(dt)
         else:

@@ -97,14 +97,24 @@ class ModelPlans:
 
     @property
     def num_segmentation_heads(self) -> int:
+        """Region-based datasets: one sigmoid head per (non-background)
+        region entry; label-based: one softmax head per distinct label
+        (LabelManager.num_segmentation_heads semantics)."""
         labels = self.dataset.get("labels", {"background": 0})
+        if self.has_regions:
+            return sum(1 for k, v in labels.items()
+                       if not (k == "background"
+                               or (not isinstance(v, (list, tuple))
+                                   and int(v) == 0)))
         values = set()
         for v in labels.values():
-            if isinstance(v, (list, tuple)):
-                values.update(int(x) for x in v)
-            else:
-                values.add(int(v))
+            values.add(int(v))
         return len(values)
+
+    @property
+    def regions_class_order(self) -> list[int] | None:
+        rco = self.dataset.get("regions_class_order")
+        return [int(v) for v in rco] if rco is not None else None
 
     @property
     def has_regions(self) -> bool:

@@ -170,3 +170,41 @@ def pseudo_dice(logits: jax.Array, target: jax.Array,
     if axis_name is not None:
         tp, fp, fn = (jax.lax.psum(v, axis_name) for v in (tp, fp, fn))
     return 2 * tp / jnp.clip(2 * tp + fp + fn, 1e-8)
+
+
+def soft_dice_loss_sigmoid(logits: jax.Array, target_onehot: jax.Array,
+                           *, batch_dice: bool = True, smooth: float = 1e-5,
+                           axis_name: str | None = None) -> jax.Array:
+    """Region-based dice: sigmoid heads vs multi-hot region targets."""
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    y = target_onehot.astype(jnp.float32)
+    spatial = tuple(range(1, probs.ndim - 1))
+    intersect = jnp.sum(probs * y, spatial)
+    sum_pred = jnp.sum(probs, spatial)
+    sum_gt = jnp.sum(y, spatial)
+    if batch_dice:
+        intersect = jnp.sum(intersect, axis=0)
+        sum_pred = jnp.sum(sum_pred, axis=0)
+        sum_gt = jnp.sum(sum_gt, axis=0)
+        if axis_name is not None:
+            intersect = jax.lax.psum(intersect, axis_name)
+            sum_pred = jax.lax.psum(sum_pred, axis_name)
+            sum_gt = jax.lax.psum(sum_gt, axis_name)
+    dc = (2.0 * intersect + smooth) / jnp.clip(sum_gt + sum_pred + smooth,
+                                               1e-8)
+    return -jnp.mean(dc)
+
+
+def dice_bce_loss(logits: jax.Array, target_onehot: jax.Array,
+                  *, batch_dice: bool = True, weight_ce: float = 1.0,
+                  weight_dice: float = 1.0,
+                  axis_name: str | None = None) -> jax.Array:
+    """DC_and_BCE_loss for region-based training (`compound_losses.py:50-88`,
+    selected at `nnUNetTrainer.py:392-397` when the label manager has
+    regions): sigmoid dice with do_bg=True + BCEWithLogits."""
+    dc = soft_dice_loss_sigmoid(logits, target_onehot, batch_dice=batch_dice,
+                                axis_name=axis_name)
+    z = logits.astype(jnp.float32)
+    y = target_onehot.astype(jnp.float32)
+    bce = jnp.mean(jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))
+    return weight_ce * bce + weight_dice * dc

@@ -3,6 +3,8 @@ nnUNetPredictor path (torch network + scipy resampling + numpy Gaussian
 fusion). Verifies SURVEY §7 step 3-4: Dice/argmax identity on synthetic
 models and volumes."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -174,3 +176,53 @@ def test_fp16_accumulator_parity(plans, rng):
     scale = np.abs(l32[c]).max() + 1e-6
     assert np.abs(l32[c] - l16[c]).max() / scale < 0.02
     assert (l32[c].argmax(0) == l16[c].argmax(0)).mean() > 0.999
+
+
+def test_region_based_inference(rng):
+    """Sigmoid heads + regions_class_order painting (LabelManager parity)."""
+    from boa_tpu.plans.plans import synthetic_plans
+
+    plans = synthetic_plans(num_classes=3, patch_size=PATCH,
+                            spacing=(1.0, 1.0, 1.0), features=(4, 8))
+    # convert to a region-based dataset: 2 overlapping regions
+    plans.dataset["labels"] = {"background": 0, "whole": [1, 2], "core": [2]}
+    plans.dataset["regions_class_order"] = [1, 2]
+    assert plans.has_regions
+    assert plans.num_segmentation_heads == 2
+
+    from boa_tpu.models.unet import init_unet
+    from boa_tpu.inference.predictor import Predictor
+
+    params = init_unet(jax.random.PRNGKey(0), plans.arch_config())
+    pred = Predictor(plans=plans, fold_params=[params],
+                     compute_dtype="float32")
+    vol = rng.normal(size=(20, 18, 16)).astype(np.float32) * 200 + 40
+    seg = pred.predict(vol, (1.0, 1.0, 1.0))
+    assert seg.shape == vol.shape
+    assert set(np.unique(seg)) <= {0, 1, 2}
+    # painting order: wherever head-1 (core) fires, label must be 2
+    dev = pp.ct_normalize(jnp.asarray(vol), plans.intensity_properties)
+    logits = np.asarray(pred.predict_logits(dev[None]))
+    core = logits[1] > 0
+    assert core.any()
+    assert (seg[core] == 2).all()
+
+
+def test_dice_bce_loss(rng):
+    import torch
+
+    from boa_tpu.train.losses import dice_bce_loss, soft_dice_loss_sigmoid
+
+    logits = rng.normal(size=(2, 6, 6, 6, 3)).astype(np.float32)
+    y = (rng.random((2, 6, 6, 6, 3)) > 0.5).astype(np.float32)
+    # perfect prediction -> dice -> -1
+    perfect = (y * 2 - 1) * 50.0
+    assert float(soft_dice_loss_sigmoid(jnp.asarray(perfect),
+                                        jnp.asarray(y))) == \
+        pytest.approx(-1.0, abs=1e-3)
+    # BCE component matches torch BCEWithLogits
+    ours = float(dice_bce_loss(jnp.asarray(logits), jnp.asarray(y),
+                               weight_dice=0.0))
+    ref = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(y)).item()
+    assert ours == pytest.approx(ref, rel=1e-5)

@@ -247,3 +247,26 @@ def augment_batch(key: jax.Array, x: jax.Array, y: jax.Array,
     if mirror_axes:
         x, y = mirror(keys[8], x, y, axes=mirror_axes)
     return x, y.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------- DA5 preset
+@partial(jax.jit, static_argnames=("mirror_axes",))
+def augment_batch_da5(key: jax.Array, x: jax.Array, y: jax.Array,
+                      mirror_axes: tuple[int, ...] = (0, 1, 2)):
+    """Aggressive DA5 variant (`variants/data_augmentation/
+    nnUNetTrainerDA5.py`): wider rotations/scales and higher transform
+    probabilities than the default stack."""
+    keys = jax.random.split(key, 9)
+    x, y = spatial_transform(keys[0], x, y, p_rotation=0.6, p_scaling=0.6,
+                             rot_max=0.9599310885968813,  # 55 deg
+                             scale_range=(0.6, 1.6))
+    x = gaussian_noise(keys[1], x, p=0.3, max_var=0.15)
+    x = gaussian_blur(keys[2], x, p=0.3, sigma_range=(0.3, 1.5))
+    x = brightness(keys[3], x, p=0.3, rng=(0.65, 1.35))
+    x = contrast(keys[4], x, p=0.3, rng=(0.65, 1.35))
+    x = simulate_low_resolution(keys[5], x, p=0.4, zoom_range=(0.4, 1.0))
+    x = gamma(keys[6], x, p=0.15, rng=(0.6, 1.6), invert=True)
+    x = gamma(keys[7], x, p=0.4, rng=(0.6, 1.6), invert=False)
+    if mirror_axes:
+        x, y = mirror(keys[8], x, y, axes=mirror_axes)
+    return x, y.astype(jnp.int32)

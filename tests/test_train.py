@@ -229,3 +229,30 @@ def test_dp_sharded_step_matches_single_device(rng):
                          jax.device_put(jnp.asarray(x), xs),
                          jax.device_put(jnp.asarray(y), ys), jnp.float32(1e-2))
     assert float(m1["loss"]) == pytest.approx(float(mN["loss"]), rel=1e-4)
+
+
+def test_trainer_variants():
+    from boa_tpu.train.variants import apply_variant, get_variant
+
+    v = get_variant("nnUNetTrainer_4000epochs_NoMirroring")
+    assert v.num_epochs == 4000 and v.mirror_axes == ()
+    assert get_variant("nnUNetTrainerDiceTopK10Loss_2000epochs").loss == \
+        "dice_topk10"
+    assert get_variant("nnUNetTrainer_MOSAIC_1k_QuarterLR_NoMirroring"
+                       ).initial_lr == pytest.approx(2.5e-3)
+    # unknown names parse markers
+    v2 = get_variant("nnUNetTrainer_750epochs_NoMirroring_custom")
+    assert v2.num_epochs == 750 and v2.mirror_axes == ()
+    cfg = TrainConfig(arch=_arch())
+    cfg2, spec = apply_variant(cfg, "nnUNetTrainer_2000epochs_NoMirroring")
+    assert cfg2.num_epochs == 2000 and spec.mirror_axes == ()
+
+
+def test_da5_augmentation(rng):
+    from boa_tpu.train.augment import augment_batch_da5
+
+    x, y = _toy_batch(rng, batch=1, size=12)
+    xo, yo = augment_batch_da5(jax.random.PRNGKey(0), jnp.asarray(x),
+                               jnp.asarray(y))
+    assert xo.shape == x.shape and yo.shape == y.shape
+    assert np.isfinite(np.asarray(xo)).all()

@@ -70,8 +70,12 @@ class StreamRunner:
         self.decode_depth = decode_depth
 
     # ------------------------------------------------------------------
-    def run(self, jobs: Iterable[StudyJob]) -> StreamStats:
-        jobs = list(jobs)
+    def run(self, jobs: Iterable[StudyJob], num_parts: int = 1,
+            part_id: int = 0) -> StreamStats:
+        """`num_parts`/`part_id` shard the job list across workers exactly
+        like the reference predictor's file-level sharding
+        (`predict_from_raw_data.py:918-925`: `files[part_id::num_parts]`)."""
+        jobs = list(jobs)[part_id::num_parts]
         decoded: queue.Queue = queue.Queue(maxsize=self.decode_depth)
         results: queue.Queue = queue.Queue(maxsize=self.decode_depth)
         stats = StreamStats()

@@ -163,3 +163,16 @@ def test_radiomics_dir(ct_file, tmp_path):
     assert feats["present"] and feats["voxels"] == 20 * 20 * 35
     assert np.isfinite(feats["entropy"])
     assert json.loads((tmp_path / "radiomics.json").read_text())
+
+
+def test_analyze_ct_with_pdf_report(ct_file, tmp_path):
+    """BCA PDF report generation (matplotlib replaces weasyprint)."""
+    out = tmp_path / "pdf_out"
+    analyze_ct(input_folder=ct_file, processed_output_folder=out,
+               excel_output_folder=out, models=["total", "bca"],
+               compute_contrast_information=False, bca_pdf=True,
+               fast_total=True, fake_predict=_fake_predict)
+    report = out / "report.pdf"
+    assert report.exists()
+    blob = report.read_bytes()
+    assert blob[:5] == b"%PDF-" and len(blob) > 5000

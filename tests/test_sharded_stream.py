@@ -79,3 +79,24 @@ def test_stream_runner(tmp_path, rng):
     assert stats.volumes_per_min > 0
     for k in range(5):
         assert (tmp_path / f"out{k}" / "total.nii.gz").exists()
+
+
+def test_stream_num_parts(tmp_path):
+    from boa_tpu.io.nifti import NiftiImage
+    from boa_tpu.serve.stream import StreamRunner, StudyJob
+
+    jobs = [StudyJob(study_id=f"s{k}",
+                     image=NiftiImage(
+                         data=np.full((16, 16, 8), -1000, np.int16),
+                         affine=np.diag([-1.5, -1.5, 3.0, 1.0])))
+            for k in range(7)]
+
+    def fake(vol, spacing, task_id):
+        return np.zeros(vol.shape, np.uint8)
+
+    runner = StreamRunner(task="total", fast=True, fake_predict=fake,
+                          write_outputs=False)
+    # reference semantics: files[part_id::num_parts]
+    assert runner.run(jobs, num_parts=3, part_id=0).n_studies == 3
+    assert runner.run(jobs, num_parts=3, part_id=1).n_studies == 2
+    assert runner.run(jobs, num_parts=3, part_id=2).n_studies == 2

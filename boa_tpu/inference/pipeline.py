@@ -76,6 +76,7 @@ def predict_image(
     step_size: float | None = None,
     statistics: bool = False,
     compute_dtype: str = "bfloat16",
+    bucket: int | None = None,
     fake_predict: Callable[[np.ndarray, tuple, int], np.ndarray] | None = None,
 ) -> PredictImageResult:
     """Run one model family over a CT volume.
@@ -147,7 +148,8 @@ def predict_image(
         inv = {v: k for k, v in label_map.items()}
         for tid in task.task_ids:
             seg_part = _predict_one(data_rsp, rsp_spacing, tid, task, use_folds,
-                                    step_size, store, compute_dtype, fake_predict)
+                                    step_size, store, compute_dtype,
+                                    fake_predict, bucket)
             seg_part = jnp.asarray(seg_part)
             part_map = class_maps.class_map_5_parts[
                 class_maps.map_taskid_to_partname[tid]]
@@ -160,7 +162,7 @@ def predict_image(
     else:
         seg_rsp = _predict_one(data_rsp, rsp_spacing, task.task_ids[0], task,
                                use_folds, step_size, store, compute_dtype,
-                               fake_predict)
+                               fake_predict, bucket)
         seg_rsp = jnp.asarray(seg_rsp).astype(jnp.uint8)
 
     # --- fast statistics on the model grid (statistics.py:91-141), device
@@ -242,11 +244,12 @@ def predict_image(
 
 def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
                  step_size: float, store: ModelStore, compute_dtype: str,
-                 fake_predict) -> np.ndarray:
+                 fake_predict, bucket: int | None = None) -> np.ndarray:
     if fake_predict is not None:
         return np.asarray(fake_predict(np.asarray(data_rsp), spacing, task_id))
     plans, params = store.load(task_id, trainer=task.trainer, model=task.model,
                                folds=folds)
     predictor = Predictor(plans=plans, fold_params=params,
-                          tile_step_size=step_size, compute_dtype=compute_dtype)
+                          tile_step_size=step_size, compute_dtype=compute_dtype,
+                          bucket=bucket)
     return predictor.predict(data_rsp, spacing, return_device=True)

@@ -87,6 +87,12 @@ class Predictor:
     # always fp16, predict_from_raw_data.py:587; fp32 is strictly better and
     # we only give it up when HBM forces us to)
     accum_dtype: str = "auto"
+    # shape bucketing for serving: pad the resampled volume up to multiples
+    # of `bucket` voxels per axis so studies with nearby shapes reuse the
+    # same compiled sliding-window program (XLA compiles per static shape;
+    # a fresh study shape costs ~30-60 s of compilation otherwise). The pad
+    # is the same zero padding nnU-Net applies to reach the patch size.
+    bucket: int | None = None
 
     def __post_init__(self) -> None:
         self.cfg: ArchConfig = self.plans.arch_config()
@@ -107,7 +113,10 @@ class Predictor:
         spatial = vol.shape[-3:]
         pads = []
         for n, p in zip(spatial, patch):
-            d = max(p - n, 0)
+            target = max(p, n)
+            if self.bucket:
+                target = -(-target // self.bucket) * self.bucket
+            d = target - n
             pads.append((d // 2, d - d // 2))
         if any(p != (0, 0) for p in pads):
             vol = jnp.pad(vol, [(0, 0)] * (vol.ndim - 3) + pads)

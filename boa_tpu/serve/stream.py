@@ -61,13 +61,16 @@ class StreamRunner:
                  task: str = "total", fast: bool = True,
                  write_outputs: bool = True,
                  fake_predict: Callable | None = None,
-                 decode_depth: int = 2):
+                 decode_depth: int = 2, bucket: int | None = 64):
         self.store = store or ModelStore()
         self.task = task
         self.fast = fast
         self.write_outputs = write_outputs
         self.fake_predict = fake_predict
         self.decode_depth = decode_depth
+        # bucket shapes by default: a mixed-series stream otherwise pays a
+        # fresh XLA compile (~30-60 s) for every new study shape
+        self.bucket = bucket
 
     # ------------------------------------------------------------------
     def run(self, jobs: Iterable[StudyJob], num_parts: int = 1,
@@ -111,6 +114,7 @@ class StreamRunner:
             job, img = item
             t0 = time.perf_counter()
             res = predict_image(img, self.task, self.store, fast=self.fast,
+                                bucket=self.bucket,
                                 fake_predict=self.fake_predict)
             dt = time.perf_counter() - t0
             stats.per_study_s.append(dt)

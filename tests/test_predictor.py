@@ -226,3 +226,31 @@ def test_dice_bce_loss(rng):
     ref = torch.nn.functional.binary_cross_entropy_with_logits(
         torch.from_numpy(logits), torch.from_numpy(y)).item()
     assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_shape_bucketing(plans, rng):
+    """Bucketed shapes reuse compiled programs; argmax output matches the
+    unbucketed path away from the padded border."""
+    from boa_tpu.inference.predictor import Predictor
+
+    net, params = _make_model(plans, 0)
+    p0 = Predictor(plans=plans, fold_params=[params], compute_dtype="float32")
+    pb = Predictor(plans=plans, fold_params=[params], compute_dtype="float32",
+                   bucket=16)
+    vol = rng.normal(size=(1, 21, 19, 17)).astype(np.float32)
+    lb = np.asarray(pb.predict_logits(vol))
+    assert lb.shape[1:] == (21, 19, 17)  # transparent to the caller
+    # bucketing == centered zero-pad to the bucket shape, then crop: the
+    # bucketed program must produce exactly what the plain path produces
+    # on the padded volume
+    pads = [(d // 2, d - d // 2) for d in
+            (32 - 21, 32 - 19, 32 - 17)]
+    volp = np.pad(vol, [(0, 0)] + pads)
+    l0p = np.asarray(p0.predict_logits(volp))
+    crop = tuple(slice(a, a + n) for (a, _), n in zip(pads, (21, 19, 17)))
+    np.testing.assert_allclose(lb, l0p[(slice(None), *crop)],
+                               rtol=1e-4, atol=1e-4)
+    # two different small volumes land on the SAME padded program shape
+    vol2 = rng.normal(size=(1, 24, 22, 20)).astype(np.float32)
+    lb2 = pb.predict_logits(vol2)
+    assert tuple(lb2.shape[1:]) == (24, 22, 20)

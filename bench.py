@@ -48,12 +48,28 @@ def main() -> None:
     from boa_tpu.tasks.class_maps import get_class_map
 
     label_names = ["background"] + list(get_class_map("total").values())
-    create_synthetic_model(
+    mdir = create_synthetic_model(
         tmp, 297, "TotalSegmentator_total_3mm_1559subj",
         num_classes=len(label_names),
         trainer="nnUNetTrainer_4000epochs_NoMirroring",
         patch_size=patch, spacing=(3.0, 3.0, 3.0), features=feats,
         n_folds=1, label_names=label_names)
+    # random-init logits are near-tied across 118 classes, so the argmax is
+    # spatial noise — unlike real checkpoints whose outputs are organ-sized
+    # regions. Bias the seg head so the synthetic model also yields coherent
+    # regions: keeps FLOPs identical and the label-volume downloads
+    # representative of production entropy.
+    from boa_tpu.weights import convert as _cv
+    from boa_tpu.plans.plans import ModelPlans
+
+    plans0 = ModelPlans.from_model_folder(mdir)
+    p0 = _cv.load_params_npz(mdir / "fold_0" / "checkpoint_final.npz",
+                             plans0.arch_config())
+    rng0 = np.random.default_rng(7)
+    head = p0["seg_heads"][-1]
+    head["b"] = head["b"] + np.asarray(
+        rng0.normal(0, 3.0, head["b"].shape), head["b"].dtype)
+    _cv.save_params_npz(p0, mdir / "fold_0" / "checkpoint_final.npz")
     store = ModelStore(tmp)
 
     # synthetic anatomy: air background, soft-tissue ellipsoid, bone-ish

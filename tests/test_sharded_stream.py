@@ -100,3 +100,39 @@ def test_stream_num_parts(tmp_path):
     assert runner.run(jobs, num_parts=3, part_id=0).n_studies == 3
     assert runner.run(jobs, num_parts=3, part_id=1).n_studies == 2
     assert runner.run(jobs, num_parts=3, part_id=2).n_studies == 2
+
+
+def test_zslab_sharded_matches_serial_slabs(rng):
+    """The SPMD z-slab path == the same slab algorithm executed serially."""
+    from boa_tpu.parallel.sharded_inference import sliding_window_logits_zslab
+
+    cfg = _cfg()
+    params = [init_unet(jax.random.PRNGKey(7), cfg)]
+    stacked = stack_fold_params(params)
+    vol = rng.normal(size=(1, 20, 18, 40)).astype(np.float32)
+    patch = (16, 16, 16)
+    gauss = pp.gaussian_importance_map(patch)
+
+    mesh = make_mesh(4, ("dp",), (4,))
+    got = np.asarray(sliding_window_logits_zslab(
+        stacked, jnp.asarray(vol), gauss, cfg, mesh,
+        compute_dtype=jnp.float32))
+    assert got.shape == (4, 20, 18, 40)
+
+    # serial reference: identical slab/margin/tile math, one slab at a time
+    n_dp, Z = 4, 40
+    slab, margin = 10, 8
+    ext = min(slab + 2 * margin, Z)
+    ref = np.zeros_like(got)
+    for idx in range(n_dp):
+        lo = min(max(idx * slab - margin, 0), Z - ext)
+        sl = vol[:, :, :, lo:lo + ext]
+        starts = pp.tile_starts((20, 18, ext), patch, 0.5)
+        fused = np.asarray(sliding_window_logits(
+            jax.tree.map(jnp.asarray, stacked), jnp.asarray(sl),
+            jnp.asarray(starts), jnp.asarray(gauss), cfg, (),
+            jnp.float32, jnp.float32))
+        inner = idx * slab - lo
+        ref[:, :, :, idx * slab:(idx + 1) * slab] = \
+            fused[:, :, :, inner:inner + slab]
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

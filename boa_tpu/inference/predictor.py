@@ -72,6 +72,38 @@ def _argmax_resampled(logits: jax.Array, target_shape: tuple[int, ...],
     return idx
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg", "pads", "scheme", "mirror_axes",
+                                   "compute_dtype", "accum_dtype",
+                                   "seg_dtype"))
+def _fused_predict_seg(stacked, vol, props4, starts, gauss, *, cfg, pads,
+                       scheme, mirror_axes, compute_dtype, accum_dtype,
+                       seg_dtype):
+    """normalize → pad → sliding window → argmax as ONE device program.
+
+    Each eager dispatch costs ~30 ms of tunnel round-trip latency (see
+    CLAUDE.md); the no-resample path (the TS pipeline always lands here
+    because the CT is already on the model grid) collapses 4 dispatches
+    and their HBM materializations into one.
+    """
+    v = vol.astype(jnp.float32)
+    if scheme == "CTNormalization":
+        v = jnp.clip(v, props4[0], props4[1])
+        v = (v - props4[2]) / props4[3]
+    else:
+        v = (v - jnp.mean(v)) / jnp.maximum(jnp.std(v), 1e-8)
+    v = v[None]
+    if any(p != (0, 0) for p in pads):
+        v = jnp.pad(v, ((0, 0),) + tuple(pads))
+    logits = sliding_window_logits(stacked, v, starts, gauss, cfg,
+                                   mirror_axes, compute_dtype, accum_dtype)
+    spatial = vol.shape[-3:]
+    revert = tuple(slice(b, b + n) for (b, _), n in zip(pads, spatial))
+    return jnp.argmax(logits[(slice(None), *revert)], axis=0).astype(seg_dtype)
+
+
 @dataclass
 class Predictor:
     """Fold-ensemble sliding-window predictor for one model."""
@@ -157,6 +189,42 @@ class Predictor:
         return logits
 
     # ------------------------------------------------------------------
+    def _predict_seg_fused(self, dev: jax.Array, scheme: str) -> jax.Array:
+        """Fused no-resample path: (X,Y,Z) raw volume → uint label seg."""
+        patch = self.plans.patch_size_xyz
+        spatial = dev.shape
+        pads = []
+        for n, p in zip(spatial, patch):
+            target = max(p, n)
+            if self.bucket:
+                target = -(-target // self.bucket) * self.bucket
+            d = target - n
+            pads.append((d // 2, d - d // 2))
+        padded_shape = tuple(n + a + b for n, (a, b) in zip(spatial, pads))
+        starts = pp.tile_starts(padded_shape, patch, self.tile_step_size)
+        gauss = pp.gaussian_importance_map(patch) if self.use_gaussian \
+            else np.ones(patch, np.float32)
+        if self.accum_dtype == "auto":
+            nbytes = 4 * self.cfg.num_classes * int(np.prod(padded_shape))
+            acc = jnp.float16 if nbytes > 2e9 else jnp.float32
+        else:
+            acc = {"float16": jnp.float16, "float32": jnp.float32,
+                   "bfloat16": jnp.bfloat16}[self.accum_dtype]
+        props = self.plans.intensity_properties if \
+            scheme == "CTNormalization" else {}
+        props4 = jnp.asarray([
+            float(props.get("percentile_00_5", 0.0)),
+            float(props.get("percentile_99_5", 0.0)),
+            float(props.get("mean", 0.0)),
+            max(float(props.get("std", 1.0)), 1e-8)], jnp.float32)
+        seg_dtype = jnp.uint8 if self.cfg.num_classes <= 255 else jnp.uint16
+        return _fused_predict_seg(
+            self._stacked, dev, props4, jnp.asarray(starts),
+            jnp.asarray(gauss), cfg=self.cfg, pads=tuple(pads),
+            scheme=scheme, mirror_axes=self.mirror_axes,
+            compute_dtype=self._dtype, accum_dtype=acc, seg_dtype=seg_dtype)
+
+    # ------------------------------------------------------------------
     def predict(self, vol_xyz: np.ndarray | jax.Array, spacing_xyz,
                 return_device: bool = False) -> np.ndarray | jax.Array:
         """Full nnU-Net-equivalent prediction for a raw (X,Y,Z) volume at
@@ -184,6 +252,29 @@ class Predictor:
 
         # 2. normalize BEFORE resampling (default_preprocessor.py:85-88)
         scheme = self.plans.normalization_schemes[0]
+
+        # fast path: already on the model grid (the TS pipeline pre-resamples)
+        # and plain softmax labels → one fused device program
+        tgt_spacing0 = np.array(self.plans.spacing_xyz, dtype=np.float64)
+        cur_spacing0 = np.array(spacing_xyz, dtype=np.float64)
+        new_shape0 = rs.compute_new_shape(shape_before_resample, cur_spacing0,
+                                          tgt_spacing0)
+        if tuple(new_shape0) == tuple(shape_before_resample) \
+                and not self.plans.has_regions \
+                and scheme in ("CTNormalization", "ZScoreNormalization",
+                               "ZScore"):
+            seg_cropped = self._predict_seg_fused(dev, scheme)
+            np_dt = np.uint8 if self.cfg.num_classes <= 255 else np.uint16
+            if full_extent:
+                seg = seg_cropped
+            else:
+                seg = jax.lax.dynamic_update_slice(
+                    jnp.zeros(orig_shape, seg_cropped.dtype), seg_cropped,
+                    bbox[:, 0].tolist())
+            if return_device:
+                return seg
+            return np.asarray(seg).astype(np_dt)
+
         if scheme == "CTNormalization":
             dev = pp.ct_normalize(dev, self.plans.intensity_properties)
         elif scheme in ("ZScoreNormalization", "ZScore"):

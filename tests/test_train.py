@@ -165,7 +165,7 @@ def test_train_step_learns(rng):
     step = make_train_step(cfg, donate=False)
     losses = []
     for i in range(30):
-        x, y = _toy_batch(rng)
+        x, y = _toy_batch(rng, size=12)
         params, buf, m = step(params, buf, jnp.asarray(x), jnp.asarray(y),
                               jnp.float32(1e-2))
         losses.append(float(m["loss"]))

@@ -263,7 +263,17 @@ class Predictor:
                 and not self.plans.has_regions \
                 and scheme in ("CTNormalization", "ZScoreNormalization",
                                "ZScore"):
-            seg_cropped = self._predict_seg_fused(dev, scheme)
+            old_accum = self.accum_dtype
+            try:
+                seg_cropped = self._predict_seg_fused(dev, scheme)
+            except Exception as exc:  # HBM OOM → force fp16 accumulators
+                if "RESOURCE_EXHAUSTED" not in str(exc):
+                    raise
+                try:
+                    self.accum_dtype = "float16"
+                    seg_cropped = self._predict_seg_fused(dev, scheme)
+                finally:
+                    self.accum_dtype = old_accum
             np_dt = np.uint8 if self.cfg.num_classes <= 255 else np.uint16
             if full_extent:
                 seg = seg_cropped

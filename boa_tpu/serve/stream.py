@@ -107,21 +107,30 @@ class StreamRunner:
         td.start()
         tw.start()
 
-        while True:
-            item = decoded.get()
-            if item is None:
-                break
-            job, img = item
-            t0 = time.perf_counter()
-            res = predict_image(img, self.task, self.store, fast=self.fast,
-                                bucket=self.bucket,
-                                fake_predict=self.fake_predict)
-            dt = time.perf_counter() - t0
-            stats.per_study_s.append(dt)
-            stats.n_studies += 1
-            logger.info("study %s: %.2fs", job.study_id, dt)
-            results.put((job, res))
-        results.put(None)
-        tw.join()
+        try:
+            while True:
+                item = decoded.get()
+                if item is None:
+                    break
+                job, img = item
+                t0 = time.perf_counter()
+                try:
+                    res = predict_image(img, self.task, self.store,
+                                        fast=self.fast, bucket=self.bucket,
+                                        fake_predict=self.fake_predict)
+                except Exception:
+                    # a failing study must not stall the stream (the PACS
+                    # worker logs + continues; reliability posture of
+                    # celery_task.py:221-225)
+                    logger.exception("study %s failed", job.study_id)
+                    continue
+                dt = time.perf_counter() - t0
+                stats.per_study_s.append(dt)
+                stats.n_studies += 1
+                logger.info("study %s: %.2fs", job.study_id, dt)
+                results.put((job, res))
+        finally:
+            results.put(None)
+            tw.join()
         stats.total_s = time.perf_counter() - t_start
         return stats

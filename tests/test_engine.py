@@ -161,3 +161,48 @@ def test_find_best_configuration():
         {"c": ref}, {"3d_fullres": good, "3d_lowres": bad}, [0, 1])
     assert res["best_configuration"] == "3d_fullres"
     assert res["scores"]["3d_fullres"] > res["scores"]["3d_lowres"]
+
+
+def test_plan_and_preprocess_end_to_end(tmp_path, rng):
+    """Raw dataset dir → fingerprint → plans → trainable case store."""
+    from boa_tpu.engine.plan_and_preprocess import plan_and_preprocess
+    from boa_tpu.io import nifti
+    from boa_tpu.train.dataset import CaseStore
+
+    ds = tmp_path / "Dataset001_Toy"
+    (ds / "imagesTr").mkdir(parents=True)
+    (ds / "labelsTr").mkdir()
+    (ds / "dataset.json").write_text(json.dumps({
+        "channel_names": {"0": "CT"},
+        "labels": {"background": 0, "organ": 1},
+        "numTraining": 3, "file_ending": ".nii.gz"}))
+    for k in range(3):
+        shape = (24 + k, 22, 20)
+        data = np.zeros(shape, np.int16)
+        data[3:-3, 3:-3, 3:-3] = rng.integers(-100, 300, 
+                                              tuple(s - 6 for s in shape))
+        seg = np.zeros(shape, np.uint8)
+        seg[8:14, 8:14, 8:14] = 1
+        aff = np.diag([0.8, 0.8, 2.4, 1.0])
+        nifti.save(nifti.NiftiImage(data=data, affine=aff),
+                   ds / "imagesTr" / f"case{k}_0000.nii.gz")
+        nifti.save(nifti.NiftiImage(data=seg, affine=aff),
+                   ds / "labelsTr" / f"case{k}.nii.gz")
+
+    out = tmp_path / "prep"
+    plans = plan_and_preprocess(ds, out)
+    assert (out / "plans.json").exists()
+    assert (out / "fingerprint.json").exists()
+    store = CaseStore(out / "cases")
+    assert store.case_ids() == ["case0", "case1", "case2"]
+    c = store.load_case("case0")
+    assert 1 in c.class_locations  # foreground locations for oversampling
+    # the preprocessed data is normalized (roughly zero-centered)
+    assert abs(float(np.asarray(c.data).mean())) < 2.0
+    # trainable: one tiny epoch
+    from boa_tpu.train.run_training import run_training
+
+    last = run_training(out / "cases", tmp_path / "tr", patch=(8, 8, 8),
+                        batch_size=1, epochs=1, iters=2, augment=False,
+                        num_classes=2, seed=0)
+    assert np.isfinite(last["loss"])

@@ -169,24 +169,32 @@ def contrast(key, x, p: float = 0.15,
 
 
 def simulate_low_resolution(key, x, p: float = 0.25,
-                            zoom_range: tuple[float, float] = (0.5, 1.0)):
-    """Down-then-up sample (SimulateLowResolutionTransform): approximated
-    with a shape-static blur whose σ grows as the sampled zoom shrinks
-    (zoom z ≙ lowpass at Nyquist·z), keeping the program jit-compatible."""
+                            zoom_range: tuple[float, float] = (0.5, 1.0),
+                            n_levels: int = 4):
+    """Down-then-up sample (SimulateLowResolutionTransform: nearest
+    downsample, smooth upsample). The continuous zoom factor is quantized
+    to `n_levels` static levels so every branch has static shapes
+    (jit-compatible); `lax.switch` picks the sampled level per sample."""
     k1, k2 = jax.random.split(key)
     n = x.shape[0]
+    spatial = x.shape[1:4]
+    lo, hi = zoom_range
+    levels = [lo + (hi - lo) * i / (n_levels - 1) for i in range(n_levels)]
 
     def one(key, xi):
-        zoom = jax.random.uniform(key, (), minval=zoom_range[0],
-                                  maxval=zoom_range[1])
-        sigma = 0.5 / jnp.maximum(zoom, 1e-2) - 0.5 + 1e-3
-        k = _gauss_kernel1d(sigma)
-        for ax in range(3):
-            shape = [1, 1, 1]
-            shape[ax] = k.shape[0]
-            xi = jax.scipy.signal.convolve(
-                xi, k.reshape(shape)[..., None], mode="same")
-        return xi
+        idx = jax.random.randint(key, (), 0, n_levels)
+
+        def make_branch(z):
+            def branch(v):
+                if z >= 0.999:
+                    return v
+                small = tuple(max(1, int(round(s * z))) for s in spatial)
+                down = jax.image.resize(v, (*small, v.shape[-1]),
+                                        method="nearest")
+                return jax.image.resize(down, v.shape, method="cubic")
+            return branch
+
+        return jax.lax.switch(idx, [make_branch(z) for z in levels], xi)
 
     keys = jax.random.split(k2, n)
     return _blend(jax.random.uniform(k1, (n,)) < p,

@@ -77,6 +77,7 @@ def predict_image(
     statistics: bool = False,
     compute_dtype: str = "bfloat16",
     bucket: int | None = None,
+    nnunet_resampling: bool = False,
     fake_predict: Callable[[np.ndarray, tuple, int], np.ndarray] | None = None,
 ) -> PredictImageResult:
     """Run one model family over a CT volume.
@@ -195,7 +196,18 @@ def predict_image(
     #     when it is finer (full-res total), downsample on device first so
     #     only the small canonical seg crosses the link.
     inv = nifti.inv_orientation(ornt)
-    if resample is not None and seg_rsp.shape != canon_shape and \
+    if nnunet_resampling and resample is not None \
+            and seg_rsp.shape != canon_shape:
+        # optional high-quality back-resample: one-hot order-1 per class +
+        # argmax (`totalsegmentator/resample_nnunet.py`, the TS
+        # `nnunet_resampling` flag) — costlier but smoother label borders
+        n_cls = int(max(label_map) + 1)
+        seg_canon_dev = rs.resample_seg_onehot(
+            seg_rsp, canon_shape, n_cls, order=1, convention="zoom")
+        seg_out_dev = nifti.apply_orientation_device(
+            seg_canon_dev.astype(jnp.uint8), inv)
+        seg_out_np = np.asarray(seg_out_dev)
+    elif resample is not None and seg_rsp.shape != canon_shape and \
             np.prod(seg_rsp.shape) > np.prod(canon_shape):
         seg_canon_dev = rs.resample_nearest(seg_rsp, canon_shape,
                                             convention="zoom")

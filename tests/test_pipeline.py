@@ -162,3 +162,22 @@ def test_remove_outside_postprocess(tmp_path):
     addon = max(1, int(10.0 / float(np.mean(img.zooms))))
     dil = binary_dilation_cross(mask > 0, iterations=addon)
     assert (seg[dil == 0] == 0).all()
+
+
+def test_nnunet_resampling_option(tmp_path):
+    """One-hot order-1 back-resample (TS `nnunet_resampling` flag)."""
+    store_dir = tmp_path / "weights"
+    create_synthetic_model(store_dir, 298, "fastest2", num_classes=4,
+                           trainer="nnUNetTrainer_4000epochs_NoMirroring",
+                           patch_size=(16, 16, 16), spacing=(6.0, 6.0, 6.0),
+                           features=(4, 8))
+    img = _ct(shape=(40, 36, 32))
+    store = ModelStore(store_dir)
+    res0 = predict_image(img, "total_fastest", store,
+                         compute_dtype="float32")
+    res1 = predict_image(img, "total_fastest", store,
+                         compute_dtype="float32", nnunet_resampling=True)
+    assert res1.seg.shape == img.shape
+    # both produce valid labels; the smoother resample agrees broadly
+    agree = (np.asarray(res0.seg.data) == np.asarray(res1.seg.data)).mean()
+    assert agree > 0.8

@@ -318,14 +318,117 @@ def _encoder_forward(params: dict, x: jax.Array, cfg: ArchConfig) -> list[jax.Ar
     return skips
 
 
+# ---------------------------------------------------------------------------
+# z-major fast path: activations stay (N, Z, X, Y, C) through the whole net
+# so the per-conv layout transposes of `_conv` vanish (only one transpose at
+# the input and one per emitted head remain)
+# ---------------------------------------------------------------------------
+
+
+def _conv_zm(xz: jax.Array, w: jax.Array, b: jax.Array | None,
+             stride, padding) -> jax.Array:
+    """`_conv` on z-major input/output (N, Z, X, Y, C)."""
+    kx, ky, kz, ci, co = w.shape
+    n, Z, X, Y, _ = xz.shape
+    sx, sy, sz = stride
+    (plx, phx), (ply, phy), (plz, phz) = padding
+    w = w.astype(xz.dtype)
+    if (kx, ky, kz) == (1, 1, 1) and (sx, sy, sz) == (1, 1, 1):
+        out = jnp.einsum("nzxyc,cd->nzxyd", xz, w[0, 0, 0])
+        return out + b.astype(out.dtype) if b is not None else out
+    zp = Z + plz + phz
+    zout = (zp - kz) // sz + 1
+    if plz or phz:
+        xz = jnp.pad(xz, ((0, 0), (plz, phz), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(kz):
+        sl = xz[:, dz:dz + (zout - 1) * sz + 1:sz]
+        slb = sl.reshape(n * zout, X, Y, ci)
+        y = jax.lax.conv_general_dilated(
+            slb, w[:, :, dz], window_strides=(sx, sy),
+            padding=((plx, phx), (ply, phy)), dimension_numbers=_DN2)
+        out = y if out is None else out + y
+    out = out.reshape(n, zout, out.shape[1], out.shape[2], co)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _transpconv_zm(xz: jax.Array, w: jax.Array, b: jax.Array | None,
+                   stride) -> jax.Array:
+    """ConvTranspose3d (kernel == stride) on z-major input: per z-tap 2D
+    transpose convs, z-interleaved by reshape."""
+    sx, sy, sz = stride
+    kx, ky, kz = w.shape[0], w.shape[1], w.shape[2]
+    n, Z, X, Y, ci = xz.shape
+    co = w.shape[3]  # kernel layout XYZOI
+    xb = xz.reshape(n * Z, X, Y, ci)
+    taps = []
+    for dz in range(kz):
+        y = jax.lax.conv_transpose(
+            xb, w[:, :, dz].astype(xz.dtype), strides=(sx, sy),
+            padding="VALID", dimension_numbers=_DN2, transpose_kernel=True)
+        taps.append(y)
+    out = jnp.stack(taps, axis=1)  # (n*Z, kz, X*sx, Y*sy, co)
+    xo, yo = out.shape[2], out.shape[3]
+    out = out.reshape(n, Z * kz, xo, yo, co)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _block_zm(p: dict, xz: jax.Array, stride, kernel,
+              cfg: ArchConfig) -> jax.Array:
+    xz = _conv_zm(xz, p["w"], p.get("b"), stride, _same_pad(kernel))
+    xz = instance_norm(xz, p.get("norm_scale"), p.get("norm_bias"),
+                       cfg.norm_eps)
+    return _lrelu(xz, cfg.nonlin_slope)
+
+
 def unet_forward(params: dict, x: jax.Array, cfg: ArchConfig,
                  *, all_heads: bool = False):
     """Forward pass.
 
     x: (N, X, Y, Z, C). Returns logits (N, X, Y, Z, num_classes), or a list
     of deep-supervision outputs (highest resolution first) when
-    ``cfg.deep_supervision and all_heads``.
+    ``cfg.deep_supervision and all_heads``. PlainConv runs the z-major fast
+    path (one layout transpose in, one per head out); the residual encoder
+    uses the legacy per-op layout.
     """
+    if cfg.residual_encoder:
+        return _unet_forward_legacy(params, x, cfg, all_heads=all_heads)
+
+    xz = jnp.transpose(x, (0, 3, 1, 2, 4))
+    skips = []
+    for s, stage in enumerate(params["encoder"]):
+        for b, block in enumerate(stage):
+            stride = cfg.strides[s] if b == 0 else (1, 1, 1)
+            xz = _block_zm(block, xz, stride, cfg.kernel_sizes[s], cfg)
+        skips.append(xz)
+
+    seg_outputs = []
+    y = skips[-1]
+    n_dec = len(params["decoder"])
+    for i, stage in enumerate(params["decoder"]):
+        s = cfg.n_stages - 1 - i
+        y = _transpconv_zm(y, stage["transp"]["w"], stage["transp"].get("b"),
+                           cfg.strides[s])
+        y = jnp.concatenate([y, skips[s - 1]], axis=-1)
+        for block in stage["convs"]:
+            y = _block_zm(block, y, (1, 1, 1), cfg.kernel_sizes[s - 1], cfg)
+        want_head = (cfg.deep_supervision and all_heads) or i == n_dec - 1
+        if want_head:
+            head = params["seg_heads"][i]
+            out = _conv_zm(y, head["w"], head.get("b"), (1, 1, 1),
+                           [(0, 0)] * 3)
+            seg_outputs.append(jnp.transpose(out, (0, 2, 3, 1, 4)))
+    if cfg.deep_supervision and all_heads:
+        return seg_outputs[::-1]  # highest resolution first, like nnU-Net
+    return seg_outputs[-1]
+
+
+def _unet_forward_legacy(params: dict, x: jax.Array, cfg: ArchConfig,
+                         *, all_heads: bool = False):
     skips = _encoder_forward(params, x, cfg)
     seg_outputs = []
     y = skips[-1]

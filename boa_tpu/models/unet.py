@@ -391,20 +391,41 @@ def unet_forward(params: dict, x: jax.Array, cfg: ArchConfig,
 
     x: (N, X, Y, Z, C). Returns logits (N, X, Y, Z, num_classes), or a list
     of deep-supervision outputs (highest resolution first) when
-    ``cfg.deep_supervision and all_heads``. PlainConv runs the z-major fast
-    path (one layout transpose in, one per head out); the residual encoder
-    uses the legacy per-op layout.
+    ``cfg.deep_supervision and all_heads``. Both encoder families run the
+    z-major fast path (one layout transpose in, one per head out).
     """
-    if cfg.residual_encoder:
-        return _unet_forward_legacy(params, x, cfg, all_heads=all_heads)
-
     xz = jnp.transpose(x, (0, 3, 1, 2, 4))
     skips = []
-    for s, stage in enumerate(params["encoder"]):
-        for b, block in enumerate(stage):
-            stride = cfg.strides[s] if b == 0 else (1, 1, 1)
-            xz = _block_zm(block, xz, stride, cfg.kernel_sizes[s], cfg)
-        skips.append(xz)
+    if cfg.residual_encoder:
+        xz = _block_zm(params["stem"], xz, (1, 1, 1), cfg.kernel_sizes[0],
+                       cfg)
+        for s, stage in enumerate(params["encoder"]):
+            for b, block in enumerate(stage):
+                stride = cfg.strides[s] if b == 0 else (1, 1, 1)
+                y = _block_zm(block["conv1"], xz, stride,
+                              cfg.kernel_sizes[s], cfg)
+                y = _conv_zm(y, block["conv2"]["w"], block["conv2"].get("b"),
+                             (1, 1, 1), _same_pad(cfg.kernel_sizes[s]))
+                y = instance_norm(y, block["conv2"].get("norm_scale"),
+                                  block["conv2"].get("norm_bias"),
+                                  cfg.norm_eps)
+                if "skip" in block:
+                    sk = _conv_zm(xz, block["skip"]["w"],
+                                  block["skip"].get("b"), stride,
+                                  [(0, 0)] * 3)
+                    sk = instance_norm(sk, block["skip"].get("norm_scale"),
+                                       block["skip"].get("norm_bias"),
+                                       cfg.norm_eps)
+                else:
+                    sk = xz
+                xz = _lrelu(y + sk, cfg.nonlin_slope)
+            skips.append(xz)
+    else:
+        for s, stage in enumerate(params["encoder"]):
+            for b, block in enumerate(stage):
+                stride = cfg.strides[s] if b == 0 else (1, 1, 1)
+                xz = _block_zm(block, xz, stride, cfg.kernel_sizes[s], cfg)
+            skips.append(xz)
 
     seg_outputs = []
     y = skips[-1]
@@ -426,27 +447,6 @@ def unet_forward(params: dict, x: jax.Array, cfg: ArchConfig,
         return seg_outputs[::-1]  # highest resolution first, like nnU-Net
     return seg_outputs[-1]
 
-
-def _unet_forward_legacy(params: dict, x: jax.Array, cfg: ArchConfig,
-                         *, all_heads: bool = False):
-    skips = _encoder_forward(params, x, cfg)
-    seg_outputs = []
-    y = skips[-1]
-    n_dec = len(params["decoder"])
-    for i, stage in enumerate(params["decoder"]):
-        s = cfg.n_stages - 1 - i
-        y = _transpconv(y, stage["transp"]["w"], stage["transp"].get("b"), cfg.strides[s])
-        y = jnp.concatenate([y, skips[s - 1]], axis=-1)
-        for block in stage["convs"]:
-            y = conv_block_apply(block, y, (1, 1, 1), cfg.kernel_sizes[s - 1], cfg)
-        want_head = (cfg.deep_supervision and all_heads) or i == n_dec - 1
-        if want_head:
-            head = params["seg_heads"][i]
-            seg_outputs.append(_conv(y, head["w"], head.get("b"), (1, 1, 1),
-                                     [(0, 0)] * 3))
-    if cfg.deep_supervision and all_heads:
-        return seg_outputs[::-1]  # highest resolution first, like nnU-Net
-    return seg_outputs[-1]
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))

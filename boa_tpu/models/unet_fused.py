@@ -1,7 +1,7 @@
 """Fused-forward PlainConvUNet using the Pallas conv+IN+LReLU kernel.
 
-Opt-in alternative to `unet_forward` (enable with
-`Predictor(..., use_pallas=True)` or by calling this directly): stride-1
+Opt-in alternative to `unet_forward` (call directly with packed params
+from `pack_unet_params`): stride-1
 3×3×3 conv blocks run through `ops.pallas_conv.conv3d_in_act` with
 cross-layer chaining — each conv consumes the previous layer's RAW output
 plus its instance-norm statistics (emitted for free by the kernel), so

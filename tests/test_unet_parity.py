@@ -128,3 +128,26 @@ def test_init_shapes_match_converted():
     s2 = [a.shape for a in jax.tree.leaves(jax.tree.map(np.asarray, initialized))]
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
     assert count_params(converted) == count_params(initialized)
+
+
+def test_anisotropic_kernels_z_major():
+    """kz=1 kernels ((1,3,3) early stages of high-res head/neck models)
+    through the z-major conv decomposition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boa_tpu.models.unet import ArchConfig, init_unet, unet_forward
+
+    cfg = ArchConfig(
+        n_stages=3, features_per_stage=(4, 8, 16),
+        kernel_sizes=((1, 3, 3), (3, 3, 3), (3, 3, 3)),
+        strides=((1, 1, 1), (2, 2, 1), (2, 2, 2)),
+        n_conv_per_stage=(2, 2, 2), n_conv_per_stage_decoder=(2, 2),
+        num_classes=3, input_channels=1)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 16, 16, 12, 1)).astype(np.float32))
+    out = unet_forward(params, x, cfg)
+    assert out.shape == (1, 16, 16, 12, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -14,7 +14,31 @@ the host, goes device-resident once, and preprocessing / sliding-window
 inference / fusion / postprocessing run as jitted XLA stages on TPU.
 """
 
+import os as _os
+
 from boa_tpu.version import __version__
+
+
+def _enable_jax_compilation_cache() -> None:
+    """Persist XLA compilations across processes (first-study latency for
+    total+bca is ~9 min of compiles otherwise; steady-state is seconds).
+    Opt out with BOA_JAX_CACHE=0."""
+    if _os.environ.get("BOA_JAX_CACHE", "1") in ("0", "false", "False"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".boa_tpu", "jax_cache"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_jax_compilation_cache()
 
 __all__ = [
     "__version__",

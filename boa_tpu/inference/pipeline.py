@@ -259,9 +259,11 @@ def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
                  fake_predict, bucket: int | None = None) -> np.ndarray:
     if fake_predict is not None:
         return np.asarray(fake_predict(np.asarray(data_rsp), spacing, task_id))
-    plans, params = store.load(task_id, trainer=task.trainer, model=task.model,
-                               folds=folds)
-    predictor = Predictor(plans=plans, fold_params=params,
+    from boa_tpu.inference.predictor import load_stacked_cached
+
+    plans, stacked = load_stacked_cached(store, task_id, task.trainer,
+                                         task.model, folds)
+    predictor = Predictor(plans=plans, stacked_params=stacked,
                           tile_step_size=step_size, compute_dtype=compute_dtype,
                           bucket=bucket)
     return predictor.predict(data_rsp, spacing, return_device=True)

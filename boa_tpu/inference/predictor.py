@@ -18,6 +18,8 @@ computes shapes/bboxes and the volume stays on the TPU throughout.
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import jax
@@ -97,11 +99,58 @@ def _fused_predict_seg(stacked, vol, props4, starts, gauss, *, cfg, pads,
     v = v[None]
     if any(p != (0, 0) for p in pads):
         v = jnp.pad(v, ((0, 0),) + tuple(pads))
+    # normalize=False: this path argmaxes on the accumulation grid, and a
+    # per-voxel positive scale never changes an argmax — skips the Gaussian
+    # weight volume entirely (one fewer accumulator + final division pass)
     logits = sliding_window_logits(stacked, v, starts, gauss, cfg,
-                                   mirror_axes, compute_dtype, accum_dtype)
+                                   mirror_axes, compute_dtype, accum_dtype,
+                                   normalize=False)
     spatial = vol.shape[-3:]
     revert = tuple(slice(b, b + n) for (b, _), n in zip(pads, spatial))
     return jnp.argmax(logits[(slice(None), *revert)], axis=0).astype(seg_dtype)
+
+
+# --- device-resident weight cache -------------------------------------
+# Loading a model for every study costs ~1 s of npz disk reads plus ~3 s
+# of host->device weight upload through the tunnel (125 MB for the fast
+# `total` model). The reference pays the equivalent torch.load once per
+# nnUNetPredictor process (`predict_from_raw_data.py:83-120`) and keeps the
+# module on the GPU; serving here goes through `predict_image` per study,
+# so the stacked fold-ensemble params are cached on device across calls,
+# bounded by a byte budget (BOA_WEIGHT_CACHE_BYTES, default 6 GB — the
+# v5e has 16 GB HBM and the sliding-window accumulators need the rest).
+_STACKED_CACHE: OrderedDict = OrderedDict()
+
+
+def _cache_budget() -> int:
+    return int(float(os.environ.get("BOA_WEIGHT_CACHE_BYTES", 6e9)))
+
+
+def load_stacked_cached(store, task_id: int, trainer: str, model: str,
+                        folds) -> tuple[ModelPlans, object]:
+    """(plans, stacked device params) for a model, cached across studies."""
+    budget = _cache_budget()
+    if folds is None:  # None = all available folds (python_api folds=None)
+        mdir = store.model_dir(task_id, trainer, model=model)
+        folds = sorted(int(p.name.split("_")[1]) for p in mdir.glob("fold_*"))
+    key = (str(store.root), task_id, trainer, model, tuple(folds))
+    hit = _STACKED_CACHE.get(key)
+    if hit is not None:
+        _STACKED_CACHE.move_to_end(key)
+        return hit[0], hit[1]
+    plans, params = store.load(task_id, trainer=trainer, model=model,
+                               folds=folds)
+    stacked = stack_fold_params(params)
+    if budget <= 0:
+        return plans, stacked
+    stacked = jax.tree.map(jnp.asarray, stacked)
+    nbytes = sum(x.nbytes for x in jax.tree.leaves(stacked))
+    _STACKED_CACHE[key] = (plans, stacked, nbytes)
+    total = sum(v[2] for v in _STACKED_CACHE.values())
+    while total > budget and len(_STACKED_CACHE) > 1:
+        _, evicted = _STACKED_CACHE.popitem(last=False)
+        total -= evicted[2]
+    return plans, stacked
 
 
 @dataclass
@@ -109,7 +158,7 @@ class Predictor:
     """Fold-ensemble sliding-window predictor for one model."""
 
     plans: ModelPlans
-    fold_params: list  # one parameter pytree per fold
+    fold_params: list | None = None  # one parameter pytree per fold
     tile_step_size: float = 0.5
     use_gaussian: bool = True
     mirror_axes: tuple[int, ...] = ()  # empty: NoMirroring (all BOA models)
@@ -125,10 +174,18 @@ class Predictor:
     # a fresh study shape costs ~30-60 s of compilation otherwise). The pad
     # is the same zero padding nnU-Net applies to reach the patch size.
     bucket: int | None = None
+    # pre-stacked (and typically device-cached) fold params; when given,
+    # `fold_params` is ignored and no host->device weight upload happens
+    stacked_params: object = None
 
     def __post_init__(self) -> None:
         self.cfg: ArchConfig = self.plans.arch_config()
-        self._stacked = stack_fold_params(self.fold_params)
+        if self.stacked_params is not None:
+            self._stacked = self.stacked_params
+        else:
+            if self.fold_params is None:
+                raise ValueError("Predictor needs fold_params or stacked_params")
+            self._stacked = stack_fold_params(self.fold_params)
         self._dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     # ------------------------------------------------------------------

@@ -55,7 +55,7 @@ def _forward_tta(params, x: jax.Array, cfg: ArchConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
-                                   "accum_dtype"),
+                                   "accum_dtype", "normalize"),
          donate_argnums=())
 def sliding_window_logits(
     fold_params,            # pytree with leading fold axis F on every leaf
@@ -66,6 +66,7 @@ def sliding_window_logits(
     mirror_axes: tuple[int, ...] = (),
     compute_dtype=jnp.bfloat16,
     accum_dtype=jnp.float16,
+    normalize: bool = True,
 ) -> jax.Array:
     """Returns fused logits (n_classes, X, Y, Z), already weight-normalized.
 
@@ -73,13 +74,21 @@ def sliding_window_logits(
     (`predict_from_raw_data.py:587-620`): at 117 classes × a 512³ grid an
     fp32 volume alone would be ~56 GB of HBM. Per-tile math stays fp32; only
     the resident volumes are fp16.
+
+    normalize=False skips the Gaussian weight-sum volume and the final
+    per-voxel division (the reference always divides, `:629`): a per-voxel
+    positive scaling is argmax-invariant, so consumers that go straight to
+    argmax on this grid (the fused no-resample path) get identical
+    segmentations minus one full accumulator's worth of HBM traffic. Do NOT
+    use it when the logits are interpolated afterwards — resampling mixes
+    neighboring voxels, whose scale factors differ.
     """
     n_ch, X, Y, Z = vol.shape
     px, py, pz = gaussian.shape
     n_cls = cfg.num_classes
 
     logits0 = jnp.zeros((n_cls, X, Y, Z), accum_dtype)
-    weights0 = jnp.zeros((X, Y, Z), accum_dtype)
+    weights0 = jnp.zeros((X, Y, Z), accum_dtype) if normalize else None
     gaussian = gaussian.astype(jnp.float32)
 
     cast_params = jax.tree.map(
@@ -104,6 +113,8 @@ def sliding_window_logits(
         logits = jax.lax.dynamic_update_slice(
             logits, (cur.astype(jnp.float32) + pred).astype(accum_dtype),
             (0, sx, sy, sz))
+        if weights is None:
+            return (logits, None), None
         curw = jax.lax.dynamic_slice(weights, (sx, sy, sz), (px, py, pz))
         weights = jax.lax.dynamic_update_slice(
             weights, (curw.astype(jnp.float32) + gaussian).astype(accum_dtype),
@@ -111,6 +122,8 @@ def sliding_window_logits(
         return (logits, weights), None
 
     (logits, weights), _ = jax.lax.scan(one_tile, (logits0, weights0), starts)
+    if weights is None:
+        return logits
     return (logits.astype(jnp.float32) /
             weights[None].astype(jnp.float32)).astype(accum_dtype)
 

@@ -254,3 +254,44 @@ def test_shape_bucketing(plans, rng):
     vol2 = rng.normal(size=(1, 24, 22, 20)).astype(np.float32)
     lb2 = pb.predict_logits(vol2)
     assert tuple(lb2.shape[1:]) == (24, 22, 20)
+
+
+def test_weight_cache(tmp_path, monkeypatch):
+    """Device-resident stacked-params cache: hit on repeat load, byte-budget
+    eviction, and Predictor(stacked_params=...) producing identical segs."""
+    from boa_tpu.inference import predictor as pred_mod
+    from boa_tpu.weights.store import ModelStore, create_synthetic_model
+
+    monkeypatch.setattr(pred_mod, "_STACKED_CACHE", type(pred_mod._STACKED_CACHE)())
+    for tid, name in [(901, "CacheA"), (902, "CacheB")]:
+        create_synthetic_model(tmp_path, tid, name, num_classes=3,
+                               patch_size=(16, 16, 16), features=(4, 8),
+                               n_folds=1)
+    store = ModelStore(tmp_path)
+
+    plans, stacked = pred_mod.load_stacked_cached(store, 901, "nnUNetTrainer",
+                                                  "3d_fullres", (0,))
+    _, stacked2 = pred_mod.load_stacked_cached(store, 901, "nnUNetTrainer",
+                                               "3d_fullres", (0,))
+    assert stacked2 is stacked  # cache hit returns the same device pytree
+
+    # folds=None resolves to the available fold list and hits the same entry
+    _, stacked3 = pred_mod.load_stacked_cached(store, 901, "nnUNetTrainer",
+                                               "3d_fullres", None)
+    assert stacked3 is stacked
+
+    # identical predictions from cached stacked params vs fresh fold params
+    vol = np.random.default_rng(0).normal(40, 80, (20, 18, 16)).astype(np.int16)
+    _, params = store.load(901, folds=(0,))
+    seg_fresh = Predictor(plans=plans, fold_params=params).predict(
+        vol, (1.5, 1.5, 1.5))
+    seg_cached = Predictor(plans=plans, stacked_params=stacked).predict(
+        vol, (1.5, 1.5, 1.5))
+    np.testing.assert_array_equal(seg_fresh, seg_cached)
+
+    # eviction: shrink the budget below two models -> LRU entry drops
+    nbytes = sum(x.nbytes for x in jax.tree.leaves(stacked))
+    monkeypatch.setenv("BOA_WEIGHT_CACHE_BYTES", str(int(nbytes * 1.5)))
+    pred_mod.load_stacked_cached(store, 902, "nnUNetTrainer", "3d_fullres", (0,))
+    keys = [k[1] for k in pred_mod._STACKED_CACHE]
+    assert keys == [902]  # 901 evicted, 902 resident

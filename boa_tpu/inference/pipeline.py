@@ -17,6 +17,8 @@ sharding for >HBM volumes (see boa_tpu.parallel).
 from __future__ import annotations
 
 import logging
+import os
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -58,6 +60,30 @@ class PredictImageResult:
     label_map: dict[int, str] = field(default_factory=dict)
 
 
+class _Spans:
+    """BOA_PIPELINE_TIMING=1: log per-stage wall spans of predict_image.
+
+    Device stages are synced via a scalar readback (`block_until_ready` can
+    return early on the tunneled backend — CLAUDE.md); syncing serializes
+    the dispatch pipeline, so this is strictly a diagnostic mode.
+    """
+
+    def __init__(self) -> None:
+        self.enabled = os.environ.get("BOA_PIPELINE_TIMING", "") not in ("", "0")
+        self.t = time.perf_counter()
+
+    def mark(self, label: str, sync=None) -> None:
+        if not self.enabled:
+            return
+        if sync is not None:
+            import jax.numpy as jnp
+
+            float(jnp.sum(sync.astype(jnp.float32).ravel()[::4096]))
+        logger.info("predict_image[%s]: %.3fs", label,
+                    time.perf_counter() - self.t)
+        self.t = time.perf_counter()
+
+
 def _empty_result(img: NiftiImage, label_map: dict[int, str]) -> PredictImageResult:
     out = NiftiImage(data=np.zeros(img.shape, np.uint8), affine=img.affine.copy())
     out.set_label_map(label_map)
@@ -94,6 +120,7 @@ def predict_image(
     if img.data.ndim > 3:
         img = NiftiImage(data=np.asarray(img.data)[..., 0], affine=img.affine)
 
+    spans = _Spans()
     # --- crop to organ mask from a previous `total` run (python_api crop cascade)
     bbox = None
     img_orig = img
@@ -133,6 +160,8 @@ def predict_image(
         resample = None if np.allclose(canon_zooms, task.resample or canon_zooms) \
             and task.resample is None else task.resample
 
+    spans.mark("upload+orient+resample", sync=data_rsp)
+
     # --- step size heuristic (nnunet.py:507-514)
     if step_size is None:
         if task.name in ("total",) and task.resample is not None \
@@ -165,6 +194,7 @@ def predict_image(
                                use_folds, step_size, store, compute_dtype,
                                fake_predict, bucket)
         seg_rsp = jnp.asarray(seg_rsp).astype(jnp.uint8)
+    spans.mark("predict", sync=seg_rsp)
 
     # --- fast statistics on the model grid (statistics.py:91-141), device
     stats = None
@@ -188,6 +218,7 @@ def predict_image(
         seg_model_grid = NiftiImage(data=seg_np, affine=rsp_affine)
     else:
         seg_model_grid = NiftiImage(data=np.asarray(seg_rsp), affine=rsp_affine)
+    spans.mark("postprocess+download")
 
     # --- back to the original grid. Host↔device transfer is the scarcest
     #     resource (tunneled TPU): when the model grid is COARSER than the
@@ -225,6 +256,7 @@ def predict_image(
             seg_canon_np = seg_small
         seg_out_np = np.ascontiguousarray(
             nifti.apply_orientation(seg_canon_np, inv))
+    spans.mark("back_resample+orient")
     seg_out = NiftiImage(data=seg_out_np, affine=img.affine.copy())
     if bbox is not None:
         seg_out = cropping.undo_crop(seg_out, img_orig, bbox)

@@ -30,7 +30,9 @@ from boa_tpu.models.unet import ArchConfig
 from boa_tpu.ops import preprocess as pp
 from boa_tpu.ops import resample as rs
 from boa_tpu.plans.plans import ModelPlans
-from boa_tpu.inference.sliding_window import sliding_window_logits, stack_fold_params
+from boa_tpu.inference.sliding_window import (sliding_window_logits,
+                                              sliding_window_seg_chunked,
+                                              stack_fold_params)
 
 ANISO_THRESHOLD = 3.0  # nnunetv2/configuration.py
 
@@ -77,19 +79,9 @@ def _argmax_resampled(logits: jax.Array, target_shape: tuple[int, ...],
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("cfg", "pads", "scheme", "mirror_axes",
-                                   "compute_dtype", "accum_dtype",
-                                   "seg_dtype"))
-def _fused_predict_seg(stacked, vol, props4, starts, gauss, *, cfg, pads,
-                       scheme, mirror_axes, compute_dtype, accum_dtype,
-                       seg_dtype):
-    """normalize → pad → sliding window → argmax as ONE device program.
-
-    Each eager dispatch costs ~30 ms of tunnel round-trip latency (see
-    CLAUDE.md); the no-resample path (the TS pipeline always lands here
-    because the CT is already on the model grid) collapses 4 dispatches
-    and their HBM materializations into one.
-    """
+@partial(jax.jit, static_argnames=("pads", "scheme"))
+def _normalize_pad(vol, props4, *, pads, scheme):
+    """CT normalization + pad-to-patch prologue of the fused path."""
     v = vol.astype(jnp.float32)
     if scheme == "CTNormalization":
         v = jnp.clip(v, props4[0], props4[1])
@@ -99,15 +91,7 @@ def _fused_predict_seg(stacked, vol, props4, starts, gauss, *, cfg, pads,
     v = v[None]
     if any(p != (0, 0) for p in pads):
         v = jnp.pad(v, ((0, 0),) + tuple(pads))
-    # normalize=False: this path argmaxes on the accumulation grid, and a
-    # per-voxel positive scale never changes an argmax — skips the Gaussian
-    # weight volume entirely (one fewer accumulator + final division pass)
-    logits = sliding_window_logits(stacked, v, starts, gauss, cfg,
-                                   mirror_axes, compute_dtype, accum_dtype,
-                                   normalize=False)
-    spatial = vol.shape[-3:]
-    revert = tuple(slice(b, b + n) for (b, _), n in zip(pads, spatial))
-    return jnp.argmax(logits[(slice(None), *revert)], axis=0).astype(seg_dtype)
+    return v
 
 
 # --- device-resident weight cache -------------------------------------
@@ -275,11 +259,12 @@ class Predictor:
             float(props.get("mean", 0.0)),
             max(float(props.get("std", 1.0)), 1e-8)], jnp.float32)
         seg_dtype = jnp.uint8 if self.cfg.num_classes <= 255 else jnp.uint16
-        return _fused_predict_seg(
-            self._stacked, dev, props4, jnp.asarray(starts),
-            jnp.asarray(gauss), cfg=self.cfg, pads=tuple(pads),
-            scheme=scheme, mirror_axes=self.mirror_axes,
-            compute_dtype=self._dtype, accum_dtype=acc, seg_dtype=seg_dtype)
+        v = _normalize_pad(dev, props4, pads=tuple(pads), scheme=scheme)
+        revert = tuple((b, b + n) for (b, _), n in zip(pads, spatial))
+        return sliding_window_seg_chunked(
+            self._stacked, v, starts, gauss, self.cfg,
+            mirror_axes=self.mirror_axes, compute_dtype=self._dtype,
+            accum_dtype=acc, seg_dtype=seg_dtype, revert=revert)
 
     # ------------------------------------------------------------------
     def predict(self, vol_xyz: np.ndarray | jax.Array, spacing_xyz,

@@ -54,10 +54,7 @@ def _forward_tta(params, x: jax.Array, cfg: ArchConfig,
     return out[0]
 
 
-@partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
-                                   "accum_dtype", "normalize"),
-         donate_argnums=())
-def sliding_window_logits(
+def sliding_window_acc(
     fold_params,            # pytree with leading fold axis F on every leaf
     vol: jax.Array,         # (C, X, Y, Z) fp32, pre-padded to >= patch
     starts: jax.Array,      # (T, 3) int32 tile start coordinates
@@ -67,32 +64,34 @@ def sliding_window_logits(
     compute_dtype=jnp.bfloat16,
     accum_dtype=jnp.float16,
     normalize: bool = True,
-) -> jax.Array:
-    """Returns fused logits (n_classes, X, Y, Z), already weight-normalized.
+):
+    """Channels-LAST accumulation core: (logits (X,Y,Z,n_cls), weights|None).
 
-    Accumulators default to fp16, matching the reference's fp16 logit volume
-    (`predict_from_raw_data.py:587-620`): at 117 classes × a 512³ grid an
-    fp32 volume alone would be ~56 GB of HBM. Per-tile math stays fp32; only
-    the resident volumes are fp16.
+    The accumulator lives in the network's native NXYZC layout: tile
+    predictions slot in without the two full-patch transposes the
+    channels-first layout needed (≈2 GB of HBM traffic per tile at 118
+    classes), and the minor dim is the class axis (118→128 lane pad)
+    instead of a ragged Z extent. Trace inside an enclosing jit.
 
     normalize=False skips the Gaussian weight-sum volume and the final
-    per-voxel division (the reference always divides, `:629`): a per-voxel
-    positive scaling is argmax-invariant, so consumers that go straight to
-    argmax on this grid (the fused no-resample path) get identical
-    segmentations minus one full accumulator's worth of HBM traffic. Do NOT
-    use it when the logits are interpolated afterwards — resampling mixes
-    neighboring voxels, whose scale factors differ.
+    per-voxel division (the reference always divides,
+    `predict_from_raw_data.py:629`): a per-voxel positive scaling is
+    argmax-invariant, so consumers that go straight to argmax on this grid
+    get identical segmentations minus one accumulator's worth of traffic.
+    Do NOT use it when the logits are interpolated afterwards — resampling
+    mixes neighboring voxels, whose scale factors differ.
     """
     n_ch, X, Y, Z = vol.shape
     px, py, pz = gaussian.shape
     n_cls = cfg.num_classes
 
-    logits0 = jnp.zeros((n_cls, X, Y, Z), accum_dtype)
+    logits0 = jnp.zeros((X, Y, Z, n_cls), accum_dtype)
     weights0 = jnp.zeros((X, Y, Z), accum_dtype) if normalize else None
     gaussian = gaussian.astype(jnp.float32)
 
     cast_params = jax.tree.map(
         lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, fold_params)
+    n_folds = jax.tree.leaves(fold_params)[0].shape[0]
 
     def one_tile(carry, start):
         logits, weights = carry
@@ -100,19 +99,24 @@ def sliding_window_logits(
         patch = jax.lax.dynamic_slice(vol, (0, sx, sy, sz), (n_ch, px, py, pz))
         x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
 
-        def fold_step(acc, p):
-            pred = _forward_tta(p, x, cfg, mirror_axes).astype(jnp.float32)
-            return acc + pred, None
+        if n_folds == 1:  # no fold loop: skip the zeros-init + add pass
+            pred_sum = _forward_tta(
+                jax.tree.map(lambda a: a[0], cast_params), x, cfg,
+                mirror_axes).astype(jnp.float32)
+        else:
+            def fold_step(acc, p):
+                pred = _forward_tta(p, x, cfg, mirror_axes).astype(jnp.float32)
+                return acc + pred, None
 
-        pred_sum, _ = jax.lax.scan(
-            fold_step, jnp.zeros((px, py, pz, n_cls), jnp.float32), cast_params)
-        n_folds = jax.tree.leaves(fold_params)[0].shape[0]
-        pred = jnp.transpose(pred_sum / n_folds, (3, 0, 1, 2)) * gaussian
+            pred_sum, _ = jax.lax.scan(
+                fold_step, jnp.zeros((px, py, pz, n_cls), jnp.float32),
+                cast_params)
+        pred = (pred_sum / n_folds) * gaussian[..., None]
 
-        cur = jax.lax.dynamic_slice(logits, (0, sx, sy, sz), (n_cls, px, py, pz))
+        cur = jax.lax.dynamic_slice(logits, (sx, sy, sz, 0), (px, py, pz, n_cls))
         logits = jax.lax.dynamic_update_slice(
             logits, (cur.astype(jnp.float32) + pred).astype(accum_dtype),
-            (0, sx, sy, sz))
+            (sx, sy, sz, 0))
         if weights is None:
             return (logits, None), None
         curw = jax.lax.dynamic_slice(weights, (sx, sy, sz), (px, py, pz))
@@ -122,12 +126,184 @@ def sliding_window_logits(
         return (logits, weights), None
 
     (logits, weights), _ = jax.lax.scan(one_tile, (logits0, weights0), starts)
-    if weights is None:
-        return logits
-    return (logits.astype(jnp.float32) /
-            weights[None].astype(jnp.float32)).astype(accum_dtype)
+    return logits, weights
+
+
+@partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
+                                   "accum_dtype", "normalize"),
+         donate_argnums=())
+def sliding_window_logits(
+    fold_params,
+    vol: jax.Array,
+    starts: jax.Array,
+    gaussian: jax.Array,
+    cfg: ArchConfig,
+    mirror_axes: tuple[int, ...] = (),
+    compute_dtype=jnp.bfloat16,
+    accum_dtype=jnp.float16,
+    normalize: bool = True,
+) -> jax.Array:
+    """Returns fused logits (n_classes, X, Y, Z), weight-normalized.
+
+    Accumulators default to fp16, matching the reference's fp16 logit volume
+    (`predict_from_raw_data.py:587-620`): at 117 classes × a 512³ grid an
+    fp32 volume alone would be ~56 GB of HBM. Per-tile math stays fp32; only
+    the resident volumes are fp16. The single final transpose from the
+    channels-last accumulation layout replaces a per-tile one.
+    """
+    logits, weights = sliding_window_acc(
+        fold_params, vol, starts, gaussian, cfg, mirror_axes, compute_dtype,
+        accum_dtype, normalize)
+    if weights is not None:
+        logits = (logits.astype(jnp.float32) /
+                  weights[..., None].astype(jnp.float32)).astype(accum_dtype)
+    return jnp.transpose(logits, (3, 0, 1, 2))
 
 
 def stack_fold_params(fold_params_list: list) -> object:
     """[pytree, ...] -> single pytree with a leading fold axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *fold_params_list)
+
+
+# ---------------------------------------------------------------------------
+# Chunked accumulation: the fast path for fused argmax inference.
+#
+# Measured on v5e (see CLAUDE.md): a dynamic-update-slice carried through
+# `lax.scan`/`fori_loop` is NOT updated in place by this XLA — every tile
+# paid a full copy of the multi-GB logit volume (~12-22 ms/tile on the 118-
+# class fast-total accumulator, vs ~30 ms for the network forward itself).
+# Straight-line (unrolled) updates ARE in-place, provided the minor dim of
+# the accumulator is lane-aligned (classes padded to a multiple of 128).
+#
+# So the fused path runs as a short sequence of dispatches sharing ONE
+# compiled program: each `_chunk_step` call scans the network forward over K
+# tiles (stacking K gauss-weighted predictions), then applies K *unrolled*
+# dynamic-index adds into the donated accumulator. The accumulator is
+# channels-last with the class axis padded to 128 lanes when it fits the
+# HBM budget, channels-first (unpadded) otherwise; `_chunk_argmax` slices
+# the real classes back out before reducing.
+# ---------------------------------------------------------------------------
+
+_CHUNK_K = 6  # tiles per dispatch: ys footprint K x patch x 128cls fp16
+
+
+def _pad_classes(n_cls: int) -> int:
+    return -(-n_cls // 128) * 128
+
+
+@partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
+                                   "accum_dtype", "k", "channels_last",
+                                   "n_cls_pad"),
+         donate_argnums=(0,))
+def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, *, cfg,
+                mirror_axes, compute_dtype, accum_dtype, k, channels_last,
+                n_cls_pad):
+    """Forward K tiles (scan) + K unrolled in-place adds into `buf`.
+
+    buf: (X,Y,Z,n_cls_pad) if channels_last else (n_cls,X,Y,Z), donated.
+    starts_c: (K,3) int32; valid: (K,) fp32 0/1 mask for padding tiles of
+    the last chunk (their prediction is zeroed, the forward still runs).
+    """
+    n_ch = vol.shape[0]
+    px, py, pz = gaussian.shape
+    n_cls = cfg.num_classes
+    gaussian = gaussian.astype(jnp.float32)
+    cast_params = jax.tree.map(
+        lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a,
+        fold_params)
+    n_folds = jax.tree.leaves(fold_params)[0].shape[0]
+
+    def fwd(_, inp):
+        s, v = inp
+        patch = jax.lax.dynamic_slice(vol, (0, s[0], s[1], s[2]),
+                                      (n_ch, px, py, pz))
+        x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
+        if n_folds == 1:
+            pred = _forward_tta(jax.tree.map(lambda a: a[0], cast_params),
+                                x, cfg, mirror_axes).astype(jnp.float32)
+        else:
+            def fold_step(acc, p):
+                return acc + _forward_tta(p, x, cfg, mirror_axes
+                                          ).astype(jnp.float32), None
+            pred, _ = jax.lax.scan(
+                fold_step, jnp.zeros((px, py, pz, n_cls), jnp.float32),
+                cast_params)
+            pred = pred / n_folds
+        pred = pred * (gaussian[..., None] * v)
+        if channels_last:
+            pred = jnp.pad(pred, ((0, 0),) * 3 + ((0, n_cls_pad - n_cls),))
+        else:
+            pred = jnp.transpose(pred, (3, 0, 1, 2))
+        return None, pred.astype(buf.dtype)
+
+    _, ys = jax.lax.scan(fwd, None, (starts_c, valid))
+
+    win = (px, py, pz, n_cls_pad) if channels_last else (n_cls, px, py, pz)
+    for i in range(k):  # straight-line: XLA updates the donated buf in place
+        s = starts_c[i]
+        idx = (s[0], s[1], s[2], 0) if channels_last else (0, s[0], s[1], s[2])
+        cur = jax.lax.dynamic_slice(buf, idx, win)
+        buf = jax.lax.dynamic_update_slice(
+            buf, (cur.astype(jnp.float32) + ys[i].astype(jnp.float32)
+                  ).astype(buf.dtype), idx)
+    return buf
+
+
+@partial(jax.jit, static_argnames=("n_cls", "revert", "channels_last",
+                                   "seg_dtype"))
+def _chunk_argmax(buf, *, n_cls, revert, channels_last, seg_dtype):
+    """argmax over the real classes of the (possibly padded) accumulator."""
+    rv = tuple(slice(b, e) for b, e in revert)
+    if channels_last:
+        return jnp.argmax(buf[rv + (slice(0, n_cls),)], axis=-1
+                          ).astype(seg_dtype)
+    return jnp.argmax(buf[(slice(None),) + rv], axis=0).astype(seg_dtype)
+
+
+def sliding_window_seg_chunked(
+    fold_params, vol, starts: "np.ndarray", gaussian, cfg: ArchConfig,
+    mirror_axes=(), compute_dtype=jnp.bfloat16, accum_dtype=jnp.float16,
+    seg_dtype=jnp.uint8, revert=None, k: int = _CHUNK_K,
+    accum_budget_bytes: float = 6e9):
+    """Fused sliding-window -> argmax via chunked in-place accumulation.
+
+    vol: (C,X,Y,Z) normalized+padded device array. starts: host (T,3) int32.
+    revert: per-axis (begin, end) of the unpadded region. Dispatches
+    ceil(T/k)+1 programs (all shared/compiled once per bucketed shape);
+    skipping the Gaussian weight normalization is argmax-exact (see
+    sliding_window_acc).
+    """
+    import numpy as np
+
+    n_cls = cfg.num_classes
+    n_cls_pad = _pad_classes(n_cls)
+    spatial = vol.shape[-3:]
+    channels_last = (float(np.prod(spatial)) * n_cls_pad *
+                     jnp.dtype(accum_dtype).itemsize) <= accum_budget_bytes
+    if channels_last:
+        buf = jnp.zeros(tuple(spatial) + (n_cls_pad,), accum_dtype)
+    else:
+        buf = jnp.zeros((n_cls,) + tuple(spatial), accum_dtype)
+
+    T = len(starts)
+    n_chunks = -(-T // k)
+    starts_pad = np.zeros((n_chunks * k, 3), np.int32)
+    starts_pad[:T] = starts
+    valid = np.zeros((n_chunks * k,), np.float32)
+    valid[:T] = 1.0
+    gaussian = jnp.asarray(gaussian)
+
+    # per-chunk starts/valid stay host numpy: they ride along with the
+    # dispatch instead of costing two device-slice round trips per chunk
+    # (~30 ms each through the tunnel)
+    for c in range(n_chunks):
+        buf = _chunk_step(
+            buf, fold_params, vol, starts_pad[c * k:(c + 1) * k],
+            valid[c * k:(c + 1) * k], gaussian, cfg=cfg,
+            mirror_axes=tuple(mirror_axes), compute_dtype=compute_dtype,
+            accum_dtype=accum_dtype, k=k, channels_last=channels_last,
+            n_cls_pad=n_cls_pad)
+    if revert is None:
+        revert = tuple((0, n) for n in spatial)
+    return _chunk_argmax(buf, n_cls=n_cls, revert=tuple(revert),
+                         channels_last=channels_last, seg_dtype=seg_dtype)

@@ -295,3 +295,30 @@ def test_weight_cache(tmp_path, monkeypatch):
     pred_mod.load_stacked_cached(store, 902, "nnUNetTrainer", "3d_fullres", (0,))
     keys = [k[1] for k in pred_mod._STACKED_CACHE]
     assert keys == [902]  # 901 evicted, 902 resident
+
+
+def test_chunked_layout_branches(plans, rng):
+    """sliding_window_seg_chunked: the channels-first (big-accumulator)
+    branch must match the channels-last fast path exactly."""
+    from boa_tpu.inference.sliding_window import sliding_window_seg_chunked
+    from boa_tpu.ops import preprocess as pp
+
+    _, params = _make_model(plans)
+    stacked = stack_fold_params([params])
+    cfg = plans.arch_config()
+    patch = plans.patch_size_xyz
+    vol = jnp.asarray(rng.normal(0, 1, (1, 24, 20, 18)).astype(np.float32))
+    pads = [(0, max(p - n, 0)) for p, n in zip(patch, vol.shape[1:])]
+    vol = jnp.pad(vol, [(0, 0)] + pads)
+    starts = pp.tile_starts(vol.shape[1:], patch, 0.5)
+    gauss = pp.gaussian_importance_map(patch)
+    revert = tuple((0, n) for n in (24, 20, 18))
+
+    seg_last = sliding_window_seg_chunked(
+        stacked, vol, starts, gauss, cfg, accum_dtype=jnp.float32,
+        revert=revert, k=3)
+    seg_first = sliding_window_seg_chunked(
+        stacked, vol, starts, gauss, cfg, accum_dtype=jnp.float32,
+        revert=revert, k=3, accum_budget_bytes=1)  # force channels-first
+    np.testing.assert_array_equal(np.asarray(seg_last), np.asarray(seg_first))
+    assert seg_last.shape == (24, 20, 18)

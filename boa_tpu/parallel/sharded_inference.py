@@ -120,6 +120,123 @@ def sliding_window_logits_sharded(
 
 
 # ---------------------------------------------------------------------------
+# chunked tile-sharded fused seg: the multi-chip form of
+# sliding_window_seg_chunked (see boa_tpu.inference.sliding_window) — the
+# scan-carried accumulator copies its full multi-GB buffer every tile on
+# this XLA (CLAUDE.md), so the accumulation runs as unrolled in-place adds
+# inside a short sequence of shard_map dispatches instead.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "mirror_axes",
+                                   "compute_dtype", "k"),
+         donate_argnums=(0,))
+def _sharded_chunk_step(buf, fold_params, vol, starts_c, valid, gauss, *,
+                        cfg, mesh, mirror_axes, compute_dtype, k):
+    """One chunk: every chip forwards k tiles and adds them into its own
+    partial accumulator slice buf[chip] (leading dp axis, sharded)."""
+    n_ch = vol.shape[0]
+    px, py, pz = gauss.shape
+    n_cls = cfg.num_classes
+    cast_params = jax.tree.map(
+        lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a,
+        fold_params)
+    n_folds = jax.tree.leaves(fold_params)[0].shape[0]
+
+    def shard_fn(buf, params, vol, starts, valid):
+        starts, valid = starts[0], valid[0]  # local (1, k, …) -> (k, …)
+
+        def fwd(_, inp):
+            s, ok = inp
+            patch = jax.lax.dynamic_slice(vol, (0, s[0], s[1], s[2]),
+                                          (n_ch, px, py, pz))
+            x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
+
+            def fold_step(acc, pr):
+                return acc + _forward_tta(pr, x, cfg, mirror_axes).astype(
+                    jnp.float32), None
+
+            pred_sum, _ = jax.lax.scan(
+                fold_step,
+                jax.lax.pvary(jnp.zeros((px, py, pz, n_cls), jnp.float32),
+                              ("dp",)),
+                params)
+            pred = (pred_sum / n_folds) * (gauss[..., None] * ok)
+            n_pad = buf.shape[-1] - n_cls  # class axis lane-padded like the
+            if n_pad:                      # single-chip path
+                pred = jnp.pad(pred, ((0, 0),) * 3 + ((0, n_pad),))
+            return None, pred.astype(buf.dtype)
+
+        _, ys = jax.lax.scan(fwd, None, (starts, valid))
+        ncp = buf.shape[-1]
+        for i in range(k):  # straight-line: in-place on the donated buf
+            s = starts[i]
+            idx = (0, s[0], s[1], s[2], 0)
+            cur = jax.lax.dynamic_slice(buf, idx, (1, px, py, pz, ncp))
+            buf = jax.lax.dynamic_update_slice(
+                buf, (cur.astype(jnp.float32) +
+                      ys[i][None].astype(jnp.float32)).astype(buf.dtype), idx)
+        return buf
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P("dp"), P(), P(), P("dp"), P("dp")),
+                       out_specs=P("dp"))
+    return fn(buf, cast_params, vol, starts_c, valid)
+
+
+def sliding_window_seg_sharded_chunked(
+    fold_params,
+    vol: jax.Array,          # (C, X, Y, Z) fp32, pre-padded ≥ patch
+    starts: np.ndarray,      # (T, 3) int32 tile starts
+    gaussian: np.ndarray,    # (px, py, pz) fp32
+    cfg: ArchConfig,
+    mesh: Mesh,
+    mirror_axes: tuple[int, ...] = (),
+    compute_dtype=jnp.bfloat16,
+    accum_dtype=jnp.float32,
+    seg_dtype=jnp.uint8,
+    k: int = 6,
+) -> jax.Array:
+    """Fused multilabel seg (X, Y, Z) over the mesh's `dp` axis.
+
+    Tiles interleave across chips; each dispatch runs k tiles per chip with
+    unrolled in-place accumulation into per-chip partials (leading dp axis,
+    sharded); the final jit sums over dp (GSPMD inserts the all-reduce) and
+    argmaxes — Gaussian weight normalization is skipped, argmax-invariant."""
+    n_dp = mesh.shape["dp"]
+    spatial = vol.shape[-3:]
+    n_cls = cfg.num_classes
+    starts_p, valid = pad_starts_for_mesh(np.asarray(starts, np.int32), n_dp)
+    order = np.arange(len(starts_p)).reshape(-1, n_dp).T.reshape(-1)
+    starts_p, valid = starts_p[order], valid[order]
+    # per-chip tile lists, padded to a multiple of k
+    per = len(starts_p) // n_dp
+    n_chunks = -(-per // k)
+    sh = np.zeros((n_dp, n_chunks * k, 3), np.int32)
+    va = np.zeros((n_dp, n_chunks * k), np.float32)
+    sh[:, :per] = starts_p.reshape(n_dp, per, 3)
+    va[:, :per] = valid.reshape(n_dp, per)
+
+    n_cls_pad = -(-n_cls // 128) * 128  # lane-align the accumulator minor dim
+    buf = jax.device_put(
+        jnp.zeros((n_dp,) + tuple(spatial) + (n_cls_pad,), accum_dtype),
+        NamedSharding(mesh, P("dp")))
+    gauss = jnp.asarray(gaussian, jnp.float32)
+    for c in range(n_chunks):
+        buf = _sharded_chunk_step(
+            buf, fold_params, vol, sh[:, c * k:(c + 1) * k],
+            va[:, c * k:(c + 1) * k], gauss, cfg=cfg, mesh=mesh,
+            mirror_axes=tuple(mirror_axes), compute_dtype=compute_dtype, k=k)
+
+    @jax.jit
+    def reduce_argmax(buf):
+        total = jnp.sum(buf.astype(jnp.float32), axis=0)  # GSPMD all-reduce
+        return jnp.argmax(total[..., :n_cls], axis=-1).astype(seg_dtype)
+
+    return reduce_argmax(buf)
+
+
+# ---------------------------------------------------------------------------
 # z-halo slab sharding (the reference's z triple-split, SPMD-ified)
 # ---------------------------------------------------------------------------
 

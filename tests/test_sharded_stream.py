@@ -136,3 +136,27 @@ def test_zslab_sharded_matches_serial_slabs(rng):
         ref[:, :, :, idx * slab:(idx + 1) * slab] = \
             fused[:, :, :, inner:inner + slab]
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_chunked_seg_matches_single_device(rng):
+    """Chunked in-place multi-chip path == single-device argmax seg."""
+    from boa_tpu.parallel.sharded_inference import \
+        sliding_window_seg_sharded_chunked
+
+    cfg = _cfg()
+    params = [init_unet(jax.random.PRNGKey(k), cfg) for k in range(2)]
+    stacked = stack_fold_params(params)
+    vol = rng.normal(size=(1, 24, 20, 18)).astype(np.float32)
+    patch = (16, 16, 16)
+    starts = pp.tile_starts(vol.shape[1:], patch, 0.5)
+    gauss = pp.gaussian_importance_map(patch)
+
+    ref = np.asarray(sliding_window_logits(
+        stacked, jnp.asarray(vol), jnp.asarray(starts), jnp.asarray(gauss),
+        cfg, (), jnp.float32, jnp.float32)).argmax(0)
+
+    mesh = make_mesh(8, ("dp",), (8,))
+    got = np.asarray(sliding_window_seg_sharded_chunked(
+        stacked, jnp.asarray(vol), starts, gauss, cfg, mesh,
+        compute_dtype=jnp.float32, accum_dtype=jnp.float32, k=2))
+    np.testing.assert_array_equal(got, ref.astype(got.dtype))

@@ -308,6 +308,11 @@ class Predictor:
             old_accum = self.accum_dtype
             try:
                 seg_cropped = self._predict_seg_fused(dev, scheme)
+                # the chunked path allocates + fills the accumulator across
+                # several async dispatches, so an HBM OOM surfaces at the
+                # NEXT blocking readback, not at dispatch — force a 1-voxel
+                # readback here so the fp16 retry below still catches it
+                np.asarray(seg_cropped[:1, :1, :1])
             except Exception as exc:  # HBM OOM → force fp16 accumulators
                 if "RESOURCE_EXHAUSTED" not in str(exc):
                     raise

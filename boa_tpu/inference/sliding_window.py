@@ -54,6 +54,44 @@ def _forward_tta(params, x: jax.Array, cfg: ArchConfig,
     return out[0]
 
 
+def tile_pred(cast_params, vol, start, gauss_w, cfg: ArchConfig,
+              mirror_axes, compute_dtype, patch_shape,
+              pvary_axes: tuple[str, ...] = ()) -> jax.Array:
+    """Gauss-weighted fold-ensemble prediction of ONE tile.
+
+    The shared per-tile body of every sliding-window variant (single-chip
+    scan, chunked, sharded): dynamic-slice the patch at `start`, NXYZC
+    forward (+ mirror TTA) per fold (folds==1 skips the fold scan's
+    zeros-init+add pass), mean over folds, multiply by the Gaussian map
+    `gauss_w` ((px,py,pz) or (px,py,pz,1), already scaled by any validity
+    mask). Returns (px, py, pz, n_cls) fp32. `pvary_axes` marks the fold
+    accumulator device-varying inside shard_map bodies.
+    """
+    px, py, pz = patch_shape
+    n_ch = vol.shape[0]
+    n_cls = cfg.num_classes
+    patch = jax.lax.dynamic_slice(vol, (0, start[0], start[1], start[2]),
+                                  (n_ch, px, py, pz))
+    x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
+    n_folds = jax.tree.leaves(cast_params)[0].shape[0]
+    if n_folds == 1:
+        pred = _forward_tta(jax.tree.map(lambda a: a[0], cast_params),
+                            x, cfg, mirror_axes).astype(jnp.float32)
+    else:
+        def fold_step(acc, p):
+            return acc + _forward_tta(p, x, cfg, mirror_axes
+                                      ).astype(jnp.float32), None
+
+        zero = jnp.zeros((px, py, pz, n_cls), jnp.float32)
+        if pvary_axes:
+            zero = jax.lax.pvary(zero, pvary_axes)
+        pred, _ = jax.lax.scan(fold_step, zero, cast_params)
+        pred = pred / n_folds
+    if gauss_w.ndim == 3:
+        gauss_w = gauss_w[..., None]
+    return pred * gauss_w
+
+
 def sliding_window_acc(
     fold_params,            # pytree with leading fold axis F on every leaf
     vol: jax.Array,         # (C, X, Y, Z) fp32, pre-padded to >= patch
@@ -91,27 +129,12 @@ def sliding_window_acc(
 
     cast_params = jax.tree.map(
         lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, fold_params)
-    n_folds = jax.tree.leaves(fold_params)[0].shape[0]
 
     def one_tile(carry, start):
         logits, weights = carry
         sx, sy, sz = start[0], start[1], start[2]
-        patch = jax.lax.dynamic_slice(vol, (0, sx, sy, sz), (n_ch, px, py, pz))
-        x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
-
-        if n_folds == 1:  # no fold loop: skip the zeros-init + add pass
-            pred_sum = _forward_tta(
-                jax.tree.map(lambda a: a[0], cast_params), x, cfg,
-                mirror_axes).astype(jnp.float32)
-        else:
-            def fold_step(acc, p):
-                pred = _forward_tta(p, x, cfg, mirror_axes).astype(jnp.float32)
-                return acc + pred, None
-
-            pred_sum, _ = jax.lax.scan(
-                fold_step, jnp.zeros((px, py, pz, n_cls), jnp.float32),
-                cast_params)
-        pred = (pred_sum / n_folds) * gaussian[..., None]
+        pred = tile_pred(cast_params, vol, start, gaussian, cfg, mirror_axes,
+                         compute_dtype, (px, py, pz))
 
         cur = jax.lax.dynamic_slice(logits, (sx, sy, sz, 0), (px, py, pz, n_cls))
         logits = jax.lax.dynamic_update_slice(
@@ -192,44 +215,28 @@ def _pad_classes(n_cls: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
-                                   "accum_dtype", "k", "channels_last",
-                                   "n_cls_pad"),
+                                   "k", "channels_last", "n_cls_pad"),
          donate_argnums=(0,))
 def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, *, cfg,
-                mirror_axes, compute_dtype, accum_dtype, k, channels_last,
-                n_cls_pad):
+                mirror_axes, compute_dtype, k, channels_last, n_cls_pad):
     """Forward K tiles (scan) + K unrolled in-place adds into `buf`.
 
-    buf: (X,Y,Z,n_cls_pad) if channels_last else (n_cls,X,Y,Z), donated.
-    starts_c: (K,3) int32; valid: (K,) fp32 0/1 mask for padding tiles of
-    the last chunk (their prediction is zeroed, the forward still runs).
+    buf: (X,Y,Z,n_cls_pad) if channels_last else (n_cls,X,Y,Z), donated
+    (its dtype IS the accumulation dtype). starts_c: (K,3) int32; valid:
+    (K,) fp32 0/1 mask for padding tiles of the last chunk (their
+    prediction is zeroed, the forward still runs).
     """
-    n_ch = vol.shape[0]
     px, py, pz = gaussian.shape
     n_cls = cfg.num_classes
     gaussian = gaussian.astype(jnp.float32)
     cast_params = jax.tree.map(
         lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a,
         fold_params)
-    n_folds = jax.tree.leaves(fold_params)[0].shape[0]
 
     def fwd(_, inp):
         s, v = inp
-        patch = jax.lax.dynamic_slice(vol, (0, s[0], s[1], s[2]),
-                                      (n_ch, px, py, pz))
-        x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
-        if n_folds == 1:
-            pred = _forward_tta(jax.tree.map(lambda a: a[0], cast_params),
-                                x, cfg, mirror_axes).astype(jnp.float32)
-        else:
-            def fold_step(acc, p):
-                return acc + _forward_tta(p, x, cfg, mirror_axes
-                                          ).astype(jnp.float32), None
-            pred, _ = jax.lax.scan(
-                fold_step, jnp.zeros((px, py, pz, n_cls), jnp.float32),
-                cast_params)
-            pred = pred / n_folds
-        pred = pred * (gaussian[..., None] * v)
+        pred = tile_pred(cast_params, vol, s, gaussian[..., None] * v, cfg,
+                         mirror_axes, compute_dtype, (px, py, pz))
         if channels_last:
             pred = jnp.pad(pred, ((0, 0),) * 3 + ((0, n_cls_pad - n_cls),))
         else:
@@ -301,8 +308,7 @@ def sliding_window_seg_chunked(
             buf, fold_params, vol, starts_pad[c * k:(c + 1) * k],
             valid[c * k:(c + 1) * k], gaussian, cfg=cfg,
             mirror_axes=tuple(mirror_axes), compute_dtype=compute_dtype,
-            accum_dtype=accum_dtype, k=k, channels_last=channels_last,
-            n_cls_pad=n_cls_pad)
+            k=k, channels_last=channels_last, n_cls_pad=n_cls_pad)
     if revert is None:
         revert = tuple((0, n) for n in spatial)
     return _chunk_argmax(buf, n_cls=n_cls, revert=tuple(revert),

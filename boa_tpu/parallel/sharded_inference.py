@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from boa_tpu.inference.sliding_window import _forward_tta
+from boa_tpu.inference.sliding_window import _forward_tta, tile_pred
 from boa_tpu.models.unet import ArchConfig
 
 
@@ -141,27 +141,15 @@ def _sharded_chunk_step(buf, fold_params, vol, starts_c, valid, gauss, *,
     cast_params = jax.tree.map(
         lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a,
         fold_params)
-    n_folds = jax.tree.leaves(fold_params)[0].shape[0]
 
     def shard_fn(buf, params, vol, starts, valid):
         starts, valid = starts[0], valid[0]  # local (1, k, …) -> (k, …)
 
         def fwd(_, inp):
             s, ok = inp
-            patch = jax.lax.dynamic_slice(vol, (0, s[0], s[1], s[2]),
-                                          (n_ch, px, py, pz))
-            x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
-
-            def fold_step(acc, pr):
-                return acc + _forward_tta(pr, x, cfg, mirror_axes).astype(
-                    jnp.float32), None
-
-            pred_sum, _ = jax.lax.scan(
-                fold_step,
-                jax.lax.pvary(jnp.zeros((px, py, pz, n_cls), jnp.float32),
-                              ("dp",)),
-                params)
-            pred = (pred_sum / n_folds) * (gauss[..., None] * ok)
+            pred = tile_pred(params, vol, s, gauss[..., None] * ok, cfg,
+                             mirror_axes, compute_dtype, (px, py, pz),
+                             pvary_axes=("dp",))
             n_pad = buf.shape[-1] - n_cls  # class axis lane-padded like the
             if n_pad:                      # single-chip path
                 pred = jnp.pad(pred, ((0, 0),) * 3 + ((0, n_pad),))
@@ -182,6 +170,12 @@ def _sharded_chunk_step(buf, fold_params, vol, starts_c, valid, gauss, *,
                        in_specs=(P("dp"), P(), P(), P("dp"), P("dp")),
                        out_specs=P("dp"))
     return fn(buf, cast_params, vol, starts_c, valid)
+
+
+@partial(jax.jit, static_argnames=("n_cls", "seg_dtype"))
+def _reduce_argmax(buf, *, n_cls, seg_dtype):
+    total = jnp.sum(buf.astype(jnp.float32), axis=0)  # GSPMD all-reduce
+    return jnp.argmax(total[..., :n_cls], axis=-1).astype(seg_dtype)
 
 
 def sliding_window_seg_sharded_chunked(
@@ -228,12 +222,7 @@ def sliding_window_seg_sharded_chunked(
             va[:, c * k:(c + 1) * k], gauss, cfg=cfg, mesh=mesh,
             mirror_axes=tuple(mirror_axes), compute_dtype=compute_dtype, k=k)
 
-    @jax.jit
-    def reduce_argmax(buf):
-        total = jnp.sum(buf.astype(jnp.float32), axis=0)  # GSPMD all-reduce
-        return jnp.argmax(total[..., :n_cls], axis=-1).astype(seg_dtype)
-
-    return reduce_argmax(buf)
+    return _reduce_argmax(buf, n_cls=n_cls, seg_dtype=seg_dtype)
 
 
 # ---------------------------------------------------------------------------

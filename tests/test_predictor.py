@@ -322,3 +322,32 @@ def test_chunked_layout_branches(plans, rng):
         revert=revert, k=3, accum_budget_bytes=1)  # force channels-first
     np.testing.assert_array_equal(np.asarray(seg_last), np.asarray(seg_first))
     assert seg_last.shape == (24, 20, 18)
+
+
+def test_chunked_matches_reference_logits(plans, rng):
+    """sliding_window_seg_chunked (the production fused path) == argmax of
+    the weight-normalized reference accumulation, with 2 folds and a chunk
+    size that forces a padded (masked) last chunk."""
+    from boa_tpu.inference.sliding_window import (sliding_window_logits,
+                                                  sliding_window_seg_chunked)
+    from boa_tpu.ops import preprocess as pp
+
+    params = [_make_model(plans, seed=s)[1] for s in (0, 1)]
+    stacked = stack_fold_params(params)
+    cfg = plans.arch_config()
+    patch = plans.patch_size_xyz
+    vol = jnp.asarray(rng.normal(0, 1, (1, 28, 24, 16)).astype(np.float32))
+    pads = [(0, max(p - n, 0)) for p, n in zip(patch, vol.shape[1:])]
+    vol = jnp.pad(vol, [(0, 0)] + pads)
+    starts = pp.tile_starts(vol.shape[1:], patch, 0.5)
+    assert len(starts) % 4 != 0  # k=4 exercises the valid-mask padding
+    gauss = pp.gaussian_importance_map(patch)
+
+    ref = np.asarray(sliding_window_logits(
+        stacked, vol, jnp.asarray(starts), jnp.asarray(gauss), cfg, (),
+        jnp.float32, jnp.float32)).argmax(0)
+    got = np.asarray(sliding_window_seg_chunked(
+        stacked, vol, starts, gauss, cfg, compute_dtype=jnp.float32,
+        accum_dtype=jnp.float32, k=4,
+        revert=tuple((0, n) for n in vol.shape[1:])))
+    np.testing.assert_array_equal(got, ref.astype(got.dtype))

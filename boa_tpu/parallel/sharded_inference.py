@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from boa_tpu.inference.sliding_window import _forward_tta, tile_pred
+from boa_tpu.inference.sliding_window import tile_pred
 from boa_tpu.models.unet import ArchConfig
 
 
@@ -68,7 +68,6 @@ def sliding_window_logits_sharded(
     cast_params = jax.tree.map(
         lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a,
         fold_params)
-    n_folds = jax.tree.leaves(fold_params)[0].shape[0]
 
     def shard_fn(params, vol, starts, valid):
         # mark accumulators as device-varying so scan carries typecheck
@@ -81,21 +80,11 @@ def sliding_window_logits_sharded(
             logits, weights = carry
             start, ok = inp
             sx, sy, sz = start[0], start[1], start[2]
-            patch = jax.lax.dynamic_slice(vol, (0, sx, sy, sz),
-                                          (n_ch, px, py, pz))
-            x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
-
-            def fold_step(acc, pr):
-                return acc + _forward_tta(pr, x, cfg, mirror_axes).astype(
-                    jnp.float32), None
-
-            pred_sum, _ = jax.lax.scan(
-                fold_step,
-                jax.lax.pvary(jnp.zeros((px, py, pz, n_cls), jnp.float32),
-                              ("dp",)),
-                params)
-            pred = jnp.transpose(pred_sum / n_folds, (3, 0, 1, 2)) \
-                * gauss * ok
+            pred = jnp.transpose(
+                tile_pred(params, vol, start, gauss[..., None] * ok, cfg,
+                          mirror_axes, compute_dtype, (px, py, pz),
+                          pvary_axes=("dp",)),
+                (3, 0, 1, 2))
             cur = jax.lax.dynamic_slice(logits, (0, sx, sy, sz),
                                         (n_cls, px, py, pz))
             logits = jax.lax.dynamic_update_slice(logits, cur + pred,
@@ -275,7 +264,6 @@ def sliding_window_logits_zslab(
     cast_params = jax.tree.map(
         lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a,
         fold_params)
-    n_folds = jax.tree.leaves(fold_params)[0].shape[0]
 
     def shard_fn(params, volp):
         idx = jax.lax.axis_index("dp")
@@ -290,20 +278,10 @@ def sliding_window_logits_zslab(
         def one_tile(carry, start):
             logits, weights = carry
             sx, sy, sz = start[0], start[1], start[2]
-            patch = jax.lax.dynamic_slice(slab_vol, (0, sx, sy, sz),
-                                          (n_ch, px, py, pz))
-            x = jnp.transpose(patch, (1, 2, 3, 0))[None].astype(compute_dtype)
-
-            def fold_step(acc, pr):
-                return acc + _forward_tta(pr, x, cfg, mirror_axes).astype(
-                    jnp.float32), None
-
-            pred_sum, _ = jax.lax.scan(
-                fold_step,
-                jax.lax.pvary(jnp.zeros((px, py, pz, n_cls), jnp.float32),
-                              ("dp",)),
-                params)
-            pred = jnp.transpose(pred_sum / n_folds, (3, 0, 1, 2)) * gauss
+            pred = jnp.transpose(
+                tile_pred(params, slab_vol, start, gauss, cfg, mirror_axes,
+                          compute_dtype, (px, py, pz), pvary_axes=("dp",)),
+                (3, 0, 1, 2))
             cur = jax.lax.dynamic_slice(logits, (0, sx, sy, sz),
                                         (n_cls, px, py, pz))
             logits = jax.lax.dynamic_update_slice(logits, cur + pred,

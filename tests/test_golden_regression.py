@@ -76,3 +76,58 @@ def test_persistent_config(tmp_path, monkeypatch):
     assert pc.get_license_number() == "aca_12345678AB"
     # reload from disk
     assert pc.setup_config()["prediction_counter"] == 2
+
+
+# --- real-data round trip against the reference's committed example -------
+_REF_EXAMPLES = Path("/root/reference/body_organ_analysis/_external/"
+                     "nnunetv2/tests/example_data")
+
+
+@pytest.mark.skipif(not _REF_EXAMPLES.exists(),
+                    reason="reference example data not available")
+def test_example_ct_body_roundtrip():
+    """Real CT through the full pipeline geometry (parity:
+    `nnunet.py:560-578` test=N substitutes a committed segmentation for
+    the network call; `example_ct_sm_T300_output.nii.gz` is nnU-Net's
+    committed expected body mask for `example_ct_sm.nii.gz`).
+
+    The fake prediction is the committed mask nearest-downsampled to the
+    6 mm model grid; the pipeline's resample-back/undo-orientation must
+    reproduce the committed mask up to the down-up boundary voxels — on a
+    genuine scanner affine, and again on an axis-flipped (LPS-style) copy
+    of the same volume."""
+    from boa_tpu.inference.pipeline import predict_image
+    from boa_tpu.ops import resample as rs
+
+    ct = nifti.load(_REF_EXAMPLES / "example_ct_sm.nii.gz")
+    golden = np.asarray(
+        nifti.load(_REF_EXAMPLES / "example_ct_sm_T300_output.nii.gz").data
+    ) > 0
+
+    def fake(vol, spacing, task_id):
+        assert task_id == 300 and abs(spacing[0] - 6.0) < 1e-6
+        return np.asarray(rs.resample_nearest_host(
+            golden.astype(np.uint8), vol.shape, convention="zoom"))
+
+    def dice(a, b):
+        return 2 * (a & b).sum() / max(a.sum() + b.sum(), 1)
+
+    res = predict_image(ct, "body", None, fast=True, fake_predict=fake)
+    assert res.seg.shape == ct.shape
+    np.testing.assert_allclose(res.seg.affine, ct.affine)
+    d = dice(np.asarray(res.seg.data) > 0, golden)
+    assert d > 0.93, f"round-trip dice {d:.4f}"
+
+    # same study, voxel axes flipped (LPS-style affine): identical world-
+    # space result expected after the pipeline's canonicalization
+    data_f = np.asarray(ct.data)[::-1, ::-1, :].copy()
+    aff_f = ct.affine.copy()
+    aff_f[:, 0] *= -1
+    aff_f[:, 1] *= -1
+    aff_f[:3, 3] = (ct.affine @ np.array(
+        [ct.shape[0] - 1, ct.shape[1] - 1, 0, 1]))[:3]
+    ct_f = nifti.NiftiImage(data=data_f, affine=aff_f)
+    res_f = predict_image(ct_f, "body", None, fast=True, fake_predict=fake)
+    seg_unflipped = np.asarray(res_f.seg.data)[::-1, ::-1, :]
+    d_f = dice(seg_unflipped > 0, golden)
+    assert d_f > 0.93, f"flipped round-trip dice {d_f:.4f}"

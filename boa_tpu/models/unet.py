@@ -124,30 +124,9 @@ def _conv(x: jax.Array, w: jax.Array, b: jax.Array | None,
     on v5e, transposes included. Exact same arithmetic (bf16
     accumulation-order noise only).
     """
-    kx, ky, kz, ci, co = w.shape
-    n, X, Y, Z, _ = x.shape
-    sx, sy, sz = stride
-    (plx, phx), (ply, phy), (plz, phz) = padding
-    w = w.astype(x.dtype)
-
-    zp = Z + plz + phz
-    zout = (zp - kz) // sz + 1
-    xb = jnp.transpose(x, (0, 3, 1, 2, 4))  # (N, Z, X, Y, C)
-    if plz or phz:
-        xb = jnp.pad(xb, ((0, 0), (plz, phz), (0, 0), (0, 0), (0, 0)))
-    out = None
-    for dz in range(kz):
-        sl = xb[:, dz:dz + (zout - 1) * sz + 1:sz]
-        slb = sl.reshape(n * zout, X, Y, ci)
-        y = jax.lax.conv_general_dilated(
-            slb, w[:, :, dz], window_strides=(sx, sy),
-            padding=((plx, phx), (ply, phy)), dimension_numbers=_DN2)
-        out = y if out is None else out + y
-    xo, yo = out.shape[1], out.shape[2]
-    out = jnp.transpose(out.reshape(n, zout, xo, yo, co), (0, 2, 3, 1, 4))
-    if b is not None:
-        out = out + b.astype(out.dtype)
-    return out
+    xz = jnp.transpose(x, (0, 3, 1, 2, 4))  # (N, Z, X, Y, C)
+    out = _conv_zm(xz, w, b, stride, padding)
+    return jnp.transpose(out, (0, 2, 3, 1, 4))
 
 
 def _same_pad(kernel: Sequence[int]) -> list[tuple[int, int]]:

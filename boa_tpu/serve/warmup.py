@@ -1,0 +1,101 @@
+"""Pre-compile the serving programs for a task's bucketed volume shapes.
+
+First-study latency is compile-dominated (~minutes of XLA compiles for a
+fresh process/model — CLAUDE.md); the persistent compilation cache
+(`~/.boa_tpu/jax_cache`) makes that a one-time cost, and this tool pays it
+at deploy time instead of on the first clinical study. The reference has
+no equivalent (torch/cuDNN kernels are precompiled); this is the
+TPU-native analogue of image-build-time weight baking
+(`scripts/download_weights.py:13-34`).
+
+Programs are keyed by (architecture, bucketed volume shape, fold count,
+dtypes) — weight VALUES don't matter, so warming with the real model's
+architecture covers the real weights too.
+
+CLI:
+    python -m boa_tpu.serve.warmup --task total --fast \
+        --xy 512 --z-range 200 600 [--bucket 64] [--spacing 1.5 1.5 3.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+from boa_tpu.inference.pipeline import predict_image
+from boa_tpu.io.nifti import NiftiImage
+from boa_tpu.tasks.registry import get_task
+from boa_tpu.weights.store import ModelStore
+
+logger = logging.getLogger(__name__)
+
+
+def bucket_z_values(z_lo: int, z_hi: int, bucket: int) -> list[int]:
+    """Distinct bucketed z extents a [z_lo, z_hi] stream can produce."""
+    zs = sorted({-(-z // bucket) * bucket for z in range(z_lo, z_hi + 1)})
+    return zs
+
+
+def warmup_task(store: ModelStore, task_name: str, *, fast: bool = False,
+                xy: int = 512, z_range: tuple[int, int] = (200, 600),
+                bucket: int = 64,
+                spacing: tuple[float, float, float] = (1.5, 1.5, 3.0),
+                dtype: str = "bfloat16") -> list[float]:
+    """Run one tiny-content study per bucketed shape so every program in
+    the serving path (resample, chunked sliding window, argmax) lands in
+    the in-process jit cache AND the persistent compilation cache."""
+    task = get_task(task_name, fast=fast) if task_name in ("total", "body") \
+        else get_task(task_name)
+    # model-grid z extent for a raw z: the pipeline resamples spacing[2] ->
+    # task resample z (warmup must enumerate MODEL-GRID buckets, which is
+    # what the predictor pads)
+    times = []
+    for z_raw in _raw_z_for_buckets(task, spacing, z_range, bucket):
+        vol = np.zeros((xy, xy, z_raw), np.int16)
+        affine = np.diag([-spacing[0], -spacing[1], spacing[2], 1.0])
+        img = NiftiImage(data=vol, affine=affine)
+        t0 = time.perf_counter()
+        predict_image(img, task_name, store, fast=fast, bucket=bucket)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        logger.info("warmed z=%d in %.1fs", z_raw, dt)
+    return times
+
+
+def _raw_z_for_buckets(task, spacing, z_range, bucket) -> list[int]:
+    """One representative raw z per distinct bucketed model-grid extent."""
+    resample = task.resample
+    zf = 1.0 if resample is None else spacing[2] / resample[2]
+    seen, out = set(), []
+    for z in range(z_range[0], z_range[1] + 1):
+        z_model = int(round(z * zf))
+        zb = -(-max(z_model, 1) // bucket) * bucket
+        if zb not in seen:
+            seen.add(zb)
+            out.append(z)
+    return out
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--task", default="total")
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--xy", type=int, default=512)
+    ap.add_argument("--z-range", type=int, nargs=2, default=(200, 600))
+    ap.add_argument("--bucket", type=int, default=64)
+    ap.add_argument("--spacing", type=float, nargs=3, default=(1.5, 1.5, 3.0))
+    ap.add_argument("--weights", default=None, help="weights root override")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    store = ModelStore(args.weights)
+    times = warmup_task(store, args.task, fast=args.fast, xy=args.xy,
+                        z_range=tuple(args.z_range), bucket=args.bucket,
+                        spacing=tuple(args.spacing))
+    print(f"warmed {len(times)} bucketed shapes in {sum(times):.1f}s")
+
+
+if __name__ == "__main__":
+    main()

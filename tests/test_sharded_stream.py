@@ -160,3 +160,23 @@ def test_sharded_chunked_seg_matches_single_device(rng):
         stacked, jnp.asarray(vol), starts, gauss, cfg, mesh,
         compute_dtype=jnp.float32, accum_dtype=jnp.float32, k=2))
     np.testing.assert_array_equal(got, ref.astype(got.dtype))
+
+
+def test_warmup_buckets(tmp_path):
+    """Warmup enumerates one representative raw z per bucketed model-grid
+    extent and runs the pipeline for each (fake weights, tiny shapes)."""
+    from boa_tpu.serve import warmup as wu
+    from boa_tpu.weights.store import ModelStore, create_synthetic_model
+
+    assert wu.bucket_z_values(60, 140, 64) == [64, 128, 192]
+
+    create_synthetic_model(tmp_path, 297, "TotalFast", num_classes=3,
+                           trainer="nnUNetTrainer_4000epochs_NoMirroring",
+                           patch_size=(16, 16, 16), features=(4, 8),
+                           n_folds=1)
+    store = ModelStore(tmp_path)
+    times = wu.warmup_task(store, "total", fast=True, xy=24,
+                           z_range=(20, 40), bucket=16,
+                           spacing=(3.0, 3.0, 3.0))
+    # 3 mm -> 3 mm model grid: z 20..40 buckets to {32, 48} -> 2 programs
+    assert len(times) == 2

@@ -5,14 +5,17 @@ Parity: `totalsegmentator/bin/totalseg_evans_index.py` — Evans index =
 transverse diameter), measured on the slice of the maximal horn diameter
 (`max_diameter_x:55-79`), plus ventricle/brain volumes and a rendered
 overview image. The reference aligns the head with an ANTs atlas
-registration first; here the measurement runs in native axial space
-(valid for the axial CTs BOA gates on) — documented deviation.
+registration first; here in-plane head rotation is normalized from the
+brain mask's axial principal axes (`inplane_rotation_deg`) — atlas-free,
+covering the dominant pose error for transverse diameters; out-of-plane
+tilt remains a documented deviation (BOA gates on axial CTs, |nz|>=0.85).
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import math
 from pathlib import Path
 
 import numpy as np
@@ -20,6 +23,45 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 FRONTAL_HORN_LABELS = ("frontal_horn_left", "frontal_horn_right")
+
+
+def inplane_rotation_deg(brain_mask: np.ndarray) -> float:
+    """In-plane head rotation from the brain mask's axial second moments.
+
+    The reference normalizes head pose with an ANTs atlas registration
+    (`bin/totalseg_evans_index.py` + `registration.py`); the dominant
+    error source for the transverse Evans diameters is IN-PLANE rotation,
+    which the principal axis of the axial (x, y) point cloud recovers
+    without an atlas: the head's anterior-posterior extent is the major
+    axis, so the measurement frame rotates it onto +y. Returns degrees in
+    (-45, 45]; out-of-plane tilt remains a documented deviation.
+    """
+    idx = np.argwhere(brain_mask)
+    if len(idx) < 16:
+        return 0.0
+    xy = idx[:, :2].astype(np.float64)
+    xy -= xy.mean(axis=0)
+    cov = xy.T @ xy / len(xy)
+    evals, evecs = np.linalg.eigh(cov)
+    major = evecs[:, int(np.argmax(evals))]  # (x, y) of the AP axis
+    ang = math.degrees(math.atan2(-major[0], major[1]))  # 0 when AP == +y
+    if ang > 90:
+        ang -= 180
+    elif ang <= -90:
+        ang += 180
+    # a >45° estimate means the axial silhouette is wider than it is long
+    # (atypical anatomy or bad mask) — distrust it and measure unrotated
+    return float(ang) if abs(ang) <= 45.0 else 0.0
+
+
+def _rotate_masks_inplane(deg: float, *masks: np.ndarray):
+    """Order-0 in-plane rotation about the volume center (scipy host op —
+    head volumes are small and this runs once per study)."""
+    from scipy import ndimage as ndi
+
+    return tuple(
+        ndi.rotate(m.astype(np.uint8), deg, axes=(1, 0), reshape=False,
+                   order=0, prefilter=False) > 0 for m in masks)
 
 
 def max_diameter_x(mask: np.ndarray):
@@ -48,6 +90,10 @@ def evans_index(ventricle_seg: np.ndarray,
     if not horns.any() or not brain_mask.any():
         return {"success": False,
                 "reason": "empty ventricle or brain segmentation"}
+    rot_deg = inplane_rotation_deg(brain_mask)
+    if abs(rot_deg) > 1.0:  # measure in the head-aligned frame
+        horns, brain_mask = _rotate_masks_inplane(-rot_deg, horns,
+                                                  brain_mask)
     d_v, (start_v, end_v) = max_diameter_x(horns)
     z = start_v[2]
     # brain diameter on the same slice (reference measures at horn slice)
@@ -68,6 +114,7 @@ def evans_index(ventricle_seg: np.ndarray,
         "brain_volume_ml": round(brain_vol, 1),
         "ventricle_brain_ratio": round(vent_vol / max(brain_vol, 1e-6), 4),
         "slice": int(z),
+        "inplane_rotation_deg": round(rot_deg, 2),
     }
     if plot_file is not None:
         _plot(brain_mask, start_b, end_b, start_v, end_v, result, plot_file)

@@ -157,3 +157,34 @@ def test_weights_manager_cli(tmp_path, monkeypatch):
         298, trainer="nnUNetTrainer_4000epochs_NoMirroring")
     assert plans.num_segmentation_heads == 118
     assert len(params) == 1
+
+
+def test_evans_index_inplane_alignment():
+    """A rotated head yields the same Evans index as the aligned one: the
+    moment-based in-plane normalization (atlas-free stand-in for the
+    reference's ANTs registration) recovers the rotation."""
+    from scipy import ndimage as ndi
+
+    from boa_tpu.tools.evans_index import inplane_rotation_deg
+
+    # head-like ellipse, AP (y) longer than LR (x); horns near the front
+    yy, xx = np.mgrid[0:80, 0:80]
+    ell = ((xx - 40) ** 2 / 24 ** 2 + (yy - 40) ** 2 / 34 ** 2) < 1.0
+    brain0 = np.repeat(ell.T[:, :, None], 8, axis=2)
+    vent0 = np.zeros((80, 80, 8), np.uint8)
+    vent0[28:36, 52, 4] = 1
+    vent0[44:52, 52, 4] = 2
+    label_map = {1: "frontal_horn_left", 2: "frontal_horn_right"}
+
+    ref = evans_index(vent0, label_map, brain0, (1.0, 1.0, 5.0))
+    assert ref["success"] and abs(ref["inplane_rotation_deg"]) < 1.5
+
+    deg = 14.0
+    brain_r = ndi.rotate(brain0.astype(np.uint8), deg, axes=(1, 0),
+                         reshape=False, order=0) > 0
+    vent_r = ndi.rotate(vent0, deg, axes=(1, 0), reshape=False, order=0)
+    est = inplane_rotation_deg(brain_r)
+    assert est == pytest.approx(deg, abs=2.0)
+    got = evans_index(vent_r, label_map, brain_r, (1.0, 1.0, 5.0))
+    assert got["success"]
+    assert got["evans_index"] == pytest.approx(ref["evans_index"], abs=0.03)

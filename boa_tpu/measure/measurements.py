@@ -174,7 +174,9 @@ def compute_measurements_arrays(
             raise ValueError("segmentation and CT grids differ")
         label_map = _class_map_for_model(model_name)
         num_classes = max(label_map.values()) + 1
-        seg_dev = jnp.asarray(seg.astype(np.int32))
+        # upload at native (u)int8/16 width — the int32 cast runs on
+        # device (4x less tunnel traffic than casting on the host first)
+        seg_dev = jnp.asarray(seg)
         res = segmented_stats(seg_dev, ct_dev, num_classes, with_histogram=True)
         hists = np.asarray(res["hist"])
 

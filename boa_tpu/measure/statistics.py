@@ -30,32 +30,46 @@ def segmented_stats(seg: jax.Array, ct: jax.Array, num_classes: int,
     """Returns dict of per-class arrays:
     count, hu_sum, hu_sumsq, border (1 if class touches any 3-voxel margin),
     hist (num_classes, N_BINS) when with_histogram.
+
+    One scatter pass builds the exact per-class integer-HU histogram; every
+    moment then derives from the (num_classes, 4096) histogram instead of
+    separate full-volume scatter reductions — TPU scatter cost scales with
+    UPDATE count (78M for a 512×512×300 study), so the three extra
+    per-class segment-sums cost ~0.7 s each while the 4096-term
+    histogram contractions are microseconds. The border indicator only
+    needs the 3-voxel face shell (~3% of voxels), so its scatter runs on
+    the concatenated face slabs.
     """
     segf = seg.astype(jnp.int32).ravel()
     cti = jnp.clip(ct.astype(jnp.int32), HU_MIN, HU_MAX).ravel()
-    ctf = cti.astype(jnp.float32)
-    ones = jnp.ones_like(ctf)
 
-    count = jax.ops.segment_sum(ones, segf, num_segments=num_classes)
-    hu_sum = jax.ops.segment_sum(ctf, segf, num_segments=num_classes)
-    hu_sumsq = jax.ops.segment_sum(ctf * ctf, segf, num_segments=num_classes)
+    combined = segf * N_BINS + (cti - HU_MIN)
+    hist = jax.ops.segment_sum(jnp.ones_like(combined, jnp.float32),
+                               combined,
+                               num_segments=num_classes * N_BINS
+                               ).reshape(num_classes, N_BINS)
 
-    # border indicator volume: 1 on any 3-voxel face margin
-    x, y, z = seg.shape
-    ix = jnp.arange(x)[:, None, None]
-    iy = jnp.arange(y)[None, :, None]
-    iz = jnp.arange(z)[None, None, :]
-    border_vox = ((ix < 3) | (ix >= x - 3) | (iy < 3) | (iy >= y - 3)
-                  | (iz < 3) | (iz >= z - 3)).astype(jnp.float32).ravel()
-    border = jax.ops.segment_max(border_vox, segf, num_segments=num_classes)
+    values = jnp.arange(HU_MIN, HU_MAX + 1, dtype=jnp.float32)
+    count = jnp.sum(hist, axis=1)
+    hu_sum = hist @ values
+    hu_sumsq = hist @ (values * values)
+
+    # border: classes present on any 3-voxel face margin — reduce only the
+    # six face slabs
+    seg3 = seg.astype(jnp.int32)
+    x, y, z = seg3.shape
+    shell = jnp.concatenate([
+        seg3[:3].ravel(), seg3[x - 3:].ravel(),
+        seg3[:, :3].ravel(), seg3[:, y - 3:].ravel(),
+        seg3[:, :, :3].ravel(), seg3[:, :, z - 3:].ravel()])
+    border = jax.ops.segment_max(
+        jnp.ones_like(shell, jnp.float32), shell, num_segments=num_classes)
+    border = jnp.maximum(border, 0.0)  # segment_max of empty segment = -inf
 
     out = {"count": count, "hu_sum": hu_sum, "hu_sumsq": hu_sumsq,
            "border": border}
     if with_histogram:
-        combined = segf * N_BINS + (cti - HU_MIN)
-        hist = jax.ops.segment_sum(ones, combined,
-                                   num_segments=num_classes * N_BINS)
-        out["hist"] = hist.reshape(num_classes, N_BINS)
+        out["hist"] = hist
     return out
 
 

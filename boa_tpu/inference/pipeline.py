@@ -141,7 +141,7 @@ def predict_image(
     #     the model grid on device (change_spacing: zoom convention, order 3,
     #     int32 cast — nnunet.py:457-476). The volume stays device-resident
     #     from here until the final seg download.
-    data_dev = nifti.apply_orientation_device(jnp.asarray(img.data), ornt)
+    data_dev = nifti.apply_orientation_device(img.device_data(), ornt)
     resample = task.resample
     if task.resample_only_thickness and resample is not None:
         resample = (canon_zooms[0], canon_zooms[1], resample[2])

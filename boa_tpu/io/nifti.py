@@ -114,6 +114,23 @@ class NiftiImage:
     def dtype(self) -> np.dtype:
         return self.data.dtype
 
+    def device_data(self):
+        """The voxel array on the accelerator, uploaded at most once.
+
+        Host->device transfer is the scarcest resource here (~3 s for a
+        512^3-class study through the tunneled TPU), and `analyze_ct` runs
+        several models plus the measurement engine over the SAME image —
+        the upload is cached on the instance (images are treated as
+        immutable once built; a cropped study is a new instance).
+        """
+        import jax.numpy as jnp
+
+        cached = getattr(self, "_device_data", None)
+        if cached is None or cached[0] is not self.data:
+            cached = (self.data, jnp.asarray(self.data))
+            object.__setattr__(self, "_device_data", cached)
+        return cached[1]
+
     def get_fdata(self) -> np.ndarray:
         return np.asarray(self.data, dtype=np.float64)
 

@@ -85,3 +85,17 @@ def test_scl_slope_applied(tmp_path):
     p.write_bytes(bytes(raw))
     back = nifti.load(p)
     np.testing.assert_allclose(back.data, data.astype(np.float32) * 2 + 10)
+
+
+def test_device_data_cached():
+    """device_data uploads once per instance and invalidates if the data
+    array is replaced."""
+    img = nifti.NiftiImage(data=np.arange(24, dtype=np.int16).reshape(2, 3, 4),
+                           affine=np.eye(4))
+    d1 = img.device_data()
+    assert img.device_data() is d1  # cached
+    np.testing.assert_array_equal(np.asarray(d1), img.data)
+    img.data = img.data + 1
+    d2 = img.device_data()
+    assert d2 is not d1
+    np.testing.assert_array_equal(np.asarray(d2), img.data)

@@ -104,7 +104,7 @@ def _nonfat_hist(hist: np.ndarray) -> np.ndarray:
 
 def masked_stats(ct: jnp.ndarray, mask: jnp.ndarray) -> tuple[float, float, int]:
     """mean/std/count of ct under a boolean mask (device)."""
-    mf = mask.astype(jnp.float64) if False else mask.astype(jnp.float32)
+    mf = mask.astype(jnp.float32)
     ctf = ct.astype(jnp.float32)
     n = jnp.sum(mf)
     s1 = jnp.sum(ctf * mf)

@@ -122,6 +122,12 @@ class NiftiImage:
         several models plus the measurement engine over the SAME image —
         the upload is cached on the instance (images are treated as
         immutable once built; a cropped study is a new instance).
+
+        Invalidation is identity-based: REPLACE `img.data` (the pipeline
+        convention) rather than mutating it in place, or the cache serves
+        stale voxels. The cached buffer pins ~volume-size HBM until the
+        image is garbage collected — call `release_device_data()` when a
+        long-lived holder (e.g. a study queue) is done with the image.
         """
         import jax.numpy as jnp
 
@@ -130,6 +136,10 @@ class NiftiImage:
             cached = (self.data, jnp.asarray(self.data))
             object.__setattr__(self, "_device_data", cached)
         return cached[1]
+
+    def release_device_data(self) -> None:
+        """Drop the cached device buffer (frees HBM immediately)."""
+        object.__setattr__(self, "_device_data", None)
 
     def get_fdata(self) -> np.ndarray:
         return np.asarray(self.data, dtype=np.float64)

@@ -33,12 +33,6 @@ from boa_tpu.weights.store import ModelStore
 logger = logging.getLogger(__name__)
 
 
-def bucket_z_values(z_lo: int, z_hi: int, bucket: int) -> list[int]:
-    """Distinct bucketed z extents a [z_lo, z_hi] stream can produce."""
-    zs = sorted({-(-z // bucket) * bucket for z in range(z_lo, z_hi + 1)})
-    return zs
-
-
 def warmup_task(store: ModelStore, task_name: str, *, fast: bool = False,
                 xy: int = 512, z_range: tuple[int, int] = (200, 600),
                 bucket: int = 64,
@@ -47,7 +41,10 @@ def warmup_task(store: ModelStore, task_name: str, *, fast: bool = False,
     """Run one tiny-content study per bucketed shape so every program in
     the serving path (resample, chunked sliding window, argmax) lands in
     the in-process jit cache AND the persistent compilation cache."""
+    # resolve EXACTLY like predict_image does (fast variants by kwarg for
+    # total/body, by explicit *_fast task names otherwise)
     task = get_task(task_name, fast=fast) if task_name in ("total", "body") \
+        or not task_name.endswith(("_fast", "_fastest")) \
         else get_task(task_name)
     # model-grid z extent for a raw z: the pipeline resamples spacing[2] ->
     # task resample z (warmup must enumerate MODEL-GRID buckets, which is

@@ -25,7 +25,8 @@ logger = logging.getLogger(__name__)
 FRONTAL_HORN_LABELS = ("frontal_horn_left", "frontal_horn_right")
 
 
-def inplane_rotation_deg(brain_mask: np.ndarray) -> float:
+def inplane_rotation_deg(brain_mask: np.ndarray,
+                         spacing=(1.0, 1.0)) -> float:
     """In-plane head rotation from the brain mask's axial second moments.
 
     The reference normalizes head pose with an ANTs atlas registration
@@ -39,7 +40,7 @@ def inplane_rotation_deg(brain_mask: np.ndarray) -> float:
     idx = np.argwhere(brain_mask)
     if len(idx) < 16:
         return 0.0
-    xy = idx[:, :2].astype(np.float64)
+    xy = idx[:, :2].astype(np.float64) * np.asarray(spacing[:2])  # mm space
     xy -= xy.mean(axis=0)
     cov = xy.T @ xy / len(xy)
     evals, evecs = np.linalg.eigh(cov)
@@ -90,7 +91,18 @@ def evans_index(ventricle_seg: np.ndarray,
     if not horns.any() or not brain_mask.any():
         return {"success": False,
                 "reason": "empty ventricle or brain segmentation"}
-    rot_deg = inplane_rotation_deg(brain_mask)
+    # volumes come from the UNROTATED masks (an order-0 in-place rotation
+    # clips off-center anatomy at the grid edge and jitters counts)
+    ml_per_voxel = float(np.prod(spacing)) / 1000.0
+    vent_vol = float((ventricle_seg > 0).sum()) * ml_per_voxel
+    brain_vol = float(brain_mask.sum()) * ml_per_voxel
+
+    # index-space rotation shears physical shapes when in-plane spacing is
+    # anisotropic — only align (and trust diameter * spacing[0]) when the
+    # axial pixels are square to ~2%
+    iso_inplane = abs(spacing[0] - spacing[1]) <= 0.02 * max(spacing[0],
+                                                             spacing[1])
+    rot_deg = inplane_rotation_deg(brain_mask, spacing) if iso_inplane else 0.0
     if abs(rot_deg) > 1.0:  # measure in the head-aligned frame
         horns, brain_mask = _rotate_masks_inplane(-rot_deg, horns,
                                                   brain_mask)
@@ -101,9 +113,6 @@ def evans_index(ventricle_seg: np.ndarray,
     start_b[2] = end_b[2] = z
     if d_b == 0:
         return {"success": False, "reason": "no brain on horn slice"}
-    ml_per_voxel = float(np.prod(spacing)) / 1000.0
-    vent_vol = float((ventricle_seg > 0).sum()) * ml_per_voxel
-    brain_vol = float(brain_mask.sum()) * ml_per_voxel
     ei = d_v / d_b
     result = {
         "success": True,

@@ -168,8 +168,6 @@ def test_warmup_buckets(tmp_path):
     from boa_tpu.serve import warmup as wu
     from boa_tpu.weights.store import ModelStore, create_synthetic_model
 
-    assert wu.bucket_z_values(60, 140, 64) == [64, 128, 192]
-
     create_synthetic_model(tmp_path, 297, "TotalFast", num_classes=3,
                            trainer="nnUNetTrainer_4000epochs_NoMirroring",
                            patch_size=(16, 16, 16), features=(4, 8),

@@ -238,14 +238,23 @@ class Builder:
         if not mask.any():
             return []
         labels, n = cc.label(mask, connectivity=3)
+        # ONE pass for all component volumes and x-centroids — a noisy
+        # region map can have thousands of speckle components, and a
+        # per-component full-volume scan is O(n * volume) (measured: >45
+        # minutes on a synthetic 512x512x300 study)
+        counts = np.bincount(labels.ravel(), minlength=n + 1).astype(np.float64)
+        xs = np.arange(labels.shape[0], dtype=np.float64)[:, None, None]
+        xsums = np.bincount(labels.ravel(),
+                            weights=np.broadcast_to(
+                                xs, labels.shape).ravel(),
+                            minlength=n + 1)
         implants = []
         mid = self._regions.shape[0] // 2
         for comp in range(1, n + 1):
-            comp_mask = labels == comp
-            vol = comp_mask.sum() * ml_per_voxel
+            vol = counts[comp] * ml_per_voxel
             if vol <= 10:
                 continue
-            cx = float(np.mean(np.where(comp_mask)[0]))
+            cx = xsums[comp] / counts[comp]
             implants.append((cx, vol))
         # sort along x like the reference's centroid sort
         implants.sort(key=lambda t: t[0])

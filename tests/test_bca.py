@@ -192,3 +192,29 @@ def test_run_pipeline_fake(tmp_path, synthetic_study):
     assert out["body_parts"]["abdomen"] is True
     saved = json.loads((tmp_path / "bca-measurements.json").read_text())
     assert saved["aggregated"]["whole_scan"]["num_slices"] == 120
+
+
+def test_breast_implant_findings_speckle_fast():
+    """A noisy region map with thousands of speckle components must be
+    summarized in one labeling pass (regression: the per-component
+    full-volume scan was O(n_components x volume) — >45 min on a real-size
+    study with a noisy segmentation)."""
+    import time
+
+    from boa_tpu.bca.definitions import BodyPart, BodyRegion
+    from boa_tpu.bca.report import Builder
+
+    rng = np.random.default_rng(0)
+    regions = np.zeros((96, 96, 40), np.uint8)
+    speckle = rng.random(regions.shape) < 0.02  # ~7400 tiny components
+    regions[speckle] = int(BodyRegion.BREAST_IMPLANT)
+    regions[10:30, 40:60, 10:20] = int(BodyRegion.BREAST_IMPLANT)   # left
+    regions[66:86, 40:60, 10:20] = int(BodyRegion.BREAST_IMPLANT)   # right
+    ct = np.zeros(regions.shape, np.int16)
+    parts = np.full(regions.shape, int(BodyPart.TORSO), np.uint8)
+    tissues = np.zeros(regions.shape, np.uint8)
+    b = Builder(ct, parts, regions, tissues, (2.0, 2.0, 5.0))
+    t0 = time.perf_counter()
+    out = b._breast_implant_findings(ml_per_voxel=0.02)
+    assert time.perf_counter() - t0 < 10.0
+    assert len(out) == 1 and "two breast implants" in out[0]

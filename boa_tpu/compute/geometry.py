@@ -36,13 +36,21 @@ def find_minor_point(contours: Sequence[Any], mid_point: Point,
     p_array = cv.line(np.zeros(target_size), [point.x, point.y],
                       [int(mid_point.x), int(mid_point.y)], 1, 2)
     p_options = np.logical_and(contour_array, p_array).nonzero()
+    if len(p_options[0]) == 0:
+        # degenerate body slice (thin / fragmented mask): the minor-axis
+        # ray misses the drawn contour — caller skips the axis metrics
+        return None
     # (row, col) -> (x, y)
     return Point(p_options[1][0], p_options[0][0])
 
 
 def find_axes(middle_slice: np.ndarray) -> tuple[Point, Point, Point, Point]:
     points = np.flip(np.transpose(np.where(middle_slice)))
-    hull_points = points[spatial.ConvexHull(points).vertices]
+    try:
+        hull_points = points[spatial.ConvexHull(points).vertices]
+    except spatial.QhullError:
+        # collinear / degenerate slice: no 2D hull exists
+        return None, None, None, None
     hdist = spatial.distance.cdist(hull_points, hull_points, metric="euclidean")
     p1_idx, p2_idx = np.unravel_index(hdist.argmax(), hdist.shape)
     major_p1, major_p2 = Point(*hull_points[p1_idx]), Point(*hull_points[p2_idx])

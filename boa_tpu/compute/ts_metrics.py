@@ -45,6 +45,8 @@ def major_minor_axis(l3_mask: np.ndarray, body_mask: np.ndarray,
     if np.sum(middle_slice) == 0:
         return None, None
     major_p1, major_p2, minor_p1, minor_p2 = find_axes(middle_slice)
+    if any(pt is None for pt in (major_p1, major_p2, minor_p1, minor_p2)):
+        return None, None
     if plot_axes is not None:
         import matplotlib
         matplotlib.use("Agg")

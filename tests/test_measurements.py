@@ -143,3 +143,18 @@ def test_cnr_adjusted(volume):
     np.testing.assert_allclose(adj["autochthon_left"]["mean_hu"], ref_l["mean_hu"],
                                rtol=1e-5)
     assert adj["autochthon_left"]["cnr"] is None
+
+
+def test_major_minor_axis_degenerate_slice():
+    """A thin/fragmented body slice whose minor-axis ray misses the contour
+    yields (None, None) instead of crashing (regression: IndexError on a
+    synthetic noisy study aborted the whole TS-metrics stage)."""
+    from boa_tpu.compute.ts_metrics import major_minor_axis
+
+    l3 = np.zeros((40, 40, 10), bool)
+    l3[18:22, 18:22, 4:6] = True
+    body = np.zeros((40, 40, 10), bool)
+    body[5:35, 20, :] = True  # 1-voxel-thin line: degenerate contour
+    maj, mino = major_minor_axis(l3, body, (1.0, 1.0, 1.0))
+    assert maj is None or isinstance(maj, float)
+    assert mino is None or isinstance(mino, float)

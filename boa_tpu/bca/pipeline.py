@@ -85,10 +85,14 @@ def run_pipeline(
                                      compute_dtype=compute_dtype,
                                      fake_predict=fake_predict)
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     ct_data = np.asarray(ct_img.data)
     regions = np.asarray(body_regions_img.data)
     tissues = subclassify_tissues(ct_data, regions,
                                   median_filtering=median_filtering)
+    logger.info("Tissues subclassified in %.2fs", _time.perf_counter() - t0)
     tis_img = nifti.NiftiImage(data=tissues, affine=body_regions_img.affine)
     tis_img.set_label_map({int(k): v for v, k in
                            class_maps.bca_tissues().items()})
@@ -117,10 +121,14 @@ def run_pipeline(
         vertebrae_info = create_vertebrae_info(
             total_seg, body_part, class_maps.get_class_map("total"))
 
+    t0 = _time.perf_counter()
     prepared = builder.prepare(vertebrae_info, total=total_seg,
                                total_measurements=total_measurements)
+    logger.info("BCA report prepared in %.2fs", _time.perf_counter() - t0)
+    t0 = _time.perf_counter()
     if save_pdf:
         (output_dir / "report.pdf").write_bytes(builder.create_pdf(**prepared))
+        logger.info("BCA PDF rendered in %.2fs", _time.perf_counter() - t0)
     json_data = builder.create_json(**prepared)
 
     if vertebrae_info:

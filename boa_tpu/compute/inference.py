@@ -15,6 +15,7 @@ volumes stay device-resident (SURVEY.md §5 long-context analogue).
 from __future__ import annotations
 
 import json
+import time as _time
 import logging
 import pathlib
 from typing import Any, Iterable
@@ -120,6 +121,7 @@ def compute_all_models(
                 crop_mask = nifti.NiftiImage(data=mask.astype(np.uint8),
                                              affine=crop_total.affine)
 
+        t_model = _time.perf_counter()
         res = predict_image(
             ct_img, chosen_task, store,
             fast=fast_total if chosen_task == "total" else False,
@@ -127,7 +129,12 @@ def compute_all_models(
             statistics=chosen_task == "total",
             fake_predict=fake_predict,
         )
+        logger.info("Model %s predicted in %.2fs", chosen_task,
+                    _time.perf_counter() - t_model)
+        t_model = _time.perf_counter()
         nifti.save(res.seg, seg_file)
+        logger.info("Saved %s in %.2fs", seg_file.name,
+                    _time.perf_counter() - t_model)
         if res.stats is not None:
             with (segmentation_folder / f"{chosen_task}-statistics.json"
                   ).open("w") as f:
@@ -136,13 +143,17 @@ def compute_all_models(
             try:
                 from boa_tpu.compute.preview import generate_preview
 
+                t_prev = _time.perf_counter()
                 generate_preview(ct_img, res.seg, res.label_map,
                                  segmentation_folder / "preview_total.png")
+                logger.info("Preview rendered in %.2fs",
+                            _time.perf_counter() - t_prev)
             except Exception:
                 logger.warning("Preview generation failed", exc_info=True)
 
     measurement_file = segmentation_folder / "total-measurements.json"
     if measurement_models and (recompute or not measurement_file.is_file()):
+        t_meas = _time.perf_counter()
         json_data = compute_measurements(
             ct_path=pathlib.Path(ct_path),
             segmentation_folder=segmentation_folder,
@@ -152,6 +163,8 @@ def compute_all_models(
         with measurement_file.open("w") as ofile:
             json.dump(json_data, ofile, indent=2, default=np_json_default)
         del json_data
+        logger.info("Measurements computed in %.2fs",
+                    _time.perf_counter() - t_meas)
     else:
         logger.info("The total measurements were already computed, skipping...")
 

@@ -43,13 +43,21 @@ def bca_inference(
     if not recompute and output_file.is_file():
         logger.info("Loading already computed %s...", task_name)
         return nifti.load(output_file)
+    import time as _time
+
+    t0 = _time.perf_counter()
     res = predict_image(ct_img, task_name, store, fast=fast_bca,
                         compute_dtype=compute_dtype, fake_predict=fake_predict)
+    logger.info("BCA %s predicted in %.2fs", task_name,
+                _time.perf_counter() - t0)
+    t0 = _time.perf_counter()
     seg = np.asarray(res.seg.data, dtype=np.uint8)
     if task_name == "body_parts":
         seg = bca_pp.postprocess_part_segmentation(seg)
     elif task_name == "body_regions":
         seg = bca_pp.postprocess_region_segmentation(seg)
+    logger.info("BCA %s postprocessed in %.2fs", task_name,
+                _time.perf_counter() - t0)
     out = nifti.NiftiImage(data=seg, affine=res.seg.affine)
     out.set_label_map(res.label_map)
     nifti.save(out, output_file)

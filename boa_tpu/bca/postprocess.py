@@ -68,16 +68,41 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
     for label_value in np.unique(mask):
         if label_value == 0:
             continue
-        filled = _fill_2d_contours(mask == label_value)
+        lm = mask == label_value
+        # all work happens inside the label's bbox padded by 1 voxel of
+        # background: contour fill is per-slice local, and the hole
+        # inversion stays exact because the pad ring keeps the outside
+        # background connected. One body part typically spans a fraction
+        # of the scan, so the 2x full-volume CC passes shrink accordingly.
+        idx = np.nonzero(lm)
+        if len(idx[0]) == 0:
+            continue
+        lo = [max(int(i.min()) - 1, 0) for i in idx]
+        hi = [min(int(i.max()) + 2, s) for i, s in zip(idx, lm.shape)]
+        box = tuple(slice(a, b) for a, b in zip(lo, hi))
+        filled = _fill_2d_contours(lm[box])
         # remove small foreground objects (keep >= threshold)
         filled = cc.filter_components_by_size(
             filled, (threshold - 1, np.inf), connectivity=3).astype(bool)
-        # remove small holes: invert, drop small background islands, invert
-        inv = ~filled
-        inv = cc.filter_components_by_size(
-            inv, (threshold - 1, np.inf), connectivity=3).astype(bool)
-        filled = ~inv
-        out[filled] = label_value
+        # remove small holes: background components that touch the crop
+        # border are the (arbitrarily large) outside background and are
+        # always kept; interior islands below the threshold become filled.
+        # (Approximation vs whole-volume remove_small_holes only in the
+        # corner case of a small background pocket whose connection to the
+        # main background runs outside the bbox AND the mask touches a
+        # volume face there — anatomically irrelevant for body parts.)
+        inv_labels, n = cc.label(~filled, connectivity=3)
+        sizes = cc.component_sizes(inv_labels, n)
+        keep = sizes >= threshold
+        for face in (inv_labels[0], inv_labels[-1], inv_labels[:, 0],
+                     inv_labels[:, -1], inv_labels[..., 0],
+                     inv_labels[..., -1]):
+            keep[np.unique(face)] = True
+        keep[0] = False  # label 0 = foreground region of the inversion
+        filled = ~keep[inv_labels]
+        sub = out[box]
+        sub[filled] = label_value
+        out[box] = sub
     return out
 
 

@@ -351,9 +351,21 @@ def create_vertebrae_info(total_seg: np.ndarray,
     vertebrae_map = {name.removeprefix("vertebrae_"): idx
                      for idx, name in class_map_total.items()
                      if name.startswith("vertebrae_")}
+    # ONE pass: per-(z, label) presence via a combined-key bincount instead
+    # of 26 full-volume scans (~0.3 s each on the single-core host)
+    nz = total_seg.shape[2]
+    n_lab = int(max(vertebrae_map.values(), default=0)) + 1
+    remap = np.zeros(int(total_seg.max()) + 1, np.int32)  # non-vertebrae -> 0
+    for label in vertebrae_map.values():
+        if label < len(remap):
+            remap[label] = label
+    combined = (np.arange(nz, dtype=np.int32)[None, None, :] * n_lab
+                + remap[total_seg.astype(np.int32)]).ravel()
+    presence = np.bincount(combined, minlength=nz * n_lab
+                           ).reshape(nz, n_lab) > 0
     info: dict[str, tuple[int, int]] = {}
     for vid, label in vertebrae_map.items():
-        zs = np.where((total_seg == label).any(axis=(0, 1)))[0]
+        zs = np.where(presence[:, label])[0]
         if len(zs) == 0:
             continue
         if (("C" in vid and AggregatableBodyPart.NECK not in detected_body_part)

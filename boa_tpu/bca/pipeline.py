@@ -98,7 +98,8 @@ def run_pipeline(
     t0 = _time.perf_counter()
     ct_data = np.asarray(ct_img.data)
     regions = np.asarray(body_regions_img.data)
-    tissues = subclassify_tissues(ct_data, regions,
+    # device_data: the CT upload is cached on the image instance
+    tissues = subclassify_tissues(ct_img.device_data(), regions,
                                   median_filtering=median_filtering)
     logger.info("Tissues subclassified in %.2fs", _time.perf_counter() - t0)
     tis_img = nifti.NiftiImage(data=tissues, affine=body_regions_img.affine)
@@ -114,8 +115,8 @@ def run_pipeline(
     total_measurements = json.loads(tm_path.read_text()) if tm_path.exists() else None
 
     spacing = ct_img.zooms
-    builder = Builder(ct_data, np.asarray(body_parts_img.data), regions, tissues,
-                      spacing, theme)
+    builder = Builder(ct_img.device_data(), np.asarray(body_parts_img.data),
+                      regions, tissues, spacing, theme)
     if examined_body_region:
         body_part = AggregatableBodyPart[examined_body_region.upper()]
     else:

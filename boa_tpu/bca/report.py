@@ -122,7 +122,7 @@ class Builder:
     def __init__(self, ct_data: np.ndarray, body_parts: np.ndarray,
                  body_regions: np.ndarray, tissues: np.ndarray,
                  spacing: tuple[float, float, float], theme: str = "light"):
-        self._ct = np.asarray(ct_data)
+        self._ct = ct_data  # np OR device array (jnp.asarray is a no-op)
         self._parts = np.asarray(body_parts)
         self._regions = np.asarray(body_regions)
         self._tissues = np.asarray(tissues)

@@ -159,6 +159,7 @@ def compute_all_models(
             segmentation_folder=segmentation_folder,
             models=measurement_models,
             cnr_adjustment=cnr_adjustment,
+            ct_image=ct_img,
         )
         with measurement_file.open("w") as ofile:
             json.dump(json_data, ofile, indent=2, default=np_json_default)

@@ -156,6 +156,7 @@ def compute_measurements_arrays(
     segmentations: dict[str, np.ndarray],
     spacing: tuple[float, float, float],
     cnr_adjustment: bool = False,
+    ct_dev=None,
 ) -> dict[str, Any]:
     """Array-level measurement engine.
 
@@ -164,7 +165,8 @@ def compute_measurements_arrays(
     """
     measurements: dict[str, Any] = {"segmentations": {}, "info": {}}
     ml_per_voxel = float(np.prod(spacing)) / 1000.0
-    ct_dev = jnp.asarray(np.asarray(ct_data, dtype=np.int16))
+    if ct_dev is None:  # else: caller supplied the cached device upload
+        ct_dev = jnp.asarray(np.asarray(ct_data, dtype=np.int16))
 
     autochthon_mean = autochthon_std = None
     ordered = sorted(segmentations.keys(), key=lambda m: m != "total")
@@ -254,6 +256,7 @@ def compute_measurements(
     segmentation_folder: Path,
     models: list[str],
     cnr_adjustment: bool,
+    ct_image=None,
 ) -> dict[str, Any]:
     """File-level wrapper matching the reference signature (`:244-343`).
 
@@ -265,7 +268,7 @@ def compute_measurements(
     measurements: dict[str, Any] = {"segmentations": {}, "info": {}}
     if len(models) == 0:
         return measurements
-    ct_img = nifti.load(ct_path)
+    ct_img = ct_image if ct_image is not None else nifti.load(ct_path)
     ct_data = np.asarray(ct_img.data)
     segmentations = {}
     for model_name in models:
@@ -280,7 +283,10 @@ def compute_measurements(
                 "The spacing of the image and of the segmentation should be the same")
         segmentations[model_name] = np.asarray(seg_img.data)
     out = compute_measurements_arrays(ct_data, segmentations, ct_img.zooms,
-                                      cnr_adjustment)
+                                      cnr_adjustment,
+                                      ct_dev=ct_img.device_data()
+                                      if hasattr(ct_img, "device_data")
+                                      else None)
     if "total" in segmentations:
         pfav = compute_pfav_mask(ct_data, segmentations["total"])
         img = nifti.NiftiImage(data=pfav, affine=ct_img.affine)

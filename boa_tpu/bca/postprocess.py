@@ -22,13 +22,20 @@ IGNORE_VALUE = 255
 
 
 def _filter_largest_unique_segment(seg: np.ndarray, mask: np.ndarray) -> None:
-    labels, n = cc.label(mask, connectivity=3)
+    idx = np.nonzero(mask)
+    if len(idx[0]) == 0:
+        return
+    # the mask's components live inside its bbox — label only there
+    box = tuple(slice(int(i.min()), int(i.max()) + 1) for i in idx)
+    labels, n = cc.label(mask[box], connectivity=3)
     if n <= 1:
         return
     sizes = cc.component_sizes(labels, n)
     sizes[0] = 0
     keep = int(np.argmax(sizes))
-    seg[(labels > 0) & (labels != keep)] = IGNORE_VALUE
+    sub = seg[box]
+    sub[(labels > 0) & (labels != keep)] = IGNORE_VALUE
+    seg[box] = sub
 
 
 def postprocess_region_segmentation(seg: np.ndarray) -> np.ndarray:
@@ -84,6 +91,8 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
         # remove small foreground objects (keep >= threshold)
         filled = cc.filter_components_by_size(
             filled, (threshold - 1, np.inf), connectivity=3).astype(bool)
+        if not filled.any():   # nothing survived: the holes pass would be a
+            continue           # full dense-CC over pure background
         # remove small holes: background components that touch the crop
         # border are the (arbitrarily large) outside background and are
         # always kept; interior islands below the threshold become filled.

@@ -56,6 +56,18 @@ def _project(mask3d: np.ndarray, axis: int = 0) -> np.ndarray:
     return mask3d.any(axis=axis)
 
 
+def _label_projections(seg: np.ndarray, n_labels: int) -> np.ndarray:
+    """(y, z, label) presence of every label projected along x, in ONE
+    combined-key bincount pass (a per-label `seg == l` scan costs a full
+    78M-voxel read each — 117 labels made the montage the slowest host
+    stage after the model itself)."""
+    _, ny, nz = seg.shape
+    yz = np.arange(ny * nz, dtype=np.int64).reshape(ny, nz)
+    combined = (yz[None] * n_labels + seg.astype(np.int64)).ravel()
+    counts = np.bincount(combined, minlength=ny * nz * n_labels)
+    return counts.reshape(ny, nz, n_labels) > 0
+
+
 def generate_preview(ct_img, seg_img, label_map: dict[int, str],
                      out_path: str | Path, aspect: float | None = None) -> None:
     import matplotlib
@@ -72,6 +84,9 @@ def generate_preview(ct_img, seg_img, label_map: dict[int, str],
         zooms = getattr(ct_img, "zooms", (1.0, 1.0, 1.0))
         aspect = zooms[2] / zooms[1]
 
+    n_labels = int(max(inv.values(), default=0)) + 1
+    projections = _label_projections(seg, n_labels)
+
     n = len(ROI_GROUPS)
     fig, axes = plt.subplots(1, n, figsize=(3.2 * n, 6), facecolor="black")
     for ax, (group, rois) in zip(np.atleast_1d(axes), ROI_GROUPS.items()):
@@ -83,14 +98,16 @@ def generate_preview(ct_img, seg_img, label_map: dict[int, str],
                       origin="lower", aspect=aspect)
         cmap = colormaps["turbo"]
         labels = [inv[r] for r in rois if r in inv]
+        # compose ONE overlay per group instead of an imshow layer per label
+        overlay = np.zeros(projections.shape[:2][::-1] + (4,))
         for i, label in enumerate(labels):
-            proj = _project(seg == label).T
+            proj = projections[:, :, label].T
             if not proj.any():
                 continue
             color = cmap(i / max(len(labels) - 1, 1))
-            rgba = np.zeros(proj.shape + (4,))
-            rgba[proj] = (*color[:3], 0.85)
-            ax.imshow(rgba, origin="lower", aspect=aspect)
+            overlay[proj] = (*color[:3], 0.85)
+        if overlay[..., 3].any():
+            ax.imshow(overlay, origin="lower", aspect=aspect)
         ax.set_title(group, color="white", fontsize=11)
         ax.axis("off")
     fig.tight_layout()

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import logging
+import time as _time
 from pathlib import Path
 from typing import Any, Callable
 
@@ -43,8 +44,6 @@ def bca_inference(
     if not recompute and output_file.is_file():
         logger.info("Loading already computed %s...", task_name)
         return nifti.load(output_file)
-    import time as _time
-
     t0 = _time.perf_counter()
     res = predict_image(ct_img, task_name, store, fast=fast_bca,
                         compute_dtype=compute_dtype, fake_predict=fake_predict)
@@ -93,10 +92,7 @@ def run_pipeline(
                                      compute_dtype=compute_dtype,
                                      fake_predict=fake_predict)
 
-    import time as _time
-
     t0 = _time.perf_counter()
-    ct_data = np.asarray(ct_img.data)
     regions = np.asarray(body_regions_img.data)
     # device_data: the CT upload is cached on the image instance
     tissues = subclassify_tissues(ct_img.device_data(), regions,

@@ -51,21 +51,19 @@ ROI_GROUPS = {
 }
 
 
-def _project(mask3d: np.ndarray, axis: int = 0) -> np.ndarray:
-    """Max projection along x (sagittal view: y horizontal, z vertical)."""
-    return mask3d.any(axis=axis)
-
-
 def _label_projections(seg: np.ndarray, n_labels: int) -> np.ndarray:
     """(y, z, label) presence of every label projected along x, in ONE
     combined-key bincount pass (a per-label `seg == l` scan costs a full
     78M-voxel read each — 117 labels made the montage the slowest host
     stage after the model itself)."""
     _, ny, nz = seg.shape
+    # out-of-map labels (e.g. the 255 ignore value) must not overflow into
+    # the next (y,z) bucket
+    width = max(n_labels, int(seg.max()) + 1)
     yz = np.arange(ny * nz, dtype=np.int64).reshape(ny, nz)
-    combined = (yz[None] * n_labels + seg.astype(np.int64)).ravel()
-    counts = np.bincount(combined, minlength=ny * nz * n_labels)
-    return counts.reshape(ny, nz, n_labels) > 0
+    combined = (yz[None] * width + seg.astype(np.int64)).ravel()
+    counts = np.bincount(combined, minlength=ny * nz * width)
+    return counts.reshape(ny, nz, width)[:, :, :n_labels] > 0
 
 
 def generate_preview(ct_img, seg_img, label_map: dict[int, str],

@@ -165,7 +165,10 @@ def compute_measurements_arrays(
     """
     measurements: dict[str, Any] = {"segmentations": {}, "info": {}}
     ml_per_voxel = float(np.prod(spacing)) / 1000.0
-    if ct_dev is None:  # else: caller supplied the cached device upload
+    if ct_dev is None or np.dtype(ct_dev.dtype) != np.int16:
+        # keep the reference's int16-cast semantics for non-int16 CTs (a
+        # device-side astype would clamp differently); the supplied device
+        # upload is only reusable when it is already int16 (the common case)
         ct_dev = jnp.asarray(np.asarray(ct_data, dtype=np.int16))
 
     autochthon_mean = autochthon_std = None

@@ -1,19 +1,24 @@
 """BCA measurements JSON → the three Excel DataFrames.
 
-Parity: `body_organ_analysis/compute/bca_metrics.py:8-117` — 30 body-region
-row groups (whole scan, cavities, vertebra levels C1–L5), aggregated
-measurements with/without extremities, plus the two per-slice tables.
+Behavior parity with `body_organ_analysis/compute/bca_metrics.py:8-117`:
+the workbook's aggregated table walks 30 body-region row groups (whole
+scan, cavities, vertebra levels C1–L5) with and without extremities, and
+the two per-slice tables carry one row per axial slice. Row/column
+labels must match the reference workbook schema; the table construction
+here builds the records directly instead of reshaping DataFrames.
 """
 
 from __future__ import annotations
 
 import json
 from pathlib import Path
+from typing import Any
 
 import pandas as pd
 
 from boa_tpu.utils.misc import convert_name
 
+#: display names of the aggregation groups, in workbook row order
 BODY_REGIONS = [
     "Whole Scan", "Abdominal Cavity", "Thoracic Cavity", "Ventral Cavity",
     "Mediastinum", "Pericardium",
@@ -24,59 +29,70 @@ BODY_REGIONS = [
 
 
 def change_aggregated_name(name: str) -> str:
+    """Display name → bca-measurements.json aggregation key."""
     return name.lower().replace(" ", "_").replace("-", "_")
+
+
+def _tissue_label(tissue: str) -> str:
+    """JSON tissue key → workbook column (acronyms uppercased)."""
+    return tissue.capitalize() if tissue in ("bone", "muscle") else tissue.upper()
+
+
+def _stat_label(stat: str) -> str:
+    """JSON stat key → workbook row label with its unit suffix."""
+    unit = "_HU" if "hu" in stat else "_mL"
+    return stat.split("_")[0].capitalize() + unit
+
+
+def _group_rows(body_part: str, table: dict[str, dict[str, Any]]
+                ) -> list[dict[str, Any]]:
+    """Rows of one aggregation group: one per stat, tissue values as
+    columns (JSON stores {tissue: {stat: value}})."""
+    tissues = list(table)
+    stats = list(table[tissues[0]]) if tissues else []
+    rows = []
+    for stat in stats:
+        row: dict[str, Any] = {"BodyPart": body_part, "Present": True,
+                               "AggregationType": _stat_label(stat)}
+        for tissue in tissues:
+            row[_tissue_label(tissue)] = table[tissue].get(stat)
+        rows.append(row)
+    return rows
+
+
+def _slice_table(slice_records: list[dict[str, Any]]) -> pd.DataFrame:
+    df = pd.DataFrame(slice_records)
+    df.insert(0, "SliceNumber", range(1, len(df) + 1))
+    return df.rename(columns={c: _tissue_label(c)
+                              for c in df.columns if c != "SliceNumber"})
 
 
 def compute_bca_metrics(output_path: Path
                         ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     with (Path(output_path) / "bca-measurements.json").open() as of:
-        json_measurements = json.load(of)
+        measurements = json.load(of)
 
-    example_vals = json_measurements["aggregated"]["whole_scan"]["measurements"]
-    index_rows = list(example_vals["bone"].keys())
-    index_cols = list(example_vals.keys())
-    rename_index = {
-        ind: ind.split("_")[0].capitalize() + ("_mL" if "hu" not in ind else "_HU")
-        for ind in index_rows
-    }
-    rename_cols = {
-        col: (col.upper() if col not in ["bone", "muscle"] else col.capitalize())
-        for col in index_cols
-    }
-    rename_cols["index"] = "AggregationType"
-
-    aggregation_df = pd.DataFrame(columns=["BodyPart", "Present",
-                                           "AggregationType"])
-    dfs = [aggregation_df]
-    for name in BODY_REGIONS:
-        aggregated_name = change_aggregated_name(name)
-        if aggregated_name not in json_measurements["aggregated"]:
-            dfs.append(pd.DataFrame([
-                {"BodyPart": convert_name(aggregated_name), "Present": False},
-                {"BodyPart": f"{convert_name(aggregated_name)}_NoExtremities",
-                 "Present": False},
-            ]))
+    aggregated = measurements["aggregated"]
+    rows: list[dict[str, Any]] = []
+    for display_name in BODY_REGIONS:
+        key = change_aggregated_name(display_name)
+        part_name = convert_name(key)
+        if key not in aggregated:
+            rows.append({"BodyPart": part_name, "Present": False})
+            rows.append({"BodyPart": f"{part_name}_NoExtremities",
+                         "Present": False})
             continue
-        for measurement in ["measurements", "measurements_no_extremities"]:
-            current_df = (
-                pd.DataFrame.from_dict(
-                    json_measurements["aggregated"][aggregated_name][measurement])
-                .rename(index=rename_index)
-                .reset_index()
-                .rename(columns=rename_cols)
-            )
-            current_df["Present"] = True
-            measurement_part = convert_name(measurement.replace("measurements", ""))
-            current_df["BodyPart"] = convert_name(aggregated_name) + (
-                "_" + measurement_part if len(measurement_part) > 0 else "")
-            dfs.append(current_df)
-    aggregation_df = pd.concat(dfs)
+        rows += _group_rows(part_name, aggregated[key]["measurements"])
+        rows += _group_rows(f"{part_name}_NoExtremities",
+                            aggregated[key]["measurements_no_extremities"])
 
-    slices_df = pd.DataFrame(json_measurements["slices"])
-    slices_no_limbs_df = pd.DataFrame(json_measurements["slices_no_extremities"])
-    rename_cols["index"] = "SliceNumber"
-    for df in [slices_df, slices_no_limbs_df]:
-        df.index = df.index + 1
-        df.reset_index(inplace=True)
-        df.rename(columns=rename_cols, inplace=True)
-    return aggregation_df, slices_df, slices_no_limbs_df
+    # pin the leading column order even if the first group is absent
+    aggregation_df = pd.DataFrame(rows)
+    lead = ["BodyPart", "Present", "AggregationType"]
+    aggregation_df = aggregation_df[
+        [c for c in lead if c in aggregation_df.columns]
+        + [c for c in aggregation_df.columns if c not in lead]]
+
+    return (aggregation_df,
+            _slice_table(measurements["slices"]),
+            _slice_table(measurements["slices_no_extremities"]))

@@ -1,73 +1,109 @@
 """Body-axis geometry on an axial slice.
 
-Parity: `body_organ_analysis/compute/geometry.py:49-85` `find_axes` — major
-axis = farthest-apart convex-hull points of the body mask; minor axis =
-perpendicular through the major midpoint, intersected with the drawn body
-contour (cv2 drawContours/line rasterization, same as the reference).
+Behavior parity with `body_organ_analysis/compute/geometry.py:49-85`:
+the *major* axis of a binary body mask is the farthest-apart pair of
+outline points; the *minor* axis is the perpendicular through the major
+axis' midpoint, cut off at the body outline on both sides.
+
+Implementation is original: convex hull via Andrew's monotone chain,
+widest pair via a broadcast distance matrix over hull vertices, and the
+minor endpoints by marching the perpendicular ray through the mask and
+keeping the outermost in-mask sample (the reference rasterizes the ray
+and the cv2 external contour and intersects the two bitmaps — same
+outline crossing, found geometrically here, so no cv2/qhull dependency).
 """
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass
-from typing import Any, Sequence
-
-import cv2 as cv
 import numpy as np
-from scipy import spatial
+
+Point = np.ndarray  # shape (2,), (x, y) pixel coordinates
 
 
-@dataclass
-class Point:
-    x: float
-    y: float
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull of an (N, 2) point set, CCW order.
 
-    def to_list(self) -> list[float]:
-        return [self.x, self.y]
+    Returns the hull vertices; degenerate inputs (<3 distinct points or
+    all collinear) return the distinct points themselves.
+    """
+    pts = np.unique(points, axis=0)  # sorts lexicographically (x, then y)
+    if len(pts) <= 2:
+        return pts
+
+    def half_hull(seq):
+        chain: list[np.ndarray] = []
+        for p in seq:
+            while len(chain) >= 2:
+                a, b = chain[-2], chain[-1]
+                if (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) <= 0:
+                    chain.pop()
+                else:
+                    break
+            chain.append(p)
+        return chain
+
+    lower = half_hull(pts)
+    upper = half_hull(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:  # collinear input
+        return pts
+    return np.asarray(hull)
 
 
-def find_minor_point(contours: Sequence[Any], mid_point: Point,
-                     rotated_point: Point, length: int,
-                     target_size: tuple[int, ...]) -> Point:
-    point = Point(int(mid_point.x + rotated_point.x * length),
-                  int(mid_point.y + rotated_point.y * length))
-    contour_array = cv.drawContours(np.zeros(target_size), contours,
-                                    contourIdx=-1, color=1, thickness=2)
-    p_array = cv.line(np.zeros(target_size), [point.x, point.y],
-                      [int(mid_point.x), int(mid_point.y)], 1, 2)
-    p_options = np.logical_and(contour_array, p_array).nonzero()
-    if len(p_options[0]) == 0:
-        # degenerate body slice (thin / fragmented mask): the minor-axis
-        # ray misses the drawn contour — caller skips the axis metrics
+def widest_pair(points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The two points of an (N, 2) set with maximal euclidean separation."""
+    diff = points[:, None, :].astype(np.float64) - points[None, :, :]
+    d2 = np.einsum("ijk,ijk->ij", diff, diff)
+    i, j = np.unravel_index(int(d2.argmax()), d2.shape)
+    return points[i], points[j]
+
+
+def _outermost_on_ray(mask: np.ndarray, origin: np.ndarray,
+                      direction: np.ndarray) -> np.ndarray | None:
+    """Outermost mask pixel along origin + t*direction (t >= 0), or None.
+
+    Sampled at half-pixel steps out to a length that always exits the
+    slice; the farthest in-mask sample is where the ray last crosses the
+    body outline — the reference's line∩contour pixel, up to raster
+    thickness.
+    """
+    h, w = mask.shape  # mask indexed [row=y, col=x]
+    reach = float(h + w)
+    ts = np.arange(0.0, reach, 0.5)
+    xs = np.rint(origin[0] + ts * direction[0]).astype(np.int64)
+    ys = np.rint(origin[1] + ts * direction[1]).astype(np.int64)
+    inside = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    hit = np.zeros(len(ts), bool)
+    hit[inside] = mask[ys[inside], xs[inside]]
+    idx = np.nonzero(hit)[0]
+    if len(idx) == 0:
         return None
-    # (row, col) -> (x, y)
-    return Point(p_options[1][0], p_options[0][0])
+    k = idx[-1]
+    return np.array([xs[k], ys[k]], np.float64)
 
 
-def find_axes(middle_slice: np.ndarray) -> tuple[Point, Point, Point, Point]:
-    points = np.flip(np.transpose(np.where(middle_slice)))
-    try:
-        hull_points = points[spatial.ConvexHull(points).vertices]
-    except spatial.QhullError:
-        # collinear / degenerate slice: no 2D hull exists
+def find_axes(middle_slice: np.ndarray):
+    """(major_p1, major_p2, minor_p1, minor_p2) of a binary mask slice,
+    each an (x, y) array, or Nones when the slice is degenerate."""
+    mask = np.asarray(middle_slice) != 0
+    rows, cols = np.nonzero(mask)
+    if len(rows) == 0:
         return None, None, None, None
-    hdist = spatial.distance.cdist(hull_points, hull_points, metric="euclidean")
-    p1_idx, p2_idx = np.unravel_index(hdist.argmax(), hdist.shape)
-    major_p1, major_p2 = Point(*hull_points[p1_idx]), Point(*hull_points[p2_idx])
-    mid_point = Point((major_p1.x + major_p2.x) // 2,
-                      (major_p1.y + major_p2.y) // 2)
-    length = sum(middle_slice.shape)
-    norm_vector = Point(major_p1.x - major_p2.x, major_p1.y - major_p2.y)
-    fac = math.sqrt(norm_vector.x ** 2 + norm_vector.y ** 2)
-    norm_vector.x /= fac
-    norm_vector.y /= fac
+    pts = np.stack([cols, rows], axis=1)  # (x, y)
+    hull = convex_hull(pts)
+    if len(hull) < 2:
+        return None, None, None, None
+    major_a, major_b = widest_pair(hull)
+    major_a = major_a.astype(np.float64)
+    major_b = major_b.astype(np.float64)
 
-    contours, _ = cv.findContours(middle_slice.astype(np.uint8),
-                                  cv.RETR_EXTERNAL, cv.CHAIN_APPROX_SIMPLE)
-    minor_p1 = find_minor_point(contours, mid_point,
-                                Point(-norm_vector.y, norm_vector.x),
-                                length, middle_slice.shape)
-    minor_p2 = find_minor_point(contours, mid_point,
-                                Point(norm_vector.y, -norm_vector.x),
-                                length, middle_slice.shape)
-    return major_p1, major_p2, minor_p1, minor_p2
+    mid = np.floor((major_a + major_b) / 2.0)
+    axis_vec = major_a - major_b
+    norm = float(np.hypot(*axis_vec))
+    if norm == 0.0:
+        return None, None, None, None
+    # unit perpendicular (x, y) -> (-y, x)
+    perp = np.array([-axis_vec[1], axis_vec[0]]) / norm
+    minor_a = _outermost_on_ray(mask, mid, perp)
+    minor_b = _outermost_on_ray(mask, mid, -perp)
+    return major_a, major_b, minor_a, minor_b

@@ -1,9 +1,10 @@
 """TotalSegmentator measurements → Excel row records.
 
-Parity: `body_organ_analysis/compute/ts_metrics.py:32-171` — reads
-`total-measurements.json`, derives the L3-slice body major/minor axes
-(convex hull + contour intersection), and produces the info rows +
-regions-statistics + cnr-adjusted DataFrames for the workbook.
+Behavior parity with `body_organ_analysis/compute/ts_metrics.py:32-171`:
+reads `total-measurements.json`, derives the L3-slice body major/minor
+axes, and produces the info rows + regions-statistics + cnr-adjusted
+DataFrames for the workbook. Axis geometry lives in
+`boa_tpu.compute.geometry` (original hull/ray implementation).
 """
 
 from __future__ import annotations
@@ -15,7 +16,6 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
-from scipy import spatial
 
 from boa_tpu.compute.geometry import find_axes
 from boa_tpu.io import nifti
@@ -25,9 +25,16 @@ from boa_tpu.utils.misc import (ADDITIONAL_MODELS_OUTPUT_NAME, convert_name,
 
 logger = logging.getLogger(__name__)
 
+#: regions whose CNR feeds the info sheet, with their row labels
+_CNR_INFO_ROWS = (
+    ("aorta", "CNRAorta"),
+    ("inferior_vena_cava", "CNRVCI"),
+    ("portal_vein_and_splenic_vein", "CNRPortalSplenicVein"),
+)
 
-def _reverse_total_map() -> dict[str, int]:
-    return {v: k for k, v in class_maps.get_class_map("total").items()}
+#: cnr-adjusted sheet row order (reference sheet layout)
+_CNR_ADJUSTED_ROWS = ("aorta", "pulmonary_artery", "autochthon",
+                      "autochthon_left", "autochthon_right")
 
 
 def major_minor_axis(l3_mask: np.ndarray, body_mask: np.ndarray,
@@ -44,9 +51,10 @@ def major_minor_axis(l3_mask: np.ndarray, body_mask: np.ndarray,
     middle_slice = body_mask[:, :, int(np.median(slices))]
     if np.sum(middle_slice) == 0:
         return None, None
-    major_p1, major_p2, minor_p1, minor_p2 = find_axes(middle_slice)
-    if any(pt is None for pt in (major_p1, major_p2, minor_p1, minor_p2)):
+    endpoints = find_axes(middle_slice)
+    if any(p is None for p in endpoints):
         return None, None
+    major_a, major_b, minor_a, minor_b = endpoints
     if plot_axes is not None:
         import matplotlib
         matplotlib.use("Agg")
@@ -54,27 +62,25 @@ def major_minor_axis(l3_mask: np.ndarray, body_mask: np.ndarray,
 
         _, ax = plt.subplots(1, 1)
         ax.imshow(middle_slice, cmap="gray")
-        ax.plot((major_p1.x, major_p2.x), (major_p1.y, major_p2.y), "-g",
+        ax.plot((major_a[0], major_b[0]), (major_a[1], major_b[1]), "-g",
                 linewidth=2.5)
-        ax.plot((minor_p1.x, minor_p2.x), (minor_p1.y, minor_p2.y), "-b",
+        ax.plot((minor_a[0], minor_b[0]), (minor_a[1], minor_b[1]), "-b",
                 linewidth=2.5)
         plt.axis("off")
         plt.savefig(Path(plot_axes) / "major_minor_axis.png", dpi=200,
                     bbox_inches="tight")
         plt.close()
     avg_spacing = float(np.mean(img_spacing))
-    return (
-        spatial.distance.euclidean(major_p1.to_list(), major_p2.to_list())
-        * avg_spacing,
-        spatial.distance.euclidean(minor_p1.to_list(), minor_p2.to_list())
-        * avg_spacing,
-    )
+    return (float(np.hypot(*(major_a - major_b))) * avg_spacing,
+            float(np.hypot(*(minor_a - minor_b))) * avg_spacing)
 
 
 def get_cnr_for_region(measurements: dict[str, Any], region: str) -> Any:
-    if measurements["segmentations"]["total"][region]["present"]:
-        return measurements["segmentations"]["total"][region]["cnr"]
-    return None
+    """CNR of a total-model region, or None when the region is absent."""
+    entry = measurements["segmentations"]["total"].get(region, {})
+    if not entry.get("present"):
+        return None
+    return entry["cnr"]
 
 
 def _excel_key(key: str) -> str:
@@ -86,6 +92,36 @@ def _excel_key(key: str) -> str:
     return new_key
 
 
+def _stat_record(prefix: dict[str, Any], stats: dict[str, Any]) -> dict[str, Any]:
+    rec = dict(prefix)
+    for key, val in stats.items():
+        rec[_excel_key(key)] = val
+    return rec
+
+
+def _body_axes_cm(ct_path: Path, segmentation_folder: Path,
+                  store_axes: bool) -> tuple[float | None, float | None]:
+    """L3-level body axes in cm, or (None, None) when inputs are missing."""
+    total_path = segmentation_folder / "total.nii.gz"
+    body_parts_path = segmentation_folder / "body_parts.nii.gz"
+    if not (total_path.exists() and body_parts_path.exists()):
+        return None, None
+    region_data = np.asarray(nifti.load(total_path).data)
+    body_data = np.asarray(nifti.load(body_parts_path).data)
+    l3_label = {v: k for k, v in
+                class_maps.get_class_map("total").items()}["vertebrae_L3"]
+    ct_img = nifti.load(Path(ct_path))
+    major_mm, minor_mm = major_minor_axis(
+        l3_mask=create_mask(region_data, l3_label),
+        body_mask=create_mask(body_data, 1),
+        img_spacing=np.asarray(ct_img.zooms[:2]),
+        plot_axes=segmentation_folder if store_axes else None,
+    )
+    if major_mm is None or minor_mm is None:
+        return None, None
+    return major_mm / 10.0, minor_mm / 10.0
+
+
 def compute_segmentator_metrics(
     ct_path: Path,
     segmentation_folder: Path,
@@ -95,71 +131,40 @@ def compute_segmentator_metrics(
     `ts_metrics.py:70-171`."""
     segmentation_folder = Path(segmentation_folder)
     with (segmentation_folder / "total-measurements.json").open() as of:
-        json_measurements = json.load(of)
+        measurements = json.load(of)
 
-    autochthon_std = json_measurements["info"]["autochthon_std"]
-    cnr_aorta = get_cnr_for_region(json_measurements, "aorta")
-    cnr_vci = get_cnr_for_region(json_measurements, "inferior_vena_cava")
-    cnr_pv = get_cnr_for_region(json_measurements,
-                                "portal_vein_and_splenic_vein")
-
-    ct_img = nifti.load(Path(ct_path))
-    major_axis = minor_axis = mean_axis = None
-    total_path = segmentation_folder / "total.nii.gz"
-    body_parts_path = segmentation_folder / "body_parts.nii.gz"
-    if total_path.exists() and body_parts_path.exists():
-        region_data = np.asarray(nifti.load(total_path).data)
-        body_data = np.asarray(nifti.load(body_parts_path).data)
-        rev = _reverse_total_map()
-        major_axis, minor_axis = major_minor_axis(
-            l3_mask=create_mask(region_data, rev["vertebrae_L3"]),
-            body_mask=create_mask(body_data, 1),
-            img_spacing=np.asarray(ct_img.zooms[:2]),
-            plot_axes=segmentation_folder if store_axes else None,
-        )
+    major_axis, minor_axis = _body_axes_cm(ct_path, segmentation_folder,
+                                           store_axes)
+    mean_axis = None
     if major_axis is not None and minor_axis is not None:
-        major_axis /= 10
-        minor_axis /= 10
         mean_axis = (major_axis + minor_axis) / 2
 
     records: list[dict[str, Any]] = []
-    for model_name in json_measurements["segmentations"]:
-        for region, vals in json_measurements["segmentations"][model_name].items():
-            base = {"ModelName": convert_name(model_name),
-                    "BodyRegion": convert_name(region)}
-            for key, val in vals.items():
-                base[_excel_key(key)] = val
-            records.append(base)
-
-    cnr_records = []
-    if json_measurements.get("cnr_adjusted"):
-        for region in ("aorta", "pulmonary_artery", "autochthon",
-                       "autochthon_left", "autochthon_right"):
-            if region not in json_measurements["cnr_adjusted"]:
-                continue
-            base = {"BodyRegion": convert_name(region)}
-            for key, val in json_measurements["cnr_adjusted"][region].items():
-                base[_excel_key(key)] = val
-            cnr_records.append(base)
-
+    for model_name, regions in measurements["segmentations"].items():
+        for region, stats in regions.items():
+            records.append(_stat_record(
+                {"ModelName": convert_name(model_name),
+                 "BodyRegion": convert_name(region)}, stats))
     for model_name, filename in ADDITIONAL_MODELS_OUTPUT_NAME.items():
         if not (segmentation_folder / f"{filename}.nii.gz").exists():
             records.append({"ModelName": convert_name(model_name),
                             "Present": False})
-            continue
 
-    additional_info = []
-    for name, value in [
-        ("Noise", autochthon_std),
-        ("CNRAorta", cnr_aorta),
-        ("CNRVCI", cnr_vci),
-        ("CNRPortalSplenicVein", cnr_pv),
-        ("MaxAxisL3_cm", major_axis),
-        ("MinAxisL3_cm", minor_axis),
-        ("MeanAxisL3_cm", mean_axis),
-    ]:
-        if value is not None:
-            additional_info.append({"name": name, "value": value})
+    cnr_adjusted = measurements.get("cnr_adjusted") or {}
+    cnr_records = [
+        _stat_record({"BodyRegion": convert_name(region)},
+                     cnr_adjusted[region])
+        for region in _CNR_ADJUSTED_ROWS if region in cnr_adjusted
+    ]
+
+    info_values = [("Noise", measurements["info"]["autochthon_std"])]
+    info_values += [(label, get_cnr_for_region(measurements, region))
+                    for region, label in _CNR_INFO_ROWS]
+    info_values += [("MaxAxisL3_cm", major_axis),
+                    ("MinAxisL3_cm", minor_axis),
+                    ("MeanAxisL3_cm", mean_axis)]
+    additional_info = [{"name": name, "value": value}
+                       for name, value in info_values if value is not None]
     return (
         additional_info,
         pd.DataFrame(records).sort_values(by=["ModelName", "BodyRegion"]),

@@ -43,43 +43,60 @@ def _replace_umlauts(text: str) -> str:
 
 def _process_info_element(dicom_tags: dict[str, Any],
                           infos_to_include: list[str]) -> str:
-    layer_info = ""
-    for info in infos_to_include:
-        if info in dicom_tags:
-            layer_info += str(dicom_tags[info]) + "_"
-        else:
-            layer_info += f"Unknown{info}_"
-    return re.sub(r"[^\w\.]", "_", _replace_umlauts(layer_info[:-1]))
+    """One path segment from a group of DICOM tags: values joined by
+    underscores (missing tags become ``Unknown<Tag>``), transliterated to
+    ASCII, with everything outside [A-Za-z0-9_.] replaced so the result
+    is safe for every filesystem/SMB share it lands on."""
+    parts = [str(dicom_tags[tag]) if tag in dicom_tags else f"Unknown{tag}"
+             for tag in infos_to_include]
+    return re.sub(r"[^\w.]", "_", _replace_umlauts("_".join(parts)))
+
+
+#: tag groups forming the output directory layers, outermost first
+_STUDY_LAYER = ["StudyDate", "AccessionNumber", "StudyDescription"]
+_SERIES_LAYER = ["SeriesNumber", "SeriesDescription"]
+_PATIENT_LAYER = ["PatientName", "PatientBirthDate"]
 
 
 def get_naming_scheme(dicom_tags: dict[str, str],
                       patient_info: bool = False) -> str:
-    p = f"/{dicom_tags['CalledAET']}"
-    study_layer = _process_info_element(
-        dicom_tags, ["StudyDate", "AccessionNumber", "StudyDescription"])
-    series_layer = _process_info_element(
-        dicom_tags, ["SeriesNumber", "SeriesDescription"])
+    """Output path: /<CalledAET>[/<patient>]/<study>/<series>/."""
+    layers = [_STUDY_LAYER, _SERIES_LAYER]
     if patient_info:
-        patient_layer = _process_info_element(
-            dicom_tags, ["PatientName", "PatientBirthDate"])
-        return f"{p}/{patient_layer}/{study_layer}/{series_layer}/"
-    return f"{p}/{study_layer}/{series_layer}/"
+        layers.insert(0, _PATIENT_LAYER)
+    segments = [_process_info_element(dicom_tags, layer) for layer in layers]
+    return "/" + "/".join([dicom_tags["CalledAET"], *segments]) + "/"
 
 
 def collect_auth() -> tuple[str, str]:
-    if "ORTHANC_USERNAME" in os.environ and "ORTHANC_PASSWORD" in os.environ:
-        return os.environ["ORTHANC_USERNAME"], os.environ["ORTHANC_PASSWORD"]
-    if "ORTHANC__REGISTERED_USERS" in os.environ:
-        m = re.search(r"\{[\"']([^\"']+)['\"].+[\"']([^\"']+)['\"]\}",
-                      os.environ["ORTHANC__REGISTERED_USERS"])
-        if m is None:
-            raise ValueError(
-                f"{os.environ['ORTHANC__REGISTERED_USERS']} does not comply "
-                "to the regex pattern for authorization.")
-        return m.group(1), m.group(2)
-    raise ValueError(
-        "No authentication information has been provided for the orthanc "
-        "server.")
+    """Orthanc REST credentials from the environment.
+
+    Prefers explicit ORTHANC_USERNAME/ORTHANC_PASSWORD; otherwise the
+    first entry of the ORTHANC__REGISTERED_USERS dict (a JSON-ish
+    ``{"user": "password"}`` string as Orthanc's config uses).
+    """
+    user = os.environ.get("ORTHANC_USERNAME")
+    password = os.environ.get("ORTHANC_PASSWORD")
+    if user is not None and password is not None:
+        return user, password
+    raw = os.environ.get("ORTHANC__REGISTERED_USERS")
+    if raw is None:
+        raise ValueError(
+            "Orthanc credentials missing: set ORTHANC_USERNAME and "
+            "ORTHANC_PASSWORD, or ORTHANC__REGISTERED_USERS.")
+    try:
+        users = json.loads(raw.replace("'", '"'))
+    except json.JSONDecodeError:
+        users = None
+    if isinstance(users, dict) and users:
+        name, pwd = next(iter(users.items()))
+        return str(name), str(pwd)
+    pair = re.search(r"""["']([^"']+)["']\s*:\s*["']([^"']+)["']""", raw)
+    if pair is None:
+        raise ValueError(
+            f"could not parse credentials from "
+            f"ORTHANC__REGISTERED_USERS={raw!r}")
+    return pair.group(1), pair.group(2)
 
 
 class OrthancSession:

@@ -1,10 +1,10 @@
-"""Env/flag parsing and model-spec resolution.
+"""Environment/flag parsing and model-spec resolution.
 
-Parity: `body_organ_analysis/compute/config.py` — env_bool/env_str with the
-``TODO``/empty = unset convention (`:13-26`), `resolve_models` (`:29-56`:
-``+``-split, ``all`` shortcut, bca => +total -body_parts/-body_regions,
-license gating), `resolve_device` (`:59-69`, adapted: ``gpu``/``cuda``
-aliases map to the TPU backend here).
+Behavior parity with `body_organ_analysis/compute/config.py`: boolean and
+string env vars where ``TODO``/empty mean "unset", ``+``-separated model
+specs with an ``all`` shortcut and license gating, and device-string
+normalization (adapted: this build targets the TPU backend, so the
+reference's ``gpu``/``cuda`` spellings are treated as accelerator aliases).
 """
 
 from __future__ import annotations
@@ -16,69 +16,102 @@ from boa_tpu.utils.constants import ALL_MODELS, AVAILABLE_MODELS, LICENSE_MODELS
 
 logger = logging.getLogger(__name__)
 
+#: values (lowercased) that make a boolean env var True
+_TRUE_WORDS = frozenset({"1", "true"})
+#: values (lowercased) that leave a string env var unset
+_PLACEHOLDER_WORDS = frozenset({"", "todo"})
+
 
 def env_bool(name: str, default: bool = False) -> bool:
-    raw = os.getenv(name)
-    if raw is None:
+    value = os.environ.get(name)
+    if value is None:
         return default
-    return raw.strip().lower() in {"1", "true"}
+    return value.strip().lower() in _TRUE_WORDS
 
 
 def env_str(name: str, default: str | None = None) -> str | None:
-    raw = os.getenv(name)
-    if raw is None or raw.strip().lower() in {"", "todo"}:
+    value = os.environ.get(name)
+    if value is None:
         return default
-    return raw.strip()
+    value = value.strip()
+    if value.lower() in _PLACEHOLDER_WORDS:
+        return default
+    return value
 
 
 def is_valid_license(license_number: str | None) -> bool:
-    """License check stub.
+    """STUB — format-only license check.
 
-    The reference validates against a remote backend
-    (`totalsegmentator/config.py:107-120`); with no egress we accept the
-    documented format (``aca_`` prefix + 18 chars) and let weight download
-    fail later if invalid.
+    The reference calls a remote licensing backend
+    (`totalsegmentator/config.py:107-120`). This build has no egress, so
+    only the documented shape is checked (``aca_`` + 18 characters); an
+    invalid-but-well-formed key will surface later as a failed weight
+    download rather than here.
     """
-    return bool(license_number) and license_number.startswith("aca_") and len(license_number) == 22
+    if not license_number:
+        return False
+    return license_number.startswith("aca_") and len(license_number) == 22
+
+
+def _expand_bca(models: set[str]) -> set[str]:
+    # the bca pipeline runs body_parts/body_regions itself and needs the
+    # total segmentation for vertebra windows
+    if "bca" in models:
+        models = models | {"total"}
+        models.discard("body_parts")
+        models.discard("body_regions")
+    return models
 
 
 def resolve_models(
     spec: str | None, strict: bool = False, license_number: str | None = None
 ) -> set[str]:
-    if not spec or spec.lower() == "all":
-        models = set(ALL_MODELS)
-        if license_number and is_valid_license(license_number):
-            models |= LICENSE_MODELS
-    else:
-        models = {s.replace("-", "_") for s in spec.split("+")}
-        invalid = models - AVAILABLE_MODELS
-        if invalid:
-            if strict:
-                raise ValueError(
-                    f"Unknown model(s): {', '.join(sorted(invalid))}. "
-                    f"Available: {', '.join(sorted(AVAILABLE_MODELS))}"
-                )
-            logger.error(
-                "Ignoring invalid model entries: %s. Available models are: %s.",
-                invalid,
-                sorted(AVAILABLE_MODELS),
-            )
-            models -= invalid
-    if "bca" in models:
-        models = (models | {"total"}) - {"body_regions", "body_parts"}
-    return models
+    """Turn a ``+``-separated model spec into the set of models to run."""
+    if spec is None or spec.lower() == "all":
+        selected = set(ALL_MODELS)
+        if is_valid_license(license_number):
+            selected |= LICENSE_MODELS
+        return _expand_bca(selected)
+
+    selected = set()
+    unknown = []
+    for token in spec.split("+"):
+        name = token.replace("-", "_")
+        if name in AVAILABLE_MODELS:
+            selected.add(name)
+        else:
+            unknown.append(name)
+    if unknown:
+        choices = ", ".join(sorted(AVAILABLE_MODELS))
+        if strict:
+            raise ValueError(
+                f"unrecognized model name(s) {sorted(unknown)}; "
+                f"choose from: {choices}")
+        logger.error("Skipping unrecognized model name(s) %s (choose from: %s)",
+                     sorted(unknown), choices)
+    return _expand_bca(selected)
+
+
+#: accepted accelerator spellings; reference-era configs say gpu/cuda
+_ACCELERATOR_ALIASES = frozenset({"gpu", "cuda", "tpu"})
 
 
 def resolve_device(device: str | None = None) -> str:
-    """Normalize a device spec. TPU is the native target; 'gpu'/'cuda' are
-    accepted aliases from reference-era configs and map to the accelerator
-    backend; 'cpu' forces the CPU backend (useful for tests)."""
-    device_str = device or os.environ.get("DEVICE", "tpu")
-    device_str, _, idx = device_str.partition(":")
-    device_str = device_str.lower()
-    if device_str in {"gpu", "cuda", "tpu"}:
-        device_str = "tpu"
-    elif device_str != "cpu":
-        raise ValueError(f"unknown device {device_str!r}")
-    idx = idx or os.environ.get("NVIDIA_ID", "")
-    return f"{device_str}:{idx}" if idx else device_str
+    """Normalize a device spec to ``tpu[:idx]`` or ``cpu``.
+
+    ``gpu``/``cuda`` (the reference's spellings) map to the TPU backend;
+    this rewrite is logged so reference-era configs are not silently
+    reinterpreted.
+    """
+    requested = device or os.environ.get("DEVICE", "tpu")
+    kind, _, index = requested.partition(":")
+    kind = kind.lower()
+    if kind in _ACCELERATOR_ALIASES:
+        if kind != "tpu":
+            logger.info("Device %r requested; using the TPU backend "
+                        "(this build is TPU-native).", requested)
+        kind = "tpu"
+    elif kind != "cpu":
+        raise ValueError(f"unknown device {kind!r}")
+    index = index or os.environ.get("NVIDIA_ID", "")
+    return f"{kind}:{index}" if index else kind

@@ -158,3 +158,34 @@ def test_major_minor_axis_degenerate_slice():
     maj, mino = major_minor_axis(l3, body, (1.0, 1.0, 1.0))
     assert maj is None or isinstance(maj, float)
     assert mino is None or isinstance(mino, float)
+
+
+def test_find_axes_ellipse_recovers_diameters():
+    """find_axes on a filled ellipse returns the major/minor diameters
+    within raster tolerance (behavior of reference geometry.py:49-85)."""
+    from boa_tpu.compute.geometry import find_axes
+
+    h = w = 200
+    yy, xx = np.mgrid[:h, :w]
+    a, b = 80.0, 45.0  # semi-axes: major along x, minor along y
+    mask = ((xx - 100) / a) ** 2 + ((yy - 100) / b) ** 2 <= 1.0
+    maj_a, maj_b, min_a, min_b = find_axes(mask)
+    major = np.hypot(*(maj_a - maj_b))
+    minor = np.hypot(*(min_a - min_b))
+    assert abs(major - 2 * a) < 4.0
+    assert abs(minor - 2 * b) < 4.0
+    # major axis should be along x, minor along y
+    assert abs(maj_a[1] - maj_b[1]) < abs(maj_a[0] - maj_b[0]) * 0.2
+    assert abs(min_a[0] - min_b[0]) < abs(min_a[1] - min_b[1]) * 0.2
+
+
+def test_convex_hull_matches_scipy():
+    from scipy import spatial
+
+    from boa_tpu.compute.geometry import convex_hull
+
+    rng = np.random.default_rng(7)
+    pts = rng.integers(0, 100, size=(300, 2))
+    ours = convex_hull(pts)
+    ref = pts[spatial.ConvexHull(pts.astype(float)).vertices]
+    assert {tuple(p) for p in ours} == {tuple(p) for p in ref}

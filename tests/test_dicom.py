@@ -195,3 +195,24 @@ def test_analyze_ct_from_dicom_dir(tmp_path, rng):
     info_rows = xlsx.read_xlsx(excel_path)["info"]
     names = [r[0] for r in info_rows if r]
     assert "StudyInstanceUID" in names and "Modality" in names
+
+
+def test_snomed_template_codes():
+    """DICOM-SEG metas carry organ-specific SNOMED codes (parity:
+    totalsegmentator_snomed_mapping.csv via templates/generate.py)."""
+    from boa_tpu.templates.generate import snomed_mapping, template_for_kind
+
+    mapping = snomed_mapping()
+    assert len(mapping) >= 117
+    tpl = template_for_kind("total")
+    segs = {s["SegmentLabel"]: s for s in tpl["segmentAttributes"][0]}
+    liver = segs["liver"]["SegmentedPropertyTypeCodeSequence"]
+    assert liver["CodeValue"] == mapping["liver"][
+        "SegmentedPropertyTypeCodeSequence"]["CodeValue"]
+    assert liver["CodeValue"] != "85756007"  # not the generic fallback
+    left = segs["kidney_left"]
+    assert left["SegmentedPropertyTypeModifierCodeSequence"]["CodeMeaning"] == "Left"
+    # every total segment resolves to a non-fallback type code
+    assert all(
+        s["SegmentedPropertyTypeCodeSequence"]["CodeValue"] != "85756007"
+        for s in tpl["segmentAttributes"][0])

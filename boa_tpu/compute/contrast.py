@@ -111,6 +111,41 @@ def _heuristic_git(feats: dict[str, float]) -> tuple[int, float]:
     return int(prob > 0.5), prob
 
 
+def _phase_from_pi_time(ct_data: np.ndarray, total_seg: np.ndarray
+                        ) -> tuple[int, list[float]] | None:
+    """IV phase via the vendored pi-time regressors (the reference ships
+    them in `resources/contrast_phase_classifiers_2024_07_19.pkl`; see
+    `bin/totalseg_get_phase.py:57-120`). Returns None when the vendored
+    artifact is unavailable so callers fall back to the heuristic."""
+    from boa_tpu.tools.get_phase import (_VENDORED_PHASE_PKL, PHASE_ORGANS,
+                                         get_ct_contrast_phase)
+
+    if not _VENDORED_PHASE_PKL.exists():
+        return None
+    inv = {v: k for k, v in class_maps.get_class_map("total").items()}
+    stats: dict[str, dict[str, float]] = {}
+    for organ in PHASE_ORGANS:
+        label = inv.get(organ)
+        vals = ct_data[total_seg == label] if label is not None else \
+            np.empty(0)
+        stats[organ] = {"intensity":
+                        float(np.median(vals)) if vals.size else 0.0}
+    try:
+        res = get_ct_contrast_phase(stats)
+    except Exception:
+        logger.exception("pi-time phase prediction failed")
+        return None
+    name = {"native": "native", "arterial_early": "arterial",
+            "arterial_late": "arterial",
+            "portal_venous": "portal_venous"}[res["phase"]]
+    idx = PHASES.index(name)
+    probs = [0.0, 0.0, 0.0]
+    probs[idx] = float(res["probability"])
+    rest = (1.0 - probs[idx]) / 2
+    probs = [p if i == idx else rest for i, p in enumerate(probs)]
+    return idx, probs
+
+
 def predict(ct_path: Path | str | nifti.NiftiImage,
             segmentation_folder: Path | str,
             model_path: str | Path | None = None,
@@ -136,8 +171,13 @@ def predict(ct_path: Path | str | nifti.NiftiImage,
         git_prob = float(git_probs[1]) if len(git_probs) > 1 else 0.0
         phase_list = [float(p) for p in phase_probs]
     else:
-        logger.info("No trained contrast model found; using heuristic rules")
-        phase_idx, phase_list = _heuristic_phase(feats)
+        pi_phase = _phase_from_pi_time(ct_data, np.asarray(total.data))
+        if pi_phase is not None:
+            phase_idx, phase_list = pi_phase
+        else:
+            logger.info("No trained contrast model found; using heuristic "
+                        "rules")
+            phase_idx, phase_list = _heuristic_phase(feats)
         git_idx, git_prob = _heuristic_git(feats)
 
     return {

@@ -1,11 +1,14 @@
 """CT vs MR modality prediction from image-level intensity features.
 
 Parity: `totalsegmentator/bin/totalseg_get_modality.py:24-60` — 4 features
-(mean, std, min, max of raw intensities) → classifier ensemble. The
-reference's XGBoost fold files are not vendored; a sklearn ensemble loads
-from `BOA_MODALITY_MODEL`, with an HU-range heuristic fallback (CT images
-keep calibrated HU: air ≈ −1000 present, wide symmetric range; MR
-intensities are non-negative and scanner-scaled).
+(mean, std, min, max of raw intensities) → 5-fold XGBoost ensemble. The
+reference's trained fold files
+(`resources/modality_classifiers_2025_02_24.json.*`) are vendored as data
+and scored with the pure-numpy tree walker (`boa_tpu/compute/xgb.py`), so
+this tool reproduces the reference classifier's outputs exactly. A
+sklearn ensemble can override via `BOA_MODALITY_MODEL`; an HU-range
+heuristic remains as last-resort fallback (CT keeps calibrated HU: air
+≈ −1000 present; MR intensities are non-negative and scanner-scaled).
 """
 
 from __future__ import annotations
@@ -13,9 +16,13 @@ from __future__ import annotations
 import json
 import os
 import pickle
+from functools import lru_cache
 from pathlib import Path
 
 import numpy as np
+
+_VENDORED_FOLDS = (Path(__file__).resolve().parents[1] / "resources" /
+                   "modality_classifiers_2025_02_24.json")
 
 
 def get_features(data: np.ndarray) -> list[float]:
@@ -23,10 +30,20 @@ def get_features(data: np.ndarray) -> list[float]:
             float(np.min(data)), float(np.max(data))]
 
 
+@lru_cache(maxsize=1)
+def _vendored_ensemble():
+    if not Path(f"{_VENDORED_FOLDS}.0").exists():
+        return None
+    from boa_tpu.compute.xgb import load_fold_files
+
+    return load_fold_files(_VENDORED_FOLDS)
+
+
 def get_modality(data: np.ndarray,
                  model_file: str | Path | None = None) -> dict:
     features = get_features(np.asarray(data))
     model_file = model_file or os.environ.get("BOA_MODALITY_MODEL")
+    vendored = _vendored_ensemble() if not model_file else None
     if model_file and Path(model_file).exists():
         with open(model_file, "rb") as f:
             clfs = pickle.load(f)
@@ -35,6 +52,14 @@ def get_modality(data: np.ndarray,
         prob = float(np.mean(preds))
         modality = "mr" if prob > 0.5 else "ct"
         probability = prob if modality == "mr" else 1 - prob
+    elif vendored is not None:
+        # reference ensemble semantics (`totalseg_get_modality.py:49-60`):
+        # mean of fold *labels*, < 0.5 → ct
+        labels = [float(fold.predict_label([features])[0])
+                  for fold in vendored]
+        mean_label = float(np.mean(labels))
+        modality = "ct" if mean_label < 0.5 else "mr"
+        probability = 1 - mean_label if modality == "ct" else mean_label
     else:
         mn, mx = features[2], features[3]
         is_ct = mn < -200  # calibrated air HU present

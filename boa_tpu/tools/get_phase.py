@@ -3,10 +3,12 @@
 Parity: `totalsegmentator/bin/totalseg_get_phase.py:23-120` — per-organ
 median HU features from a fast `total` run (+ head/neck vessels when brain
 volume > 100 ml) → regressor ensemble predicting contrast pi-time →
-`pi_time_to_phase` mapping (exact table). The reference's XGBoost fold
-pickles are not vendored; a sklearn ensemble can be loaded from
-`BOA_PHASE_MODEL`, with a physiological aorta/portal/vein heuristic as
-fallback.
+`pi_time_to_phase` mapping (exact table). The reference's trained fold
+pickle (`resources/contrast_phase_classifiers_2024_07_19.pkl`) is
+vendored as data and scored through the pure-numpy XGBoost tree walker
+(`boa_tpu/compute/xgb.py`), so pi-time predictions match the reference.
+`BOA_PHASE_MODEL` overrides with any sklearn-style ensemble; a
+physiological aorta/portal/vein heuristic remains as last resort.
 """
 
 from __future__ import annotations
@@ -88,6 +90,24 @@ def features_from_stats(stats: dict[str, Any],
     return feats
 
 
+_VENDORED_PHASE_PKL = (Path(__file__).resolve().parents[1] / "resources" /
+                       "contrast_phase_classifiers_2024_07_19.pkl")
+
+
+def _load_phase_ensemble(model_file: str | Path) -> list:
+    """Fold regressors from a pickle: the reference's XGBoost pickle is
+    decoded without xgboost via the UBJSON tree scorer; any other pickle
+    is used through its sklearn-style .predict."""
+    try:
+        from boa_tpu.compute.xgb import load_pickled_ensembles
+
+        return list(load_pickled_ensembles(model_file).values())
+    except Exception:
+        with open(model_file, "rb") as f:
+            clfs = pickle.load(f)
+        return list(clfs.values() if isinstance(clfs, dict) else clfs)
+
+
 def get_ct_contrast_phase(stats: dict[str, Any],
                           stats_hn: dict[str, Any] | None = None,
                           model_file: str | Path | None = None) -> dict:
@@ -97,20 +117,24 @@ def get_ct_contrast_phase(stats: dict[str, Any],
     import os
 
     model_file = model_file or os.environ.get("BOA_PHASE_MODEL")
+    if not model_file and _VENDORED_PHASE_PKL.exists():
+        model_file = _VENDORED_PHASE_PKL
     if model_file and Path(model_file).exists():
-        with open(model_file, "rb") as f:
-            clfs = pickle.load(f)
-        preds = [clf.predict(vec[None])[0] for clf in
-                 (clfs.values() if isinstance(clfs, dict) else clfs)]
-        pi_time = round(float(np.mean(preds)), 2)
-        pi_time_std = round(float(np.std(preds)), 4)
+        folds = _load_phase_ensemble(model_file)
+        preds = np.array([float(np.asarray(clf.predict(vec[None]))[0])
+                          for clf in folds])
+        pi_time = round(float(preds.mean()), 2)
+        pi_time_std = round(float(preds.std()), 4)
+        pi_min, pi_max = (round(float(preds.min()), 2),
+                          round(float(preds.max()), 2))
     else:
         pi_time = _heuristic_pi_time(feats)
         pi_time_std = 0.0
+        pi_min = pi_max = pi_time
     phase, prob = pi_time_to_phase(pi_time)
     return {"pi_time": pi_time, "pi_time_std": pi_time_std,
             "phase": phase, "probability": prob,
-            "pi_time_min": pi_time, "pi_time_max": pi_time}
+            "pi_time_min": pi_min, "pi_time_max": pi_max}
 
 
 def main(argv=None) -> None:

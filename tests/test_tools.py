@@ -30,14 +30,44 @@ def test_pi_time_to_phase_table():
 
 
 def test_get_phase_heuristic():
+    # heuristic fallback is forced by pointing at a missing model file
     stats = {"aorta": {"intensity": 300}, "portal_vein_and_splenic_vein":
              {"intensity": 120}, "liver": {"intensity": 60}}
-    res = get_ct_contrast_phase(stats)
+    res = get_ct_contrast_phase(stats, model_file="/nonexistent.pkl")
     assert res["phase"] == "arterial_early"
     stats2 = {"aorta": {"intensity": 60}}
-    assert get_ct_contrast_phase(stats2)["phase"] == "native"
+    assert get_ct_contrast_phase(
+        stats2, model_file="/nonexistent.pkl")["phase"] == "native"
     feats = features_from_stats(stats)
     assert feats["aorta"] == 300 and feats["brain"] == 0.0
+
+
+def test_get_phase_vendored_regressors():
+    """The vendored reference pi-time XGBoost folds drive the default
+    path (parity: totalseg_get_phase.py:57-120 + resources pickle)."""
+    from boa_tpu.tools.get_phase import _VENDORED_PHASE_PKL
+
+    assert _VENDORED_PHASE_PKL.exists()
+    # native study: unenhanced blood pool everywhere
+    native = {o: {"intensity": v} for o, v in {
+        "liver": 55, "pancreas": 45, "urinary_bladder": 10,
+        "gallbladder": 15, "heart": 40, "aorta": 45,
+        "inferior_vena_cava": 40, "portal_vein_and_splenic_vein": 40,
+        "iliac_vena_left": 40, "iliac_vena_right": 40,
+        "iliac_artery_left": 45, "iliac_artery_right": 45,
+        "pulmonary_vein": 40, "brain": 35, "colon": 30,
+        "small_bowel": 30}.items()}
+    res = get_ct_contrast_phase(native)
+    assert res["phase"] == "native"
+    assert res["pi_time_min"] <= res["pi_time"] <= res["pi_time_max"]
+    # strong arterial enhancement, portal system still dark
+    arterial = {**native, "aorta": {"intensity": 350},
+                "iliac_artery_left": {"intensity": 300},
+                "iliac_artery_right": {"intensity": 300},
+                "heart": {"intensity": 250}}
+    res2 = get_ct_contrast_phase(arterial)
+    assert res2["phase"].startswith("arterial")
+    assert res2["pi_time"] > res["pi_time"]
 
 
 def test_get_modality_heuristic(rng):
@@ -46,6 +76,25 @@ def test_get_modality_heuristic(rng):
     assert get_modality(ct)["modality"] == "ct"
     mr = np.abs(rng.normal(400, 150, (20, 20, 20))).astype(np.float32)
     assert get_modality(mr)["modality"] == "mr"
+
+
+def test_get_modality_vendored_classifier(rng):
+    """The vendored XGBoost folds are decoded (UBJSON) and scored by the
+    numpy tree walker; CT/MR separation matches the reference classifier
+    (totalseg_get_modality.py:49-60 ensemble semantics)."""
+    from boa_tpu.tools.get_modality import _vendored_ensemble
+
+    folds = _vendored_ensemble()
+    assert folds is not None and len(folds) == 5
+    assert all(f.objective == "binary:logistic" for f in folds)
+    assert folds[0].feature_names == ["mean", "std", "min", "max"]
+    ct = rng.normal(40, 300, (20, 20, 20)).astype(np.float32)
+    ct[0:5] = -1000
+    res = get_modality(ct)
+    assert res["modality"] == "ct" and res["probability"] >= 0.8
+    mr = np.abs(rng.normal(400, 150, (20, 20, 20))).astype(np.float32)
+    res2 = get_modality(mr)
+    assert res2["modality"] == "mr" and res2["probability"] >= 0.8
 
 
 def test_combine_masks_multilabel(tmp_path):

@@ -7,9 +7,12 @@ generation, dataset writing) — re-implemented from the DICOM standard
 pydicom is not in the image.
 
 Supports: explicit & implicit VR little endian parsing, sequences
-(defined and undefined length), uncompressed pixel data, file-meta
-handling, explicit-VR-LE writing, and pydicom-compatible deterministic
-UID generation. Compressed transfer syntaxes raise a clear error.
+(defined and undefined length), uncompressed pixel data, encapsulated
+pixel data with in-repo codecs for JPEG Lossless SV1/P14 and RLE
+(io/dicom_codecs.py + native/jpegll.cpp — the syntaxes GDCM decodes for
+the reference), file-meta handling, explicit-VR-LE and encapsulated
+writing, and pydicom-compatible deterministic UID generation. Other
+compressed transfer syntaxes raise a clear error.
 """
 
 from __future__ import annotations
@@ -29,6 +32,54 @@ IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
 UNCOMPRESSED = {IMPLICIT_VR_LE, EXPLICIT_VR_LE}
+# encapsulated syntaxes with in-repo codecs (io/dicom_codecs.py):
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+SUPPORTED_COMPRESSED = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1, RLE_LOSSLESS}
+
+
+class EncapsulatedFrames:
+    """Raw fragments of encapsulated (compressed) PixelData.
+
+    `fragments[0]` is the Basic Offset Table item (possibly empty); the
+    rest are the frame fragments in stream order.
+    """
+
+    __slots__ = ("fragments",)
+
+    def __init__(self, fragments: list[bytes]):
+        self.fragments = fragments
+
+    @property
+    def offset_table(self) -> list[int]:
+        bot = self.fragments[0] if self.fragments else b""
+        return list(np.frombuffer(bot, "<u4")) if bot else []
+
+    def frames(self, n_frames: int) -> list[bytes]:
+        frags = self.fragments[1:]
+        if n_frames == 1:
+            return [b"".join(frags)]
+        if len(frags) == n_frames:
+            return frags
+        offsets = self.offset_table
+        if len(offsets) == n_frames:
+            # offsets index the byte stream of item headers+fragments
+            stream_pos = []
+            pos = 0
+            for fr in frags:
+                stream_pos.append(pos)
+                pos += 8 + len(fr)
+            frames: list[bytes] = []
+            for i, start in enumerate(offsets):
+                stop = offsets[i + 1] if i + 1 < len(offsets) else pos
+                frames.append(b"".join(
+                    fr for p, fr in zip(stream_pos, frags)
+                    if start <= p < stop))
+            return frames
+        raise ValueError(
+            f"cannot split {len(frags)} fragments into {n_frames} frames "
+            "without an offset table")
 
 # SOP classes
 CT_IMAGE_STORAGE = "1.2.840.10008.5.1.4.1.1.2"
@@ -326,18 +377,37 @@ class _Reader:
             vr = TAG_TO_VR.get(tag, "UN")
             length = self._u32()
 
+        if tag == (0x7FE0, 0x0010) and length == 0xFFFFFFFF:
+            return tag, vr if vr in ("OB", "OW") else "OB", \
+                self._read_fragments()
         if vr == "SQ" or (vr == "UN" and length == 0xFFFFFFFF):
             items = self._read_sequence(length)
             return tag, "SQ", items
         if length == 0xFFFFFFFF:
             raise ValueError(
-                f"Undefined-length element {tag} with VR {vr}: encapsulated "
-                f"(compressed) pixel data is not supported by this codec")
+                f"Undefined-length element {tag} with VR {vr} is not "
+                f"supported by this codec")
         raw = self.buf[self.pos:self.pos + length]
         self.pos += length
         if vr == "UN" and tag in TAG_TO_VR:
             vr = TAG_TO_VR[tag]
         return tag, vr, _parse_value(vr, raw)
+
+    def _read_fragments(self) -> EncapsulatedFrames:
+        """Encapsulated pixel-data items up to the sequence delimiter."""
+        fragments: list[bytes] = []
+        while not self.eof():
+            g = self._u16()
+            e = self._u16()
+            ilen = self._u32()
+            if (g, e) == _SEQ_DELIM:
+                break
+            if (g, e) != _ITEM:
+                raise ValueError(
+                    f"expected pixel-data item, got ({g:04x},{e:04x})")
+            fragments.append(bytes(self.buf[self.pos:self.pos + ilen]))
+            self.pos += ilen
+        return EncapsulatedFrames(fragments)
 
     def _read_sequence(self, length: int) -> list[Dataset]:
         items: list[Dataset] = []
@@ -395,10 +465,12 @@ def dcmread(path: str | Path | bytes, stop_before_pixels: bool = False) -> Datas
         meta.set_raw(tag, vr, val)
 
     ts = meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
-    if ts not in UNCOMPRESSED:
+    if ts not in UNCOMPRESSED and ts not in SUPPORTED_COMPRESSED:
         raise ValueError(
-            f"Unsupported transfer syntax {ts}: only uncompressed little "
-            f"endian is supported (decompress with dcmdjpeg/gdcmconv first)")
+            f"Unsupported transfer syntax {ts}: supported are uncompressed "
+            f"little endian, JPEG Lossless ({JPEG_LOSSLESS_SV1}/"
+            f"{JPEG_LOSSLESS_P14}) and RLE ({RLE_LOSSLESS}); transcode "
+            f"others with dcmdjpeg/gdcmconv first")
     body = _Reader(data, explicit=(ts != IMPLICIT_VR_LE))
     body.pos = r.pos
     ds = Dataset()
@@ -412,7 +484,12 @@ def dcmread(path: str | Path | bytes, stop_before_pixels: bool = False) -> Datas
 
 
 def pixel_array(ds: Dataset) -> np.ndarray:
-    """Decode uncompressed PixelData to (rows, cols) or (frames, rows, cols)."""
+    """Decode PixelData to (rows, cols) or (frames, rows, cols).
+
+    Handles uncompressed LE and the encapsulated syntaxes with in-repo
+    codecs (JPEG Lossless SV1/P14, RLE) — the formats GDCM decodes for
+    the reference (`compute/io.py:326-383`).
+    """
     raw = ds.get("PixelData")
     if raw is None:
         raise ValueError("Dataset has no PixelData")
@@ -420,6 +497,10 @@ def pixel_array(ds: Dataset) -> np.ndarray:
     signed = int(ds.get("PixelRepresentation", 0)) == 1
     rows, cols = int(ds.get("Rows")), int(ds.get("Columns"))
     nframes = int(ds.get("NumberOfFrames", 1) or 1)
+    if isinstance(raw, EncapsulatedFrames):
+        ts = (ds.file_meta or Dataset()).get("TransferSyntaxUID", "")
+        return _decode_encapsulated(raw, ts, rows, cols, nframes, bits,
+                                    signed)
     if bits == 16:
         dt = np.int16 if signed else np.uint16
     elif bits == 8:
@@ -435,6 +516,50 @@ def pixel_array(ds: Dataset) -> np.ndarray:
     arr = np.frombuffer(raw, dt, count=rows * cols * nframes)
     return arr.reshape(nframes, rows, cols) if nframes > 1 else \
         arr.reshape(rows, cols)
+
+
+def _decode_encapsulated(enc: EncapsulatedFrames, ts: str, rows: int,
+                         cols: int, nframes: int, bits: int,
+                         signed: bool) -> np.ndarray:
+    from boa_tpu.io import dicom_codecs
+
+    frames = enc.frames(nframes)
+    decoded = []
+    for frame in frames:
+        if ts == RLE_LOSSLESS:
+            arr = dicom_codecs.decode_rle(frame, rows, cols,
+                                          max(bits // 8, 1))
+        elif ts in (JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14):
+            arr = dicom_codecs.decode_jpeg_lossless(frame)
+            if arr.shape != (rows, cols):
+                raise ValueError(f"frame decoded to {arr.shape}, "
+                                 f"expected {(rows, cols)}")
+        else:
+            raise ValueError(f"no codec for transfer syntax {ts}")
+        if bits <= 8:
+            arr = arr.astype(np.int8 if signed else np.uint8)
+        elif signed:
+            arr = arr.astype(np.uint16).view(np.int16)
+        else:
+            arr = arr.astype(np.uint16)
+        decoded.append(arr)
+    out = np.stack(decoded) if nframes > 1 else decoded[0]
+    return out
+
+
+def encapsulate(frames: list[bytes]) -> EncapsulatedFrames:
+    """Wrap encoded frame blobs as encapsulated PixelData (with BOT)."""
+    offsets = []
+    pos = 0
+    padded = []
+    for fr in frames:
+        if len(fr) % 2:
+            fr = fr + b"\x00"
+        offsets.append(pos)
+        pos += 8 + len(fr)
+        padded.append(fr)
+    bot = np.asarray(offsets, "<u4").tobytes() if len(frames) > 1 else b""
+    return EncapsulatedFrames([bot, *padded])
 
 
 # ---------------------------------------------------------------------------
@@ -483,6 +608,13 @@ def _stringify(vr: str, v: Any) -> str:
 def _write_element(out: bytearray, tag: tuple[int, int], vr: str,
                    value: Any) -> None:
     g, e = tag
+    if isinstance(value, EncapsulatedFrames):
+        out += struct.pack("<HH", g, e) + b"OB\x00\x00"
+        out += struct.pack("<I", 0xFFFFFFFF)
+        for frag in value.fragments:
+            out += struct.pack("<HHI", *_ITEM, len(frag)) + frag
+        out += struct.pack("<HHI", *_SEQ_DELIM, 0)
+        return
     if vr == "SQ":
         body = bytearray()
         for item in value:
@@ -516,7 +648,8 @@ def dcmwrite(path: str | Path, ds: Dataset) -> None:
     meta.MediaStorageSOPClassUID = sop_class
     if not meta.get("MediaStorageSOPInstanceUID"):
         meta.MediaStorageSOPInstanceUID = sop_uid
-    meta.TransferSyntaxUID = EXPLICIT_VR_LE
+    if meta.get("TransferSyntaxUID") not in SUPPORTED_COMPRESSED:
+        meta.TransferSyntaxUID = EXPLICIT_VR_LE
     meta.ImplementationClassUID = IMPLEMENTATION_CLASS_UID
     meta.ImplementationVersionName = "BOA_TPU"
 

@@ -216,3 +216,125 @@ def test_snomed_template_codes():
     assert all(
         s["SegmentedPropertyTypeCodeSequence"]["CodeValue"] != "85756007"
         for s in tpl["segmentAttributes"][0])
+
+
+# ------------------------------------------------------- compressed syntaxes
+def _ct_slice(rng, rows=64, cols=64):
+    """Synthetic CT-like slice: smooth anatomy + noise, int16 HU."""
+    yy, xx = np.mgrid[:rows, :cols]
+    body = (((xx - cols / 2) / (cols * 0.4)) ** 2
+            + ((yy - rows / 2) / (rows * 0.45)) ** 2) <= 1.0
+    img = np.full((rows, cols), -1000, np.int16)
+    img[body] = (40 + 30 * np.sin(xx[body] / 5.0)
+                 + rng.normal(0, 12, body.sum())).astype(np.int16)
+    return img
+
+
+def test_rle_roundtrip_frame(rng):
+    from boa_tpu.io import dicom_codecs
+
+    img = _ct_slice(rng).view(np.uint16)
+    frame = dicom_codecs.encode_rle(img)
+    back = dicom_codecs.decode_rle(frame, *img.shape, 2)
+    np.testing.assert_array_equal(back, img)
+    # python fallback decodes identically to the native path
+    back_py = dicom_codecs._decode_rle_python(frame, *img.shape, 2)
+    np.testing.assert_array_equal(back_py, img)
+
+
+def test_jpeg_lossless_roundtrip_frame(rng):
+    from boa_tpu.io import dicom_codecs
+
+    img = _ct_slice(rng).view(np.uint16)
+    frame = dicom_codecs.encode_jpeg_lossless_sv1(img, precision=16)
+    back = dicom_codecs.decode_jpeg_lossless(frame)
+    np.testing.assert_array_equal(back, img)
+    back_py = dicom_codecs._decode_jpegll_python(frame)
+    np.testing.assert_array_equal(back_py, img)
+
+
+@pytest.mark.parametrize("ts_name", ["rle", "jpegll"])
+def test_compressed_file_read_parity(tmp_path, rng, ts_name):
+    """A compressed Part-10 file reads back identical to the uncompressed
+    path (parity: GDCM read in compute/io.py:326-383)."""
+    from boa_tpu.io import dicom, dicom_codecs
+
+    img = _ct_slice(rng)
+    raw16 = img.view(np.uint16)
+    ds = dicom.Dataset()
+    ds.SOPClassUID = dicom.CT_IMAGE_STORAGE
+    ds.SOPInstanceUID = dicom.generate_uid()
+    ds.Rows, ds.Columns = img.shape
+    ds.BitsAllocated = 16
+    ds.BitsStored = 16
+    ds.HighBit = 15
+    ds.PixelRepresentation = 1
+    ds.SamplesPerPixel = 1
+    ds.PhotometricInterpretation = "MONOCHROME2"
+    if ts_name == "rle":
+        ts = dicom.RLE_LOSSLESS
+        frame = dicom_codecs.encode_rle(raw16)
+    else:
+        ts = dicom.JPEG_LOSSLESS_SV1
+        frame = dicom_codecs.encode_jpeg_lossless_sv1(raw16)
+    ds.PixelData = dicom.encapsulate([frame])
+    meta = dicom.Dataset()
+    meta.TransferSyntaxUID = ts
+    ds.file_meta = meta
+    p = tmp_path / f"{ts_name}.dcm"
+    dicom.dcmwrite(p, ds)
+
+    back = dicom.dcmread(p)
+    assert back.file_meta.get("TransferSyntaxUID") == ts
+    arr = dicom.pixel_array(back)
+    assert arr.dtype == np.int16
+    np.testing.assert_array_equal(arr, img)
+    # stop_before_pixels still works on encapsulated files
+    hdr = dicom.dcmread(p, stop_before_pixels=True)
+    assert hdr.get("PixelData") is None
+    assert int(hdr.get("Rows")) == img.shape[0]
+
+
+def test_multiframe_jpegll_with_offset_table(tmp_path, rng):
+    from boa_tpu.io import dicom, dicom_codecs
+
+    frames_np = [_ct_slice(rng).view(np.uint16) for _ in range(3)]
+    frames = [dicom_codecs.encode_jpeg_lossless_sv1(f) for f in frames_np]
+    ds = dicom.Dataset()
+    ds.SOPClassUID = dicom.CT_IMAGE_STORAGE
+    ds.SOPInstanceUID = dicom.generate_uid()
+    ds.Rows, ds.Columns = frames_np[0].shape
+    ds.BitsAllocated = 16
+    ds.PixelRepresentation = 0
+    ds.NumberOfFrames = 3
+    ds.PixelData = dicom.encapsulate(frames)
+    meta = dicom.Dataset()
+    meta.TransferSyntaxUID = dicom.JPEG_LOSSLESS_SV1
+    ds.file_meta = meta
+    p = tmp_path / "mf.dcm"
+    dicom.dcmwrite(p, ds)
+    arr = dicom.pixel_array(dicom.dcmread(p))
+    assert arr.shape == (3, *frames_np[0].shape)
+    for k in range(3):
+        np.testing.assert_array_equal(arr[k], frames_np[k])
+
+
+def test_unsupported_syntax_clear_error(tmp_path, rng):
+    from boa_tpu.io import dicom
+
+    ds = dicom.Dataset()
+    ds.SOPClassUID = dicom.CT_IMAGE_STORAGE
+    ds.SOPInstanceUID = dicom.generate_uid()
+    meta = dicom.Dataset()
+    meta.TransferSyntaxUID = "1.2.840.10008.1.2.4.90"  # J2K lossless
+    ds.file_meta = meta
+    p = tmp_path / "bad.dcm"
+    dicom.dcmwrite(p, ds)
+    # force the meta ts back (dcmwrite normalizes unknown ts to explicit LE)
+    raw = bytearray(p.read_bytes())
+    idx = raw.find(b"1.2.840.10008.1.2.1\x00")
+    if idx >= 0:
+        raw[idx:idx + 20] = b"1.2.840.10008.1.2.4.90"[:20].ljust(20, b"\x00")
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="transfer syntax"):
+        dicom.dcmread(p)

@@ -93,19 +93,30 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
             filled, (threshold - 1, np.inf), connectivity=3).astype(bool)
         if not filled.any():   # nothing survived: the holes pass would be a
             continue           # full dense-CC over pure background
-        # remove small holes: background components that touch the crop
-        # border are the (arbitrarily large) outside background and are
-        # always kept; interior islands below the threshold become filled.
-        # (Approximation vs whole-volume remove_small_holes only in the
-        # corner case of a small background pocket whose connection to the
-        # main background runs outside the bbox AND the mask touches a
-        # volume face there — anatomically irrelevant for body parts.)
+        # remove small holes: background components touching a PAD-RING
+        # face (the 1-voxel background ring added around the bbox) are the
+        # outside background and are always kept; a face where the bbox
+        # was clamped to the volume edge carries no ring, so components
+        # there follow the plain size threshold — exactly what the
+        # whole-volume reference (`body_parts/postprocess.py:7-52`
+        # remove_small_holes) does with a face-touching pocket.
         inv_labels, n = cc.label(~filled, connectivity=3)
         sizes = cc.component_sizes(inv_labels, n)
         keep = sizes >= threshold
-        for face in (inv_labels[0], inv_labels[-1], inv_labels[:, 0],
-                     inv_labels[:, -1], inv_labels[..., 0],
-                     inv_labels[..., -1]):
+        ring_faces = []
+        if lo[0] > 0:
+            ring_faces.append(inv_labels[0])
+        if hi[0] < lm.shape[0]:
+            ring_faces.append(inv_labels[-1])
+        if lo[1] > 0:
+            ring_faces.append(inv_labels[:, 0])
+        if hi[1] < lm.shape[1]:
+            ring_faces.append(inv_labels[:, -1])
+        if lo[2] > 0:
+            ring_faces.append(inv_labels[..., 0])
+        if hi[2] < lm.shape[2]:
+            ring_faces.append(inv_labels[..., -1])
+        for face in ring_faces:
             keep[np.unique(face)] = True
         keep[0] = False  # label 0 = foreground region of the inversion
         filled = ~keep[inv_labels]

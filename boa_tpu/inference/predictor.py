@@ -114,10 +114,21 @@ def load_stacked_cached(store, task_id: int, trainer: str, model: str,
                         folds) -> tuple[ModelPlans, object]:
     """(plans, stacked device params) for a model, cached across studies."""
     budget = _cache_budget()
+    mdir = store.model_dir(task_id, trainer, model=model)
     if folds is None:  # None = all available folds (python_api folds=None)
-        mdir = store.model_dir(task_id, trainer, model=model)
         folds = sorted(int(p.name.split("_")[1]) for p in mdir.glob("fold_*"))
-    key = (str(store.root), task_id, trainer, model, tuple(folds))
+    # fingerprint the checkpoint files so re-imported weights at the same
+    # path invalidate the cache instead of serving stale params
+    stamp = []
+    for f in folds:
+        for name in ("checkpoint_final.npz", "checkpoint_final.pth"):
+            p = mdir / f"fold_{f}" / name
+            if p.exists():
+                st = p.stat()
+                stamp.append((f, name, st.st_mtime_ns, st.st_size))
+                break
+    key = (str(store.root), task_id, trainer, model, tuple(folds),
+           tuple(stamp))
     hit = _STACKED_CACHE.get(key)
     if hit is not None:
         _STACKED_CACHE.move_to_end(key)
@@ -129,6 +140,8 @@ def load_stacked_cached(store, task_id: int, trainer: str, model: str,
         return plans, stacked
     stacked = jax.tree.map(jnp.asarray, stacked)
     nbytes = sum(x.nbytes for x in jax.tree.leaves(stacked))
+    for stale in [k for k in _STACKED_CACHE if k[:5] == key[:5]]:
+        del _STACKED_CACHE[stale]  # same model, outdated fingerprint
     _STACKED_CACHE[key] = (plans, stacked, nbytes)
     total = sum(v[2] for v in _STACKED_CACHE.values())
     while total > budget and len(_STACKED_CACHE) > 1:

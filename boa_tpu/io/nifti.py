@@ -134,6 +134,12 @@ class NiftiImage:
         cached = getattr(self, "_device_data", None)
         if cached is None or cached[0] is not self.data:
             cached = (self.data, jnp.asarray(self.data))
+            # freeze the host buffer: an in-place mutation after upload
+            # would silently desync host and device copies — make it fail
+            # loudly instead (replace img.data, don't mutate)
+            if isinstance(self.data, np.ndarray) and \
+                    self.data.flags.owndata:
+                self.data.flags.writeable = False
             object.__setattr__(self, "_device_data", cached)
         return cached[1]
 

@@ -44,13 +44,16 @@ def segmented_stats(seg: jax.Array, ct: jax.Array, num_classes: int,
     cti = jnp.clip(ct.astype(jnp.int32), HU_MIN, HU_MAX).ravel()
 
     combined = segf * N_BINS + (cti - HU_MIN)
-    hist = jax.ops.segment_sum(jnp.ones_like(combined, jnp.float32),
-                               combined,
-                               num_segments=num_classes * N_BINS
-                               ).reshape(num_classes, N_BINS)
+    # accumulate in int32: fp32 loses exactness above 2^24 counts/bucket
+    # (a uniform giant class — e.g. all-background — can exceed that)
+    hist_i = jax.ops.segment_sum(jnp.ones_like(combined, jnp.int32),
+                                 combined,
+                                 num_segments=num_classes * N_BINS
+                                 ).reshape(num_classes, N_BINS)
+    hist = hist_i.astype(jnp.float32)
 
     values = jnp.arange(HU_MIN, HU_MAX + 1, dtype=jnp.float32)
-    count = jnp.sum(hist, axis=1)
+    count = jnp.sum(hist_i, axis=1).astype(jnp.float32)
     hu_sum = hist @ values
     hu_sumsq = hist @ (values * values)
 

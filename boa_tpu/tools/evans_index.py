@@ -57,12 +57,24 @@ def inplane_rotation_deg(brain_mask: np.ndarray,
 
 def _rotate_masks_inplane(deg: float, *masks: np.ndarray):
     """Order-0 in-plane rotation about the volume center (scipy host op —
-    head volumes are small and this runs once per study)."""
+    head volumes are small and this runs once per study).
+
+    The grid is padded to the in-plane diagonal first so an off-center
+    head can never be clipped at the edge by the reshape=False rotation
+    (the downstream diameters are translation-invariant, so the pad
+    offset is harmless)."""
     from scipy import ndimage as ndi
 
-    return tuple(
-        ndi.rotate(m.astype(np.uint8), deg, axes=(1, 0), reshape=False,
-                   order=0, prefilter=False) > 0 for m in masks)
+    x, y = masks[0].shape[:2]
+    diag = int(np.ceil(np.hypot(x, y)))
+    px = (diag - x) // 2 + 1
+    py = (diag - y) // 2 + 1
+    out = []
+    for m in masks:
+        mp = np.pad(m.astype(np.uint8), ((px, px), (py, py), (0, 0)))
+        out.append(ndi.rotate(mp, deg, axes=(1, 0), reshape=False,
+                              order=0, prefilter=False) > 0)
+    return tuple(out)
 
 
 def max_diameter_x(mask: np.ndarray):

@@ -237,3 +237,22 @@ def test_evans_index_inplane_alignment():
     got = evans_index(vent_r, label_map, brain_r, (1.0, 1.0, 5.0))
     assert got["success"]
     assert got["evans_index"] == pytest.approx(ref["evans_index"], abs=0.03)
+
+
+def test_rotate_masks_inplane_never_clips():
+    """In-plane alignment rotation pads to the diagonal so an off-center
+    head cannot lose voxels at the grid edge (plain reshape=False
+    rotation of the same mask does)."""
+    from scipy import ndimage as ndi
+
+    from boa_tpu.tools.evans_index import _rotate_masks_inplane
+
+    yy, xx = np.mgrid[0:80, 0:80]
+    # blob in the corner: naive rotation about the center clips it
+    blob = ((xx - 70) ** 2 + (yy - 70) ** 2) < 15 ** 2
+    mask = np.repeat(blob.T[:, :, None], 4, axis=2)
+    naive = ndi.rotate(mask.astype(np.uint8), 30.0, axes=(1, 0),
+                       reshape=False, order=0) > 0
+    assert naive.sum() < 0.9 * mask.sum()  # the failure mode being fixed
+    (padded,) = _rotate_masks_inplane(30.0, mask)
+    assert padded.sum() >= 0.97 * mask.sum()  # only aliasing jitter left

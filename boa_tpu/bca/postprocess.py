@@ -72,7 +72,10 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
     components with size <= threshold - 1, i.e. keeps size >= threshold.
     """
     out = np.zeros(mask.shape, dtype=mask.dtype)
-    for label_value in np.unique(mask):
+    # one bincount pass lists the labels (np.unique sorts 78M voxels)
+    present = np.nonzero(np.bincount(
+        mask.ravel().astype(np.intp), minlength=1))[0]
+    for label_value in present:
         if label_value == 0:
             continue
         lm = mask == label_value
@@ -81,11 +84,13 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
         # inversion stays exact because the pad ring keeps the outside
         # background connected. One body part typically spans a fraction
         # of the scan, so the 2x full-volume CC passes shrink accordingly.
-        idx = np.nonzero(lm)
-        if len(idx[0]) == 0:
+        # bbox via axis-projections (np.nonzero costs a 2 s index build)
+        proj = [lm.any(axis=(1, 2)), lm.any(axis=(0, 2)), lm.any(axis=(0, 1))]
+        if not proj[0].any():
             continue
-        lo = [max(int(i.min()) - 1, 0) for i in idx]
-        hi = [min(int(i.max()) + 2, s) for i, s in zip(idx, lm.shape)]
+        lo = [max(int(np.argmax(p)) - 1, 0) for p in proj]
+        hi = [min(int(len(p) - np.argmax(p[::-1])) + 1, s)
+              for p, s in zip(proj, lm.shape)]
         box = tuple(slice(a, b) for a, b in zip(lo, hi))
         filled = _fill_2d_contours(lm[box])
         # remove small foreground objects (keep >= threshold)

@@ -111,25 +111,49 @@ def _heuristic_git(feats: dict[str, float]) -> tuple[int, float]:
     return int(prob > 0.5), prob
 
 
-def _phase_from_pi_time(ct_data: np.ndarray, total_seg: np.ndarray
+_STAT_FROM_JSON = {"mean": "mean_hu", "std": "std_hu", "median": "median_hu",
+                   "q25": "25th_percentile_hu", "q75": "75th_percentile_hu"}
+
+
+def features_from_measurements(measurements: dict[str, Any]
+                               ) -> dict[str, float] | None:
+    """Contrast features straight from total-measurements.json.
+
+    The measurement engine's per-region histogram stats carry exactly the
+    per-organ mean/std/median/quantiles this module needs, so when the
+    JSON exists no voxel pass happens at all (one shared device histogram
+    pass serves statistics, contrast, and phase)."""
+    regions = measurements.get("segmentations", {}).get("total")
+    if not regions:
+        return None
+    feats: dict[str, float] = {}
+    for organ in FEATURE_ORGANS:
+        entry = regions.get(organ) or {}
+        present = entry.get("present", False)
+        for stat, json_key in _STAT_FROM_JSON.items():
+            feats[f"{organ}_{stat}"] = float(entry[json_key]) if present \
+                else float("nan")
+    return feats
+
+
+def _phase_from_pi_time(measurements: dict[str, Any] | None
                         ) -> tuple[int, list[float]] | None:
     """IV phase via the vendored pi-time regressors (the reference ships
     them in `resources/contrast_phase_classifiers_2024_07_19.pkl`; see
-    `bin/totalseg_get_phase.py:57-120`). Returns None when the vendored
-    artifact is unavailable so callers fall back to the heuristic."""
+    `bin/totalseg_get_phase.py:57-120`). Organ median HUs come from the
+    measurements JSON; returns None when either the vendored artifact or
+    the measurements are unavailable."""
     from boa_tpu.tools.get_phase import (_VENDORED_PHASE_PKL, PHASE_ORGANS,
                                          get_ct_contrast_phase)
 
-    if not _VENDORED_PHASE_PKL.exists():
+    if not _VENDORED_PHASE_PKL.exists() or measurements is None:
         return None
-    inv = {v: k for k, v in class_maps.get_class_map("total").items()}
+    regions = measurements.get("segmentations", {}).get("total") or {}
     stats: dict[str, dict[str, float]] = {}
     for organ in PHASE_ORGANS:
-        label = inv.get(organ)
-        vals = ct_data[total_seg == label] if label is not None else \
-            np.empty(0)
-        stats[organ] = {"intensity":
-                        float(np.median(vals)) if vals.size else 0.0}
+        entry = regions.get(organ) or {}
+        stats[organ] = {"intensity": float(entry.get("median_hu") or 0.0)
+                        if entry.get("present") else 0.0}
     try:
         res = get_ct_contrast_phase(stats)
     except Exception:
@@ -151,11 +175,20 @@ def predict(ct_path: Path | str | nifti.NiftiImage,
             model_path: str | Path | None = None,
             one_mask_per_file: bool = False) -> dict[str, Any]:
     """boa_contrast.predict-compatible entry (`commands.py:216`)."""
-    ct_img = ct_path if isinstance(ct_path, nifti.NiftiImage) else \
-        nifti.load(Path(ct_path))
-    total = nifti.load(Path(segmentation_folder) / "total.nii.gz")
-    ct_data = np.asarray(ct_img.data)
-    feats = extract_features(ct_data, np.asarray(total.data))
+    import json as _json
+
+    measurements = None
+    meas_path = Path(segmentation_folder) / "total-measurements.json"
+    if meas_path.exists():
+        with meas_path.open() as fh:
+            measurements = _json.load(fh)
+    feats = features_from_measurements(measurements) if measurements else None
+    if feats is None:  # no measurements on disk: fall back to voxel pass
+        ct_img = ct_path if isinstance(ct_path, nifti.NiftiImage) else \
+            nifti.load(Path(ct_path))
+        total = nifti.load(Path(segmentation_folder) / "total.nii.gz")
+        ct_data = np.asarray(ct_img.data)
+        feats = extract_features(ct_data, np.asarray(total.data))
 
     mp = _model_path(model_path)
     if mp is not None:
@@ -171,7 +204,7 @@ def predict(ct_path: Path | str | nifti.NiftiImage,
         git_prob = float(git_probs[1]) if len(git_probs) > 1 else 0.0
         phase_list = [float(p) for p in phase_probs]
     else:
-        pi_phase = _phase_from_pi_time(ct_data, np.asarray(total.data))
+        pi_phase = _phase_from_pi_time(measurements)
         if pi_phase is not None:
             phase_idx, phase_list = pi_phase
         else:

@@ -89,7 +89,15 @@ def find_axes(middle_slice: np.ndarray):
     rows, cols = np.nonzero(mask)
     if len(rows) == 0:
         return None, None, None, None
-    pts = np.stack([cols, rows], axis=1)  # (x, y)
+    # hull candidates: only row-extremal pixels (min/max x per y) can be
+    # hull vertices — cuts the python monotone chain from ~200k points on
+    # a body slice to <=2*rows
+    order = np.lexsort((cols, rows))
+    r_sorted, c_sorted = rows[order], cols[order]
+    first = np.searchsorted(r_sorted, np.unique(r_sorted), side="left")
+    last = np.searchsorted(r_sorted, np.unique(r_sorted), side="right") - 1
+    cand = np.concatenate([order[first], order[last]])
+    pts = np.stack([cols[cand], rows[cand]], axis=1)  # (x, y)
     hull = convex_hull(pts)
     if len(hull) < 2:
         return None, None, None, None

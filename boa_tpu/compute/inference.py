@@ -97,6 +97,9 @@ def compute_all_models(
     }
 
     crop_total: nifti.NiftiImage | None = None  # cached low-res total for crops
+    # in-memory seg images for the measurement engine: sharing the instance
+    # also shares its cached device upload with the preview renderer
+    seg_cache: dict[str, nifti.NiftiImage] = {}
     for chosen_task in measurement_models:
         logger.info("Computing model %s...", chosen_task)
         seg_file = segmentation_folder / f"{_output_name(chosen_task)}.nii.gz"
@@ -133,6 +136,7 @@ def compute_all_models(
                     _time.perf_counter() - t_model)
         t_model = _time.perf_counter()
         nifti.save(res.seg, seg_file)
+        seg_cache[chosen_task] = res.seg
         logger.info("Saved %s in %.2fs", seg_file.name,
                     _time.perf_counter() - t_model)
         if res.stats is not None:
@@ -160,6 +164,7 @@ def compute_all_models(
             models=measurement_models,
             cnr_adjustment=cnr_adjustment,
             ct_image=ct_img,
+            seg_images=seg_cache,
         )
         with measurement_file.open("w") as ofile:
             json.dump(json_data, ofile, indent=2, default=np_json_default)

@@ -60,10 +60,33 @@ def _label_projections(seg: np.ndarray, n_labels: int) -> np.ndarray:
     # out-of-map labels (e.g. the 255 ignore value) must not overflow into
     # the next (y,z) bucket
     width = max(n_labels, int(seg.max()) + 1)
-    yz = np.arange(ny * nz, dtype=np.int64).reshape(ny, nz)
-    combined = (yz[None] * width + seg.astype(np.int64)).ravel()
+    dt = np.int32 if ny * nz * width < 2 ** 31 else np.int64
+    yz = np.arange(ny * nz, dtype=dt).reshape(ny, nz)
+    combined = (yz[None] * dt(width) + seg.astype(dt)).ravel()
     counts = np.bincount(combined, minlength=ny * nz * width)
     return counts.reshape(ny, nz, width)[:, :, :n_labels] > 0
+
+
+def _label_projections_device(seg_dev, n_labels: int) -> np.ndarray:
+    """Device variant: the seg is already resident (shared upload with
+    the measurement engine); only the (ny, nz, labels) presence bitmap
+    crosses the link (~2 MB vs a 78M-voxel host pass)."""
+    import jax
+    import jax.numpy as jnp
+
+    _, ny, nz = seg_dev.shape
+    width = max(n_labels, int(jnp.max(seg_dev)) + 1)
+
+    @jax.jit
+    def proj(seg):
+        yz = jnp.arange(ny * nz, dtype=jnp.int32).reshape(1, ny, nz)
+        combined = (yz * width + seg.astype(jnp.int32)).ravel()
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(combined, jnp.int32), combined,
+            num_segments=ny * nz * width)
+        return counts.reshape(ny, nz, width) > 0
+
+    return np.asarray(proj(seg_dev))[:, :, :n_labels]
 
 
 def generate_preview(ct_img, seg_img, label_map: dict[int, str],
@@ -83,7 +106,16 @@ def generate_preview(ct_img, seg_img, label_map: dict[int, str],
         aspect = zooms[2] / zooms[1]
 
     n_labels = int(max(inv.values(), default=0)) + 1
-    projections = _label_projections(seg, n_labels)
+    if hasattr(seg_img, "device_data"):
+        try:
+            projections = _label_projections_device(seg_img.device_data(),
+                                                    n_labels)
+        except Exception:
+            logger.debug("device projection failed; host fallback",
+                         exc_info=True)
+            projections = _label_projections(seg, n_labels)
+    else:
+        projections = _label_projections(seg, n_labels)
 
     n = len(ROI_GROUPS)
     fig, axes = plt.subplots(1, n, figsize=(3.2 * n, 6), facecolor="black")

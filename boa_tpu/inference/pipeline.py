@@ -290,7 +290,11 @@ def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
                  step_size: float, store: ModelStore, compute_dtype: str,
                  fake_predict, bucket: int | None = None) -> np.ndarray:
     if fake_predict is not None:
-        return np.asarray(fake_predict(np.asarray(data_rsp), spacing, task_id))
+        if getattr(fake_predict, "wants_volume", True):
+            vol = np.asarray(data_rsp)
+        else:  # shape-only fakes skip the (tunnel-expensive) download
+            vol = np.broadcast_to(np.int32(0), data_rsp.shape)
+        return np.asarray(fake_predict(vol, spacing, task_id))
     from boa_tpu.inference.predictor import load_stacked_cached
 
     plans, stacked = load_stacked_cached(store, task_id, task.trainer,

@@ -157,11 +157,14 @@ def compute_measurements_arrays(
     spacing: tuple[float, float, float],
     cnr_adjustment: bool = False,
     ct_dev=None,
+    seg_devs: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Array-level measurement engine.
 
     ct_data: (X,Y,Z) int HU volume; segmentations: {model_name: label volume
-    on the same grid}; spacing in mm.
+    on the same grid}; spacing in mm. `seg_devs` supplies already-uploaded
+    device copies (the preview shares the same upload via
+    NiftiImage.device_data).
     """
     measurements: dict[str, Any] = {"segmentations": {}, "info": {}}
     ml_per_voxel = float(np.prod(spacing)) / 1000.0
@@ -181,14 +184,17 @@ def compute_measurements_arrays(
         num_classes = max(label_map.values()) + 1
         # upload at native (u)int8/16 width — the int32 cast runs on
         # device (4x less tunnel traffic than casting on the host first)
-        seg_dev = jnp.asarray(seg)
+        seg_dev = (seg_devs or {}).get(model_name)
+        if seg_dev is None:
+            seg_dev = jnp.asarray(seg)
         res = segmented_stats(seg_dev, ct_dev, num_classes, with_histogram=True)
         hists = np.asarray(res["hist"])
 
         if model_name == "total":
-            auto_mask = jnp.asarray(
-                create_mask(seg, [label_map["autochthon_left"],
-                                  label_map["autochthon_right"]]))
+            # autochthon mask built on device from the resident seg (a
+            # host create_mask pass + bool upload costs ~1.5 s here)
+            auto_mask = ((seg_dev == label_map["autochthon_left"])
+                         | (seg_dev == label_map["autochthon_right"]))
             autochthon_mean, autochthon_std = autochthon_reference(ct_dev, auto_mask)
 
         model_metrics: dict[str, Any] = {}
@@ -254,17 +260,32 @@ def compute_pfav_mask(ct_data: np.ndarray, total_seg: np.ndarray) -> np.ndarray:
     return (lungs & fat).astype(np.uint8)
 
 
+def _pfav_mask_device(ct_dev, seg_dev) -> np.ndarray:
+    """Device pfav: reuses the resident CT/seg; only the (mostly-zero,
+    well-compressed) uint8 mask crosses the link."""
+    label_map = _class_map_for_model("total")
+    lut = np.zeros(max(label_map.values()) + 1, bool)
+    for name in LUNG_MASKS:
+        lut[label_map[name]] = True
+    lungs = jnp.take(jnp.asarray(lut), seg_dev.astype(jnp.int32))
+    fat = (ct_dev >= ADIPOSE_TISSUE[0]) & (ct_dev <= ADIPOSE_TISSUE[1])
+    return np.asarray((lungs & fat).astype(jnp.uint8))
+
+
 def compute_measurements(
     ct_path: Path,
     segmentation_folder: Path,
     models: list[str],
     cnr_adjustment: bool,
     ct_image=None,
+    seg_images: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """File-level wrapper matching the reference signature (`:244-343`).
 
-    Reads CT + per-model segmentations from `segmentation_folder`, writes
-    ct_pfav.nii.gz when total is present.
+    Reads CT + per-model segmentations from `segmentation_folder` (or
+    reuses instances from `seg_images`, sharing their cached device
+    uploads with the preview), writes ct_pfav.nii.gz when total is
+    present.
     """
     from boa_tpu.io import nifti
 
@@ -274,24 +295,34 @@ def compute_measurements(
     ct_img = ct_image if ct_image is not None else nifti.load(ct_path)
     ct_data = np.asarray(ct_img.data)
     segmentations = {}
+    seg_devs = {}
     for model_name in models:
         file_name = ("total" if model_name == "total"
                      else ADDITIONAL_MODELS_OUTPUT_NAME.get(model_name, model_name))
-        p = Path(segmentation_folder) / f"{file_name}.nii.gz"
-        if not p.exists():
-            continue
-        seg_img = nifti.load(p)
+        seg_img = (seg_images or {}).get(model_name)
+        if seg_img is None:
+            p = Path(segmentation_folder) / f"{file_name}.nii.gz"
+            if not p.exists():
+                continue
+            seg_img = nifti.load(p)
         if not np.allclose(seg_img.zooms, ct_img.zooms):
             raise ValueError(
                 "The spacing of the image and of the segmentation should be the same")
         segmentations[model_name] = np.asarray(seg_img.data)
+        if hasattr(seg_img, "device_data"):
+            seg_devs[model_name] = seg_img.device_data()
     out = compute_measurements_arrays(ct_data, segmentations, ct_img.zooms,
                                       cnr_adjustment,
                                       ct_dev=ct_img.device_data()
                                       if hasattr(ct_img, "device_data")
-                                      else None)
+                                      else None,
+                                      seg_devs=seg_devs)
     if "total" in segmentations:
-        pfav = compute_pfav_mask(ct_data, segmentations["total"])
+        if "total" in seg_devs and hasattr(ct_img, "device_data") and \
+                np.dtype(ct_img.data.dtype) == np.int16:
+            pfav = _pfav_mask_device(ct_img.device_data(), seg_devs["total"])
+        else:
+            pfav = compute_pfav_mask(ct_data, segmentations["total"])
         img = nifti.NiftiImage(data=pfav, affine=ct_img.affine)
         nifti.save(img, Path(segmentation_folder) / "ct_pfav.nii.gz")
     return out

@@ -76,4 +76,11 @@ def filter_components_by_size(mask: np.ndarray, interval: tuple[float, float],
 
 
 def component_sizes(labels: np.ndarray, n: int) -> np.ndarray:
+    lib = native.get_lib()
+    if lib is not None and labels.dtype == np.int32 and \
+            labels.flags.c_contiguous:
+        sizes = np.zeros(n + 1, np.int64)
+        lib.boa_component_sizes(labels.ctypes.data, labels.size, int(n),
+                                sizes.ctypes.data)
+        return sizes
     return np.bincount(labels.ravel(), minlength=n + 1)

@@ -69,8 +69,23 @@ def _block_set(dst: dict, kind: str, name: str, value: np.ndarray) -> None:
         dst["norm_scale" if name == "weight" else "norm_bias"] = _vec(value)
 
 
-def convert_state_dict(state: Mapping[str, Any], cfg: ArchConfig) -> dict:
-    """Convert a torch state dict into the boa_tpu U-Net parameter pytree."""
+#: key patterns that are legitimately unconsumed in real checkpoints:
+#: the decoder's registered back-reference to the encoder (full duplicate
+#: key set), the ConvDropoutNormReLU all_modules Sequential aliases, and
+#: norm bookkeeping buffers
+_ALIAS_KEYS = re.compile(
+    r"^decoder\.encoder\.|\.all_modules\.|num_batches_tracked$"
+    r"|\.running_(mean|var)$")
+
+
+def convert_state_dict(state: Mapping[str, Any], cfg: ArchConfig,
+                       strict: bool = False) -> dict:
+    """Convert a torch state dict into the boa_tpu U-Net parameter pytree.
+
+    strict=True raises if any key is neither consumed nor a known alias —
+    the guard that a real checkpoint's layout is fully understood
+    (`predict_from_raw_data.py:83-120` consumption contract).
+    """
     enc: dict[int, dict[int, dict]] = defaultdict(lambda: defaultdict(dict))
     enc_res: dict[int, dict[int, dict]] = defaultdict(
         lambda: defaultdict(lambda: {"conv1": {}, "conv2": {}, "skip": {}}))
@@ -79,6 +94,7 @@ def convert_state_dict(state: Mapping[str, Any], cfg: ArchConfig) -> dict:
     dec_c: dict[int, dict[int, dict]] = defaultdict(lambda: defaultdict(dict))
     seg: dict[int, dict] = defaultdict(dict)
     matched = 0
+    unconsumed: list[str] = []
 
     for key, value in state.items():
         m = _ENC_PLAIN.match(key)
@@ -129,7 +145,9 @@ def convert_state_dict(state: Mapping[str, Any], cfg: ArchConfig) -> dict:
                 seg[i]["b"] = _vec(value)
             matched += 1
             continue
-        # num_batches_tracked etc. are silently skipped
+        if not _ALIAS_KEYS.search(key):
+            unconsumed.append(key)
+        # alias/bookkeeping keys are silently skipped
 
     params: dict[str, Any] = {"encoder": [], "decoder": [], "seg_heads": []}
     if cfg.residual_encoder:
@@ -154,11 +172,20 @@ def convert_state_dict(state: Mapping[str, Any], cfg: ArchConfig) -> dict:
         params["seg_heads"].append(seg[i])
     if matched == 0:
         raise ValueError("no recognizable nnU-Net keys found in state dict")
+    if strict and unconsumed:
+        raise ValueError(
+            f"{len(unconsumed)} state-dict key(s) not consumed by the "
+            f"converter: {unconsumed[:8]}{'...' if len(unconsumed) > 8 else ''}")
     return params
 
 
-def convert_checkpoint(path: str | Path, cfg: ArchConfig) -> dict:
-    return convert_state_dict(load_torch_state_dict(path), cfg)
+def convert_checkpoint(path: str | Path, cfg: ArchConfig,
+                       strict: bool = True) -> dict:
+    """File-level conversion; strict by default so a real checkpoint with
+    an unrecognized key layout fails loudly instead of silently dropping
+    parameters."""
+    return convert_state_dict(load_torch_state_dict(path), cfg,
+                              strict=strict)
 
 
 def save_params_npz(params: dict, path: str | Path) -> None:

@@ -21,9 +21,14 @@ class ConvDropoutNormReLU(nn.Module):
         self.conv = nn.Conv3d(c_in, c_out, kernel, stride, pad, bias=bias)
         self.norm = nn.InstanceNorm3d(c_out, eps=1e-5, affine=True)
         self.nonlin = nn.LeakyReLU(0.01, inplace=True) if nonlin else nn.Identity()
+        # the real package also registers the ops as an nn.Sequential, so
+        # real state dicts carry DUPLICATE `all_modules.N.*` keys for every
+        # conv/norm parameter — replicate that so converter tests exercise
+        # the true key layout
+        self.all_modules = nn.Sequential(self.conv, self.norm, self.nonlin)
 
     def forward(self, x):
-        return self.nonlin(self.norm(self.conv(x)))
+        return self.all_modules(x)
 
 
 class StackedConvBlocks(nn.Module):
@@ -103,8 +108,13 @@ class ResidualEncoder(nn.Module):
 
 
 class UNetDecoder(nn.Module):
-    def __init__(self, cfg, deep_supervision):
+    def __init__(self, cfg, deep_supervision, encoder=None):
         super().__init__()
+        # the real UNetDecoder keeps a reference to its encoder, which
+        # torch registers as a submodule — real checkpoints therefore
+        # contain a full duplicate `decoder.encoder.*` key set
+        if encoder is not None:
+            self.encoder = encoder
         self.deep_supervision = deep_supervision
         transpconvs, stages, seg_layers = [], [], []
         for i, s in enumerate(range(cfg.n_stages - 1, 0, -1)):
@@ -142,7 +152,122 @@ class TorchUNet(nn.Module):
             self.encoder = ResidualEncoder(cfg.input_channels, cfg)
         else:
             self.encoder = PlainConvEncoder(cfg.input_channels, cfg)
-        self.decoder = UNetDecoder(cfg, deep_supervision)
+        self.decoder = UNetDecoder(cfg, deep_supervision, encoder=self.encoder)
 
     def forward(self, x):
         return self.decoder(self.encoder(x))
+
+
+def full_checkpoint(model: nn.Module, trainer_name: str = "nnUNetTrainer",
+                    configuration: str = "3d_fullres",
+                    mirror_axes=(0, 1, 2), ddp_prefix: bool = False) -> dict:
+    """A complete real-format checkpoint dict as nnUNetTrainer saves it
+    (`nnUNetTrainer.py:1149-1210`) and the predictor consumes it
+    (`predict_from_raw_data.py:83-120`): network_weights, trainer/plans
+    identity, init args, optimizer + grad-scaler state, logging, EMA."""
+    import copy
+
+    # the optimizer step runs on a copy so the caller's model (and any
+    # previously emitted checkpoint) is not mutated
+    stepped = copy.deepcopy(model)
+    opt = torch.optim.SGD(stepped.parameters(), lr=1e-2, momentum=0.99,
+                          nesterov=True, weight_decay=3e-5)
+    # one step so the optimizer state dict is non-trivial
+    loss = sum(p.sum() for p in stepped.parameters() if p.requires_grad)
+    loss.backward()
+    opt.step()
+    weights = {k: v.clone() for k, v in model.state_dict().items()}
+    if ddp_prefix:
+        weights = {f"module.{k}": v for k, v in weights.items()}
+    return {
+        "network_weights": weights,
+        "optimizer_state": opt.state_dict(),
+        "grad_scaler_state": None,
+        "logging": {"train_losses": [0.9], "val_losses": [0.8],
+                    "ema_fg_dice": [0.1]},
+        "_best_ema": 0.1,
+        "current_epoch": 1,
+        "init_args": {
+            "plans": {"plans_name": "nnUNetPlans"},
+            "configuration": configuration,
+            "fold": 0,
+            "dataset_json": {},
+            "device": {"type": "cuda"},
+        },
+        "trainer_name": trainer_name,
+        "inference_allowed_mirroring_axes": tuple(mirror_axes),
+    }
+
+
+def real_format_plans(cfg, spacing=(1.5, 1.5, 1.5), patch=(64, 64, 64),
+                      dataset_name: str = "Dataset990_mirror") -> dict:
+    """A plans.json document in the current nnU-Net schema
+    (`plans_handler.py:31-341` consumption side), written independently
+    from the published format."""
+    n = cfg.n_stages
+    return {
+        "dataset_name": dataset_name,
+        "plans_name": "nnUNetPlans",
+        "original_median_spacing_after_transp": list(spacing),
+        "original_median_shape_after_transp": [128, 256, 256],
+        "image_reader_writer": "SimpleITKIO",
+        "transpose_forward": [0, 1, 2],
+        "transpose_backward": [0, 1, 2],
+        "experiment_planner_used": "ExperimentPlanner",
+        "label_manager": "LabelManager",
+        "foreground_intensity_properties_per_channel": {
+            "0": {"max": 1500.0, "mean": 100.0, "median": 80.0,
+                  "min": -1000.0, "percentile_00_5": -900.0,
+                  "percentile_99_5": 1200.0, "std": 300.0}},
+        "configurations": {
+            "3d_fullres": {
+                "data_identifier": "nnUNetPlans_3d_fullres",
+                "preprocessor_name": "DefaultPreprocessor",
+                "batch_size": 2,
+                "patch_size": list(patch),
+                "median_image_size_in_voxels": [128.0, 256.0, 256.0],
+                "spacing": list(spacing),
+                "normalization_schemes": ["CTNormalization"],
+                "use_mask_for_norm": [False],
+                "resampling_fn_data": "resample_data_or_seg_to_shape",
+                "resampling_fn_seg": "resample_data_or_seg_to_shape",
+                "resampling_fn_data_kwargs": {
+                    "is_seg": False, "order": 3, "order_z": 0,
+                    "force_separate_z": None},
+                "resampling_fn_seg_kwargs": {
+                    "is_seg": True, "order": 1, "order_z": 0,
+                    "force_separate_z": None},
+                "resampling_fn_probabilities":
+                    "resample_data_or_seg_to_shape",
+                "resampling_fn_probabilities_kwargs": {
+                    "is_seg": False, "order": 1, "order_z": 0,
+                    "force_separate_z": None},
+                "architecture": {
+                    "network_class_name":
+                        "dynamic_network_architectures.architectures."
+                        "unet.PlainConvUNet",
+                    "arch_kwargs": {
+                        "n_stages": n,
+                        "features_per_stage": list(cfg.features_per_stage),
+                        "conv_op": "torch.nn.modules.conv.Conv3d",
+                        "kernel_sizes": [list(k) for k in cfg.kernel_sizes],
+                        "strides": [list(s) for s in cfg.strides],
+                        "n_conv_per_stage": list(cfg.n_conv_per_stage),
+                        "n_conv_per_stage_decoder":
+                            list(cfg.n_conv_per_stage_decoder),
+                        "conv_bias": True,
+                        "norm_op":
+                            "torch.nn.modules.instancenorm.InstanceNorm3d",
+                        "norm_op_kwargs": {"eps": 1e-05, "affine": True},
+                        "dropout_op": None,
+                        "dropout_op_kwargs": None,
+                        "nonlin": "torch.nn.LeakyReLU",
+                        "nonlin_kwargs": {"inplace": True},
+                    },
+                    "_kw_requires_import": ["conv_op", "norm_op",
+                                            "dropout_op", "nonlin"],
+                },
+                "batch_dice": True,
+            },
+        },
+    }

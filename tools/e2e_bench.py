@@ -76,16 +76,34 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/boa_e2e_fixed")
+    ap.add_argument("--realistic", action="store_true",
+                    help="anatomy-phantom CT + fake_predict realistic "
+                    "labels: measures the HOST pipeline on plausible "
+                    "segmentations (device predict excluded; bench.py "
+                    "measures that). This is the VERDICT r1 #3 metric.")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
     os.makedirs(args.workdir, exist_ok=True)
     wroot = os.path.join(args.workdir, "weights")
     os.environ["BOA_WEIGHTS_PATH"] = wroot
-    ensure_weights(wroot)
-    ct_path = os.path.join(args.workdir, "image.nii.gz")
-    if not os.path.exists(ct_path):
-        synthetic_ct(ct_path)
+    fake = None
+    if args.realistic:
+        from boa_tpu.io import nifti
+        from boa_tpu.testing import anatomy
+
+        ct_path = os.path.join(args.workdir, "anatomy.nii.gz")
+        if not os.path.exists(ct_path):
+            affine = np.diag([-1.5, -1.5, 3.0, 1.0])
+            affine[:3, 3] = (200.0, 180.0, -400.0)
+            nifti.save(nifti.NiftiImage(data=anatomy.synth_ct(),
+                                        affine=affine), ct_path)
+        fake = anatomy.fake_predict_factory()
+    else:
+        ensure_weights(wroot)
+        ct_path = os.path.join(args.workdir, "image.nii.gz")
+        if not os.path.exists(ct_path):
+            synthetic_ct(ct_path)
 
     from boa_tpu.commands import analyze_ct
 
@@ -96,7 +114,8 @@ def main() -> None:
             input_folder=ct_path, processed_output_folder=out,
             excel_output_folder=out, models=["total", "bca"],
             compute_contrast_information=True, total_preview=True,
-            bca_pdf=True, fast_total=True, fast_bca=True)
+            bca_pdf=True, fast_total=True, fast_bca=True,
+            fake_predict=fake)
         wall = time.perf_counter() - t0
         print(f"run{run}: wall={wall:.1f}s stats=" + json.dumps(
             {k: round(v, 2) for k, v in stats.items()

@@ -93,10 +93,59 @@ def max_diameter_x(mask: np.ndarray):
     return best
 
 
+_ATLAS_PATH = (Path(__file__).resolve().parents[1] / "resources" /
+               "ct_brain_atlas_1mm.nii.gz")
+
+
+def align_to_atlas(ct: np.ndarray, spacing, masks: list[np.ndarray],
+                   atlas_data: np.ndarray | None = None,
+                   atlas_spacing: float = 1.0,
+                   levels=(4, 2), steps_per_level: int = 150
+                   ) -> tuple[list[np.ndarray], dict] | None:
+    """Affine-register the head CT to the brain atlas on TPU and warp the
+    masks into atlas space.
+
+    Parity: `totalsegmentator/bin/totalseg_evans_index.py` +
+    `registration.py:12+` (ANTs AffineFast to ct_brain_atlas_1mm) —
+    re-done as jitted NCC gradient descent (`boa_tpu/ops/registration`).
+    Returns (warped_masks, info) or None when no atlas is available.
+    """
+    from scipy import ndimage as ndi
+
+    from boa_tpu.ops.registration import register_affine, warp_labels
+
+    if atlas_data is None:
+        if not _ATLAS_PATH.exists():
+            return None
+        from boa_tpu.io import nifti
+
+        atlas_data = np.asarray(nifti.load(_ATLAS_PATH).data)
+    # patient volume to the atlas voxel size (order-1 CT, order-0 masks)
+    zoom = tuple(float(s) / atlas_spacing for s in spacing)
+    ct_iso = ndi.zoom(np.asarray(ct, np.float32), zoom, order=1)
+    masks_iso = [ndi.zoom(m.astype(np.uint8), zoom, order=0) for m in masks]
+    # brain soft-tissue window drives the similarity
+    fixed = np.clip(np.asarray(atlas_data, np.float32), 0.0, 100.0)
+    moving = np.clip(ct_iso, 0.0, 100.0)
+    params, matrix, ncc = register_affine(fixed, moving, levels=levels,
+                                          steps_per_level=steps_per_level)
+    warped = [warp_labels(m, matrix, fixed.shape) for m in masks_iso]
+    info = {"ncc": round(float(ncc), 4),
+            "rotation_deg": [round(float(np.degrees(r)), 2)
+                             for r in np.asarray(params.rotation)],
+            "translation_vox": [round(float(t), 2)
+                                for t in np.asarray(params.translation)]}
+    return warped, info
+
+
 def evans_index(ventricle_seg: np.ndarray,
                 ventricle_label_map: dict[int, str],
                 brain_mask: np.ndarray,
-                spacing, plot_file: str | Path | None = None) -> dict:
+                spacing, plot_file: str | Path | None = None,
+                ct: np.ndarray | None = None,
+                atlas_data: np.ndarray | None = None,
+                atlas_spacing: float = 1.0,
+                registration_steps: int = 150) -> dict:
     inv = {v: k for k, v in ventricle_label_map.items()}
     horns = np.isin(ventricle_seg,
                     [inv[n] for n in FRONTAL_HORN_LABELS if n in inv])
@@ -109,15 +158,36 @@ def evans_index(ventricle_seg: np.ndarray,
     vent_vol = float((ventricle_seg > 0).sum()) * ml_per_voxel
     brain_vol = float(brain_mask.sum()) * ml_per_voxel
 
-    # index-space rotation shears physical shapes when in-plane spacing is
-    # anisotropic — only align (and trust diameter * spacing[0]) when the
-    # axial pixels are square to ~2%
-    iso_inplane = abs(spacing[0] - spacing[1]) <= 0.02 * max(spacing[0],
-                                                             spacing[1])
-    rot_deg = inplane_rotation_deg(brain_mask, spacing) if iso_inplane else 0.0
-    if abs(rot_deg) > 1.0:  # measure in the head-aligned frame
-        horns, brain_mask = _rotate_masks_inplane(-rot_deg, horns,
-                                                  brain_mask)
+    # preferred path: full atlas registration (reference parity); the
+    # in-plane moment alignment below is the CT-less fallback
+    measure_spacing = float(spacing[0])
+    rot_deg = 0.0
+    atlas_info = None
+    if ct is not None:
+        try:
+            aligned = align_to_atlas(ct, spacing, [horns, brain_mask],
+                                     atlas_data=atlas_data,
+                                     atlas_spacing=atlas_spacing,
+                                     steps_per_level=registration_steps)
+        except Exception:
+            logger.exception("atlas registration failed; falling back")
+            aligned = None
+        if aligned is not None and aligned[1]["ncc"] >= 0.5 \
+                and aligned[0][0].any() and aligned[0][1].any():
+            (horns, brain_mask), atlas_info = aligned
+            measure_spacing = atlas_spacing
+            rot_deg = float(atlas_info["rotation_deg"][2])
+    if atlas_info is None:
+        # index-space rotation shears physical shapes when in-plane
+        # spacing is anisotropic — only align (and trust diameter *
+        # spacing[0]) when the axial pixels are square to ~2%
+        iso_inplane = abs(spacing[0] - spacing[1]) <= 0.02 * max(
+            spacing[0], spacing[1])
+        rot_deg = inplane_rotation_deg(brain_mask, spacing) \
+            if iso_inplane else 0.0
+        if abs(rot_deg) > 1.0:  # measure in the head-aligned frame
+            horns, brain_mask = _rotate_masks_inplane(-rot_deg, horns,
+                                                      brain_mask)
     d_v, (start_v, end_v) = max_diameter_x(horns)
     z = start_v[2]
     # brain diameter on the same slice (reference measures at horn slice)
@@ -129,14 +199,16 @@ def evans_index(ventricle_seg: np.ndarray,
     result = {
         "success": True,
         "evans_index": round(float(ei), 4),
-        "ventricle_diameter_mm": round(d_v * float(spacing[0]), 2),
-        "brain_diameter_mm": round(d_b * float(spacing[0]), 2),
+        "ventricle_diameter_mm": round(d_v * measure_spacing, 2),
+        "brain_diameter_mm": round(d_b * measure_spacing, 2),
         "ventricle_volume_ml": round(vent_vol, 1),
         "brain_volume_ml": round(brain_vol, 1),
         "ventricle_brain_ratio": round(vent_vol / max(brain_vol, 1e-6), 4),
         "slice": int(z),
         "inplane_rotation_deg": round(rot_deg, 2),
     }
+    if atlas_info is not None:
+        result["atlas_registration"] = atlas_info
     if plot_file is not None:
         _plot(brain_mask, start_b, end_b, start_v, end_v, result, plot_file)
     return result
@@ -185,7 +257,8 @@ def main(argv=None) -> None:
     inv = {v: k for k, v in total.label_map.items()}
     brain = np.asarray(total.seg.data) == inv.get("brain", -1)
     res = evans_index(np.asarray(vent.seg.data), vent.label_map, brain,
-                      img.zooms, plot_file=args.plot)
+                      img.zooms, plot_file=args.plot,
+                      ct=np.asarray(img.data))
     print(json.dumps(res, indent=2))
     if args.output:
         args.output.write_text(json.dumps(res, indent=2))

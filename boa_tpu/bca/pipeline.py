@@ -99,8 +99,9 @@ def run_pipeline(
     t0 = _time.perf_counter()
     regions = np.asarray(body_regions_img.data)
     # device_data: the CT upload is cached on the image instance
-    tissues = subclassify_tissues(ct_img.device_data(), regions,
-                                  median_filtering=median_filtering)
+    tissues, tissues_dev = subclassify_tissues(
+        ct_img.device_data(), regions, median_filtering=median_filtering,
+        return_device=True)
     logger.info("Tissues subclassified in %.2fs", _time.perf_counter() - t0)
     tis_img = nifti.NiftiImage(data=tissues, affine=body_regions_img.affine)
     tis_img.set_label_map({int(k): v for v, k in
@@ -121,7 +122,8 @@ def run_pipeline(
     t0 = _time.perf_counter()
     spacing = ct_img.zooms
     builder = Builder(ct_img.device_data(), np.asarray(body_parts_img.data),
-                      regions, tissues, spacing, theme)
+                      regions, tissues, spacing, theme,
+                      tissues_dev=tissues_dev)
     logger.info("BCA builder init in %.2fs", _time.perf_counter() - t0)
     if examined_body_region:
         body_part = AggregatableBodyPart[examined_body_region.upper()]

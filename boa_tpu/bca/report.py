@@ -121,7 +121,8 @@ class Builder:
 
     def __init__(self, ct_data: np.ndarray, body_parts: np.ndarray,
                  body_regions: np.ndarray, tissues: np.ndarray,
-                 spacing: tuple[float, float, float], theme: str = "light"):
+                 spacing: tuple[float, float, float], theme: str = "light",
+                 tissues_dev=None):
         self._ct = ct_data  # np OR device array (jnp.asarray is a no-op)
         self._parts = np.asarray(body_parts)
         self._regions = np.asarray(body_regions)
@@ -132,7 +133,10 @@ class Builder:
 
         torso = self._parts == int(BodyPart.TORSO)
         counts, husums, counts_nl, husums_nl = _slicewise_pass(
-            jnp.asarray(self._ct), jnp.asarray(self._tissues), jnp.asarray(torso))
+            jnp.asarray(self._ct),
+            tissues_dev if tissues_dev is not None
+            else jnp.asarray(self._tissues),
+            jnp.asarray(torso))
         self._counts = np.asarray(counts, np.float64)
         self._husums = np.asarray(husums, np.float64)
         self._counts_nl = np.asarray(counts_nl, np.float64)

@@ -33,9 +33,16 @@ def _subclassify(ct: jax.Array, regions: jax.Array) -> jax.Array:
 
 
 def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
-                        median_filtering: bool = False) -> np.ndarray:
-    """ct_data, body_regions: (x, y, z) volumes on the same grid."""
+                        median_filtering: bool = False,
+                        return_device: bool = False):
+    """ct_data, body_regions: (x, y, z) volumes on the same grid.
+
+    return_device=True also returns the device-resident tissue map so
+    downstream device consumers (report builder) skip a re-upload.
+    """
     ct = jnp.asarray(ct_data)
     if median_filtering:
         ct = median_filter_inplane(ct.astype(jnp.float32), 3)
-    return np.asarray(_subclassify(ct, jnp.asarray(body_regions)))
+    dev = _subclassify(ct, jnp.asarray(body_regions))
+    host = np.asarray(dev)
+    return (host, dev) if return_device else host

@@ -47,6 +47,56 @@ def make_mesh(n_devices: int | None = None,
     return Mesh(np.asarray(devs).reshape(shape), tuple(axes))
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host entry: `jax.distributed.initialize` (SURVEY §5 —
+    the TPU-native replacement for the reference's NCCL
+    `init_process_group`, `run/run_training.py:101-113`). On Cloud TPU
+    pods the arguments are auto-detected; pass them explicitly for
+    manual (e.g. CPU-simulated) multi-process runs. Safe to call twice.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def make_multihost_mesh(axes: Sequence[str] = ("dp", "sp", "tp"),
+                        ici_shape: Sequence[int] | None = None,
+                        n_hosts: int | None = None) -> Mesh:
+    """Mesh over all global devices with hosts on the OUTER dp axis.
+
+    Data-parallel gradient all-reduces ride DCN between hosts while
+    sp/tp collectives stay on intra-host ICI — the layout the scaling
+    recipe prescribes for multi-slice training. `n_hosts` can override
+    `jax.process_count()` to simulate a multi-host layout on a single
+    process's virtual devices (tests).
+    """
+    import jax
+
+    devices = jax.devices()  # sorted process-major by construction
+    n_hosts = n_hosts or jax.process_count()
+    if len(devices) % n_hosts:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"{n_hosts} hosts")
+    per_host = len(devices) // n_hosts
+    if ici_shape is None:
+        dpl, sp, tp = default_mesh_shape(per_host)
+        ici_shape = (dpl, sp, tp)
+    if math.prod(ici_shape) != per_host:
+        raise ValueError(f"ici shape {ici_shape} != {per_host} local devices")
+    arr = np.asarray(devices).reshape((n_hosts, *ici_shape))
+    # merge the host axis into the local dp axis: dp strides across hosts
+    arr = arr.reshape((n_hosts * ici_shape[0], *ici_shape[1:]))
+    return Mesh(arr, tuple(axes))
+
+
 def default_mesh_shape(n_devices: int) -> tuple[int, int, int]:
     """(dp, sp, tp) factorization: prefer tp=2 then sp=2, rest on dp."""
     tp = 2 if n_devices % 2 == 0 else 1

@@ -256,3 +256,36 @@ def test_da5_augmentation(rng):
                                jnp.asarray(y))
     assert xo.shape == x.shape and yo.shape == y.shape
     assert np.isfinite(np.asarray(xo)).all()
+
+
+def test_multihost_mesh_layout_and_step(rng):
+    """make_multihost_mesh places hosts on the outer dp axis (dp rides
+    DCN, sp/tp stay intra-host) and the train step runs over it —
+    simulated as 2 hosts x 4 devices on the virtual CPU mesh (SURVEY §5
+    distributed-backend parity)."""
+    from boa_tpu.parallel.mesh import (batch_sharding, label_sharding,
+                                       make_multihost_mesh, param_shardings)
+
+    mesh = make_multihost_mesh(n_hosts=2, ici_shape=(1, 2, 2))
+    assert dict(mesh.shape) == {"dp": 2, "sp": 2, "tp": 2}
+    devs = mesh.devices
+    # outer dp rows are distinct host groups: row 0 = devices 0..3
+    row0 = {d.id for d in devs[0].ravel()}
+    row1 = {d.id for d in devs[1].ravel()}
+    assert row0 == {0, 1, 2, 3} and row1 == {4, 5, 6, 7}
+
+    arch = _arch(feats=(4, 8))
+    cfg = TrainConfig(arch=arch, compute_dtype="float32")
+    params = init_unet(jax.random.PRNGKey(1), arch)
+    buf = init_sgd_state(params)
+    x, y = _toy_batch(rng, batch=4, size=8)
+    ps = param_shardings(mesh, params)
+    step = make_train_step(cfg, in_shardings=(
+        ps, ps, batch_sharding(mesh), label_sharding(mesh), None),
+        donate=False)
+    with mesh:
+        _, _, metrics = step(jax.device_put(params, ps),
+                             jax.device_put(buf, ps),
+                             jnp.asarray(x), jnp.asarray(y),
+                             jnp.float32(1e-2))
+    assert np.isfinite(float(metrics["loss"]))

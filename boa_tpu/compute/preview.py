@@ -1,10 +1,12 @@
-"""Segmentation preview montage.
+"""Segmentation preview montage: shaded 3-D surface panels per ROI group.
 
-Parity: `totalsegmentator/preview.py:308-366` — the reference renders a
-smoothed-3D-contour montage of ROI groups over a sagittal CT slab using
-fury/VTK under Xvfb. Here the same montage (one panel per ROI group, CT
-sagittal MIP slab underneath, colored label projections on top) is drawn
-with matplotlib — no GPU/X server dependency, runs in any worker.
+Parity: `totalsegmentator/preview.py:308-366` + `vtk_utils.py:72` — the
+reference renders smoothed 3D organ contours over a sagittal CT slab
+with fury/VTK under Xvfb. Here the same montage is produced without a
+GPU/X dependency: per-label FIRST-HIT DEPTH maps along the sagittal ray
+(one device segment-min pass over the resident segmentation) are turned
+into Lambert-shaded surfaces (normals from the smoothed depth field),
+composited per ROI group over the CT slab with matplotlib.
 """
 
 from __future__ import annotations
@@ -50,43 +52,93 @@ ROI_GROUPS = {
             + ["sternum", "costal_cartilages"],
 }
 
+_FAR = np.int32(2 ** 30)  # "no surface along this ray"
 
-def _label_projections(seg: np.ndarray, n_labels: int) -> np.ndarray:
-    """(y, z, label) presence of every label projected along x, in ONE
-    combined-key bincount pass (a per-label `seg == l` scan costs a full
-    78M-voxel read each — 117 labels made the montage the slowest host
-    stage after the model itself)."""
-    _, ny, nz = seg.shape
-    # out-of-map labels (e.g. the 255 ignore value) must not overflow into
-    # the next (y,z) bucket
+
+def _label_depths(seg: np.ndarray, n_labels: int) -> np.ndarray:
+    """(y, z, label) first-hit x index of every label along the sagittal
+    ray, _FAR where absent — one combined-key scatter-min pass (a
+    per-label scan costs a full 78M-voxel read each)."""
+    nx, ny, nz = seg.shape
     width = max(n_labels, int(seg.max()) + 1)
     dt = np.int32 if ny * nz * width < 2 ** 31 else np.int64
+    depth = np.full(ny * nz * width, _FAR, np.int32)
     yz = np.arange(ny * nz, dtype=dt).reshape(ny, nz)
-    combined = (yz[None] * dt(width) + seg.astype(dt)).ravel()
-    counts = np.bincount(combined, minlength=ny * nz * width)
-    return counts.reshape(ny, nz, width)[:, :, :n_labels] > 0
+    keys = (yz[None] * dt(width) + seg.astype(dt)).ravel()
+    xvals = np.broadcast_to(
+        np.arange(nx, dtype=np.int32)[:, None, None], seg.shape).ravel()
+    np.minimum.at(depth, keys, xvals)
+    return depth.reshape(ny, nz, width)[:, :, :n_labels]
 
 
-def _label_projections_device(seg_dev, n_labels: int) -> np.ndarray:
-    """Device variant: the seg is already resident (shared upload with
-    the measurement engine); only the (ny, nz, labels) presence bitmap
-    crosses the link (~2 MB vs a 78M-voxel host pass)."""
+def _label_depths_device(seg_dev, n_labels: int) -> np.ndarray:
+    """Device variant: the seg is already resident (upload shared with
+    the measurement engine); only the small (ny, nz, labels) depth map
+    crosses the link."""
     import jax
     import jax.numpy as jnp
 
-    _, ny, nz = seg_dev.shape
+    nx, ny, nz = seg_dev.shape
     width = max(n_labels, int(jnp.max(seg_dev)) + 1)
 
     @jax.jit
-    def proj(seg):
+    def depths(seg):
         yz = jnp.arange(ny * nz, dtype=jnp.int32).reshape(1, ny, nz)
-        combined = (yz * width + seg.astype(jnp.int32)).ravel()
-        counts = jax.ops.segment_sum(
-            jnp.ones_like(combined, jnp.int32), combined,
-            num_segments=ny * nz * width)
-        return counts.reshape(ny, nz, width) > 0
+        keys = (yz * width + seg.astype(jnp.int32)).ravel()
+        xvals = jnp.broadcast_to(
+            jnp.arange(nx, dtype=jnp.int32)[:, None, None], seg.shape
+        ).ravel()
+        return jax.ops.segment_min(xvals, keys, num_segments=ny * nz * width)
 
-    return np.asarray(proj(seg_dev))[:, :, :n_labels]
+    out = np.asarray(depths(seg_dev)).reshape(ny, nz, width)[:, :, :n_labels]
+    # segment_min of an empty segment yields the dtype max — normalize
+    out = out.copy()
+    out[out > nx] = _FAR
+    return out
+
+
+def _shade_group(depths: np.ndarray, labels: list[int],
+                 colors: np.ndarray, aspect: float) -> np.ndarray:
+    """RGBA overlay for one group from per-label depth maps.
+
+    Front surface per pixel = min depth across the group's labels; its
+    label picks the color; Lambert shading from the smoothed depth
+    field's normals plus a depth cue gives the 3-D look (stand-in for
+    the reference's vtk smoothed-contour render)."""
+    from scipy import ndimage as ndi
+
+    stack = depths[:, :, labels].astype(np.float32)  # (y, z, L)
+    front = stack.min(axis=2)
+    hit = front < float(_FAR)
+    overlay = np.zeros((depths.shape[1], depths.shape[0], 4), np.float32)
+    if not hit.any():
+        return overlay
+    which = stack.argmin(axis=2)
+
+    # smooth the depth field for stable normals (organ surfaces are
+    # voxelized); absent pixels get behind-everything depth so borders
+    # face outward
+    d = np.where(hit, front, float(front[hit].max()) + 8.0)
+    d_s = ndi.gaussian_filter(d, sigma=1.6)
+    gy, gz = np.gradient(d_s)
+    gz = gz / max(aspect, 1e-3)  # physical-aspect correction
+    # surface normal of x = d(y,z): (-1, gy, gz) (towards the viewer)
+    norm = np.sqrt(1.0 + gy * gy + gz * gz)
+    light = np.array([-1.0, -0.35, 0.45])
+    light = light / np.linalg.norm(light)
+    lambert = (-light[0] - light[1] * gy - light[2] * gz) / norm
+    shade = np.clip(lambert, 0.15, 1.0)
+    # depth cue: deeper surfaces slightly darker
+    dr = front[hit]
+    lo, hi = float(dr.min()), float(np.percentile(dr, 95) + 1.0)
+    cue = 1.0 - 0.3 * np.clip((front - lo) / max(hi - lo, 1.0), 0.0, 1.0)
+    intensity = shade * cue
+
+    rgb = colors[which]  # (y, z, 3)
+    out = rgb * intensity[..., None]
+    overlay[..., :3] = np.transpose(out, (1, 0, 2))
+    overlay[..., 3] = np.where(hit, 0.95, 0.0).T
+    return overlay
 
 
 def generate_preview(ct_img, seg_img, label_map: dict[int, str],
@@ -108,15 +160,15 @@ def generate_preview(ct_img, seg_img, label_map: dict[int, str],
     n_labels = int(max(inv.values(), default=0)) + 1
     if hasattr(seg_img, "device_data"):
         try:
-            projections = _label_projections_device(seg_img.device_data(),
-                                                    n_labels)
+            depths = _label_depths_device(seg_img.device_data(), n_labels)
         except Exception:
-            logger.debug("device projection failed; host fallback",
+            logger.debug("device depth pass failed; host fallback",
                          exc_info=True)
-            projections = _label_projections(seg, n_labels)
+            depths = _label_depths(seg, n_labels)
     else:
-        projections = _label_projections(seg, n_labels)
+        depths = _label_depths(seg, n_labels)
 
+    cmap = colormaps["turbo"]
     n = len(ROI_GROUPS)
     fig, axes = plt.subplots(1, n, figsize=(3.2 * n, 6), facecolor="black")
     for ax, (group, rois) in zip(np.atleast_1d(axes), ROI_GROUPS.items()):
@@ -126,18 +178,13 @@ def generate_preview(ct_img, seg_img, label_map: dict[int, str],
             slab = ct[max(0, mid - 10):mid + 10].max(axis=0)
             ax.imshow(np.clip(slab, -200, 500).T, cmap="gray",
                       origin="lower", aspect=aspect)
-        cmap = colormaps["turbo"]
         labels = [inv[r] for r in rois if r in inv]
-        # compose ONE overlay per group instead of an imshow layer per label
-        overlay = np.zeros(projections.shape[:2][::-1] + (4,))
-        for i, label in enumerate(labels):
-            proj = projections[:, :, label].T
-            if not proj.any():
-                continue
-            color = cmap(i / max(len(labels) - 1, 1))
-            overlay[proj] = (*color[:3], 0.85)
-        if overlay[..., 3].any():
-            ax.imshow(overlay, origin="lower", aspect=aspect)
+        if labels:
+            colors = np.asarray([cmap(i / max(len(labels) - 1, 1))[:3]
+                                 for i in range(len(labels))], np.float32)
+            overlay = _shade_group(depths, labels, colors, aspect)
+            if overlay[..., 3].any():
+                ax.imshow(overlay, origin="lower", aspect=aspect)
         ax.set_title(group, color="white", fontsize=11)
         ax.axis("off")
     fig.tight_layout()

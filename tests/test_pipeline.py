@@ -181,3 +181,34 @@ def test_nnunet_resampling_option(tmp_path):
     # both produce valid labels; the smoother resample agrees broadly
     agree = (np.asarray(res0.seg.data) == np.asarray(res1.seg.data)).mean()
     assert agree > 0.8
+
+
+def test_preview_shaded_surfaces(tmp_path):
+    """Preview renders shaded first-hit surfaces (depth-map render, the
+    VTK smoothed-contour substitute: preview.py:308-366) and the device
+    depth pass agrees with the host fallback."""
+    from boa_tpu.compute import preview
+    from boa_tpu.tasks.class_maps import get_class_map
+    from boa_tpu.testing import anatomy
+
+    shape, spacing = (96, 96, 60), (4.0, 4.0, 6.0)
+    seg = anatomy.fake_total_seg(shape, spacing)
+    ct = anatomy.synth_ct(shape, spacing)
+    n_labels = max(get_class_map("total")) + 1
+
+    d_host = preview._label_depths(seg, n_labels)
+    import jax.numpy as jnp
+    d_dev = preview._label_depths_device(jnp.asarray(seg), n_labels)
+    np.testing.assert_array_equal(d_host, d_dev)
+    # liver has a front surface with varying depth (3-D, not a flat mask)
+    inv = {v: k for k, v in get_class_map("total").items()}
+    liver_d = d_host[:, :, inv["liver"]]
+    hit = liver_d < preview._FAR
+    assert hit.any()
+    assert np.ptp(liver_d[hit]) > 2
+
+    ct_img = NiftiImage(data=ct, affine=np.diag([*spacing, 1.0]))
+    seg_img = NiftiImage(data=seg, affine=np.diag([*spacing, 1.0]))
+    out = tmp_path / "preview.png"
+    preview.generate_preview(ct_img, seg_img, get_class_map("total"), out)
+    assert out.exists() and out.stat().st_size > 20000

@@ -99,7 +99,7 @@ def run_pipeline(
     t0 = _time.perf_counter()
     regions = np.asarray(body_regions_img.data)
     # device_data: the CT upload is cached on the image instance
-    tissues, tissues_dev = subclassify_tissues(
+    tissues, tissues_dev, regions_dev = subclassify_tissues(
         ct_img.device_data(), regions, median_filtering=median_filtering,
         return_device=True)
     logger.info("Tissues subclassified in %.2fs", _time.perf_counter() - t0)
@@ -123,12 +123,13 @@ def run_pipeline(
     spacing = ct_img.zooms
     builder = Builder(ct_img.device_data(), np.asarray(body_parts_img.data),
                       regions, tissues, spacing, theme,
-                      tissues_dev=tissues_dev)
+                      tissues_dev=tissues_dev, regions_dev=regions_dev)
     logger.info("BCA builder init in %.2fs", _time.perf_counter() - t0)
     if examined_body_region:
         body_part = AggregatableBodyPart[examined_body_region.upper()]
     else:
-        body_part = AggregatableBodyPart.from_body_regions(regions, spacing[2])
+        body_part = AggregatableBodyPart.from_body_regions(
+            regions, spacing[2], z_counts=builder.region_z_counts())
         if body_part == AggregatableBodyPart.NONE:
             logger.warning("No supported body part detected")
     builder.examined_body_part = body_part

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import enum
 import logging
+from functools import partial
 from typing import Any
 
 import jax
@@ -56,26 +57,44 @@ class AggregatableBodyPart(enum.IntFlag):
     def from_body_regions(region_data: np.ndarray, slice_thickness: float,
                           min_abdomen_length: float = 200,
                           min_neck_length: float = 100,
-                          min_thorax_length: float = 200) -> "AggregatableBodyPart":
+                          min_thorax_length: float = 200,
+                          z_counts: np.ndarray | None = None
+                          ) -> "AggregatableBodyPart":
+        """Detect the examined body part (`report/builder.py:44-112`).
+
+        z_counts: optional (nz, n_labels) per-slice region histogram
+        (Builder.region_z_counts) — avoids three full-volume scans.
+        """
         result = AggregatableBodyPart.NONE
         nz = region_data.shape[2]
 
-        abdomen_any = (region_data == int(BodyRegion.ABDOMINAL_CAVITY)).any(axis=(0, 1))
+        def _presence(labels) -> np.ndarray:
+            labels = np.atleast_1d(labels)
+            if z_counts is not None:
+                cols = [lb for lb in labels if lb < z_counts.shape[1]]
+                if not cols:
+                    return np.zeros(nz, bool)
+                return z_counts[:, cols].sum(axis=1) > 0
+            if len(labels) == 1:
+                return (region_data == labels[0]).any(axis=(0, 1))
+            return np.isin(region_data, labels).any(axis=(0, 1))
+
+        abdomen_any = _presence(int(BodyRegion.ABDOMINAL_CAVITY))
         abdomen_slices = np.where(abdomen_any)[0]
         n_abd = (abdomen_slices.max() - abdomen_slices.min() + 1
                  if abdomen_slices.size else 0)
         if n_abd * slice_thickness >= min_abdomen_length:
             result |= AggregatableBodyPart.ABDOMEN
 
-        med_any = (region_data == int(BodyRegion.MEDIASTINUM)).any(axis=(0, 1))
+        med_any = _presence(int(BodyRegion.MEDIASTINUM))
         med_slices = np.where(med_any)[0]
         n_above = nz - med_slices.max() if med_slices.size else 0
         if n_above * slice_thickness >= min_neck_length:
             result |= AggregatableBodyPart.NECK
 
-        thorax_any = np.isin(
-            region_data, [int(BodyRegion.THORACIC_CAVITY), int(BodyRegion.MEDIASTINUM),
-                          int(BodyRegion.PERICARDIUM)]).any(axis=(0, 1))
+        thorax_any = _presence([int(BodyRegion.THORACIC_CAVITY),
+                                int(BodyRegion.MEDIASTINUM),
+                                int(BodyRegion.PERICARDIUM)])
         thorax_slices = np.where(thorax_any)[0]
         n_tho = (thorax_slices.max() - thorax_slices.min() + 1
                  if thorax_slices.size else 0)
@@ -116,13 +135,24 @@ def _tissue_name(t: Tissue) -> str:
     return t.name.capitalize() if t in (Tissue.BONE, Tissue.MUSCLE) else t.name
 
 
+@partial(jax.jit, static_argnames=("width",))
+def _region_z_pass(regions: jax.Array, width: int) -> jax.Array:
+    """(nz, width) per-slice region-label counts on device."""
+    nz = regions.shape[2]
+    z = jnp.broadcast_to(jnp.arange(nz, dtype=jnp.int32)[None, None, :],
+                         regions.shape)
+    comb = (z * width + regions.astype(jnp.int32)).ravel()
+    return jax.ops.segment_sum(jnp.ones_like(comb, jnp.int32), comb,
+                               num_segments=nz * width).reshape(nz, width)
+
+
 class Builder:
     """Report builder over (x, y, z) RAS arrays on a common grid."""
 
     def __init__(self, ct_data: np.ndarray, body_parts: np.ndarray,
                  body_regions: np.ndarray, tissues: np.ndarray,
                  spacing: tuple[float, float, float], theme: str = "light",
-                 tissues_dev=None):
+                 tissues_dev=None, regions_dev=None):
         self._ct = ct_data  # np OR device array (jnp.asarray is a no-op)
         self._parts = np.asarray(body_parts)
         self._regions = np.asarray(body_regions)
@@ -130,6 +160,8 @@ class Builder:
         self.spacing = tuple(float(s) for s in spacing)
         self.theme = theme
         self.examined_body_part = AggregatableBodyPart(0)
+        self._regions_dev = regions_dev
+        self._region_zc: np.ndarray | None = None
 
         torso = self._parts == int(BodyPart.TORSO)
         counts, husums, counts_nl, husums_nl = _slicewise_pass(
@@ -141,6 +173,39 @@ class Builder:
         self._husums = np.asarray(husums, np.float64)
         self._counts_nl = np.asarray(counts_nl, np.float64)
         self._husums_nl = np.asarray(husums_nl, np.float64)
+
+    # -- per-z region histogram: every cavity range/volume derives from
+    #    this ONE pass (replacing repeated full-volume isin/== scans)
+    def region_z_counts(self) -> np.ndarray:
+        """(nz, n_region_labels) voxel counts per slice per region."""
+        if self._region_zc is None:
+            width = int(self._regions.max()) + 1
+            nz = self._regions.shape[2]
+            if self._regions_dev is not None:
+                self._region_zc = np.asarray(_region_z_pass(
+                    self._regions_dev, width))
+            else:
+                z = np.broadcast_to(
+                    np.arange(nz, dtype=np.int32)[None, None, :],
+                    self._regions.shape)
+                comb = (z * np.int32(width)
+                        + self._regions.astype(np.int32)).ravel()
+                self._region_zc = np.bincount(
+                    comb, minlength=nz * width).reshape(nz, width)
+        return self._region_zc
+
+    def _region_presence_z(self, labels) -> np.ndarray:
+        zc = self.region_z_counts()
+        cols = [lb for lb in np.atleast_1d(labels) if lb < zc.shape[1]]
+        if not cols:
+            return np.zeros(zc.shape[0], bool)
+        return zc[:, cols].sum(axis=1) > 0
+
+    def _region_volume_ml(self, labels) -> float:
+        zc = self.region_z_counts()
+        cols = [lb for lb in np.atleast_1d(labels) if lb < zc.shape[1]]
+        ml_per_voxel = float(np.prod(self.spacing)) / 1000.0
+        return float(zc[:, cols].sum()) * ml_per_voxel if cols else 0.0
 
     # -- slice-wise dataframes (builder.prepare :397-444) ------------------
     def _slicewise_df(self, counts: np.ndarray) -> pd.DataFrame:
@@ -161,23 +226,23 @@ class Builder:
     def aggregation_groups(self, vertebrae: dict[str, tuple[int, int]] | None
                            ) -> list[tuple[str, int, int]]:
         groups = [("Whole Scan", 0, self._regions.shape[2])]
-        rd = self._regions
 
-        def _range(mask2d) -> tuple[int, int]:
-            slices = np.where(mask2d)[0]
+        def _range(presence_z) -> tuple[int, int]:
+            slices = np.where(presence_z)[0]
             return int(slices.min()), int(slices.max() + 1)
 
         if AggregatableBodyPart.ABDOMEN in self.examined_body_part:
             groups.append(("Abdominal Cavity", *_range(
-                (rd == int(BodyRegion.ABDOMINAL_CAVITY)).any(axis=(0, 1)))))
+                self._region_presence_z(int(BodyRegion.ABDOMINAL_CAVITY)))))
         if AggregatableBodyPart.THORAX in self.examined_body_part:
-            groups.append(("Thoracic Cavity", *_range(np.isin(
-                rd, [int(BodyRegion.THORACIC_CAVITY), int(BodyRegion.MEDIASTINUM),
-                     int(BodyRegion.PERICARDIUM)]).any(axis=(0, 1)))))
+            groups.append(("Thoracic Cavity", *_range(
+                self._region_presence_z([int(BodyRegion.THORACIC_CAVITY),
+                                         int(BodyRegion.MEDIASTINUM),
+                                         int(BodyRegion.PERICARDIUM)]))))
             groups.append(("Mediastinum", *_range(
-                (rd == int(BodyRegion.MEDIASTINUM)).any(axis=(0, 1)))))
+                self._region_presence_z(int(BodyRegion.MEDIASTINUM)))))
             groups.append(("Pericardium", *_range(
-                (rd == int(BodyRegion.PERICARDIUM)).any(axis=(0, 1)))))
+                self._region_presence_z(int(BodyRegion.PERICARDIUM)))))
         if (AggregatableBodyPart.ABDOMEN in self.examined_body_part
                 and AggregatableBodyPart.THORAX in self.examined_body_part):
             groups.insert(1, ("Ventral Cavity", groups[1][1], groups[2][2]))
@@ -217,21 +282,20 @@ class Builder:
     # -- secondary findings (:309-395) ---------------------------------------
     def generate_secondary_findings(self) -> list[str]:
         result = []
-        rd = self._regions
         ml_per_voxel = float(np.prod(self.spacing)) / 1000.0
         if AggregatableBodyPart.ABDOMEN in self.examined_body_part:
-            vol = (rd == int(BodyRegion.ABDOMINAL_CAVITY)).sum() * ml_per_voxel
+            vol = self._region_volume_ml(int(BodyRegion.ABDOMINAL_CAVITY))
             result.append(
                 f"Total volume of the abdominal cavity is {_pretty_volume(vol)}")
         if AggregatableBodyPart.THORAX in self.examined_body_part:
-            vol = np.isin(rd, [int(BodyRegion.THORACIC_CAVITY),
-                               int(BodyRegion.MEDIASTINUM),
-                               int(BodyRegion.PERICARDIUM)]).sum() * ml_per_voxel
+            vol = self._region_volume_ml([int(BodyRegion.THORACIC_CAVITY),
+                                          int(BodyRegion.MEDIASTINUM),
+                                          int(BodyRegion.PERICARDIUM)])
             result.append(f"Volume of thoracic cavity is {_pretty_volume(vol)}")
-            vol = np.isin(rd, [int(BodyRegion.MEDIASTINUM),
-                               int(BodyRegion.PERICARDIUM)]).sum() * ml_per_voxel
+            vol = self._region_volume_ml([int(BodyRegion.MEDIASTINUM),
+                                          int(BodyRegion.PERICARDIUM)])
             result.append(f"Volume of mediastinum is {_pretty_volume(vol)}")
-            vol = (rd == int(BodyRegion.PERICARDIUM)).sum() * ml_per_voxel
+            vol = self._region_volume_ml(int(BodyRegion.PERICARDIUM))
             result.append("Volume enclosed by the pericardial sack is "
                           f"{_pretty_volume(vol)}")
             result.extend(self._breast_implant_findings(ml_per_voxel))
@@ -355,21 +419,24 @@ def create_vertebrae_info(total_seg: np.ndarray,
     vertebrae_map = {name.removeprefix("vertebrae_"): idx
                      for idx, name in class_map_total.items()
                      if name.startswith("vertebrae_")}
-    # ONE pass: per-(z, label) presence via a combined-key bincount instead
-    # of 26 full-volume scans (~0.3 s each on the single-core host)
+    if not vertebrae_map:
+        return {}
+    # vertebra voxels are a tiny fraction of the scan: one range-mask pass
+    # + flatnonzero, then a bincount over only those voxels (a full-volume
+    # combined-key pass costs ~5 int32 volume copies on this host)
     nz = total_seg.shape[2]
-    n_lab = int(max(vertebrae_map.values(), default=0)) + 1
-    remap = np.zeros(int(total_seg.max()) + 1, np.int32)  # non-vertebrae -> 0
-    for label in vertebrae_map.values():
-        if label < len(remap):
-            remap[label] = label
-    combined = (np.arange(nz, dtype=np.int32)[None, None, :] * n_lab
-                + remap[total_seg.astype(np.int32)]).ravel()
-    presence = np.bincount(combined, minlength=nz * n_lab
-                           ).reshape(nz, n_lab) > 0
+    vals = sorted(vertebrae_map.values())
+    vmin, vmax = vals[0], vals[-1]
+    seg_flat = np.ascontiguousarray(total_seg).ravel()
+    hits = np.flatnonzero((seg_flat >= vmin) & (seg_flat <= vmax))
+    width = vmax - vmin + 1
+    z = (hits % nz).astype(np.int64)
+    lab = seg_flat[hits].astype(np.int64) - vmin
+    presence = np.bincount(z * width + lab, minlength=nz * width
+                           ).reshape(nz, width) > 0
     info: dict[str, tuple[int, int]] = {}
     for vid, label in vertebrae_map.items():
-        zs = np.where(presence[:, label])[0]
+        zs = np.where(presence[:, label - vmin])[0]
         if len(zs) == 0:
             continue
         if (("C" in vid and AggregatableBodyPart.NECK not in detected_body_part)

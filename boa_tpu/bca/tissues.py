@@ -43,6 +43,7 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
     ct = jnp.asarray(ct_data)
     if median_filtering:
         ct = median_filter_inplane(ct.astype(jnp.float32), 3)
-    dev = _subclassify(ct, jnp.asarray(body_regions))
+    regions_dev = jnp.asarray(body_regions)
+    dev = _subclassify(ct, regions_dev)
     host = np.asarray(dev)
-    return (host, dev) if return_device else host
+    return (host, dev, regions_dev) if return_device else host

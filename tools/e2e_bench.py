@@ -76,6 +76,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/boa_e2e_fixed")
+    ap.add_argument("--profile", action="store_true",
+                    help="cProfile the last run and print the top sinks")
     ap.add_argument("--realistic", action="store_true",
                     help="anatomy-phantom CT + fake_predict realistic "
                     "labels: measures the HOST pipeline on plausible "
@@ -108,6 +110,11 @@ def main() -> None:
     from boa_tpu.commands import analyze_ct
 
     for run in range(args.runs):
+        profiler = None
+        if args.profile and run == args.runs - 1:
+            import cProfile
+            profiler = cProfile.Profile()
+            profiler.enable()
         out = tempfile.mkdtemp(prefix=f"boa_e2e_out{run}_")
         t0 = time.perf_counter()
         _, stats = analyze_ct(
@@ -120,6 +127,10 @@ def main() -> None:
         print(f"run{run}: wall={wall:.1f}s stats=" + json.dumps(
             {k: round(v, 2) for k, v in stats.items()
              if isinstance(v, (int, float))}), flush=True)
+        if profiler is not None:
+            import pstats
+            profiler.disable()
+            pstats.Stats(profiler).sort_stats("tottime").print_stats(25)
 
 
 if __name__ == "__main__":

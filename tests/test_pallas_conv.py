@@ -27,7 +27,10 @@ def _xla_conv(x, w, b=None):
     ((8, 8, 8), 64, 64),      # p=2
     ((6, 6, 4), 3, 32),       # odd cin, padded
 ])
-def test_conv_matches_xla(rng, shape, cin, cout):
+def test_conv_matches_xla(shape, cin, cout):
+    # own seed: the session rng's stream position depends on which tests
+    # ran before, which makes a max-abs tolerance check order-dependent
+    rng = np.random.default_rng(42 + cin + cout)
     x = jnp.asarray(rng.normal(size=(*shape, cin)).astype(np.float32))
     w = jnp.asarray((rng.normal(size=(3, 3, 3, cin, cout)) * 0.1)
                     .astype(np.float32))

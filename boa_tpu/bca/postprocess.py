@@ -22,11 +22,14 @@ IGNORE_VALUE = 255
 
 
 def _filter_largest_unique_segment(seg: np.ndarray, mask: np.ndarray) -> None:
-    idx = np.nonzero(mask)
-    if len(idx[0]) == 0:
+    # bbox via axis projections (np.nonzero builds ~3x 8-byte index
+    # arrays over the whole foreground: ~2 s per call on this host)
+    proj = [mask.any(axis=(1, 2)), mask.any(axis=(0, 2)),
+            mask.any(axis=(0, 1))]
+    if not proj[0].any():
         return
-    # the mask's components live inside its bbox — label only there
-    box = tuple(slice(int(i.min()), int(i.max()) + 1) for i in idx)
+    box = tuple(slice(int(np.argmax(p)),
+                      int(len(p) - np.argmax(p[::-1]))) for p in proj)
     labels, n = cc.label(mask[box], connectivity=3)
     if n <= 1:
         return
@@ -38,15 +41,29 @@ def _filter_largest_unique_segment(seg: np.ndarray, mask: np.ndarray) -> None:
     seg[box] = sub
 
 
+def _filter_largest_by_lut(seg: np.ndarray, region_labels) -> None:
+    """keep-largest over {seg in region_labels}: fused native path (no
+    mask/labels volumes), generic fallback otherwise."""
+    lut = np.zeros(256, np.uint8)
+    for lb in np.atleast_1d(region_labels):
+        lut[int(lb)] = 1
+    if cc.keep_largest_lut_inplace(seg, lut, connectivity=3,
+                                   ignore_value=IGNORE_VALUE):
+        return
+    _filter_largest_unique_segment(seg, lut[seg].astype(bool))
+
+
 def postprocess_region_segmentation(seg: np.ndarray) -> np.ndarray:
-    out = seg.copy()
-    _filter_largest_unique_segment(out, out > 0)
-    _filter_largest_unique_segment(
-        out,
-        np.isin(out, [int(BodyRegion.THORACIC_CAVITY), int(BodyRegion.MEDIASTINUM),
-                      int(BodyRegion.PERICARDIUM)]))
+    out = np.ascontiguousarray(seg, dtype=np.uint8).copy() \
+        if not (seg.dtype == np.uint8 and seg.flags.c_contiguous) \
+        else seg.copy()
+    # all labels except background and the ignore value
+    _filter_largest_by_lut(out, list(range(1, 255)))
+    _filter_largest_by_lut(out, [int(BodyRegion.THORACIC_CAVITY),
+                                 int(BodyRegion.MEDIASTINUM),
+                                 int(BodyRegion.PERICARDIUM)])
     for region in (BodyRegion.PERICARDIUM, BodyRegion.ABDOMINAL_CAVITY):
-        _filter_largest_unique_segment(out, out == int(region))
+        _filter_largest_by_lut(out, int(region))
     return out
 
 

@@ -74,6 +74,12 @@ def get_lib() -> ctypes.CDLL | None:
         lib.boa_component_sizes.restype = None
         lib.boa_component_sizes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+        if hasattr(lib, "boa_keep_largest_lut"):  # absent in stale builds
+            lib.boa_keep_largest_lut.restype = ctypes.c_int32
+            lib.boa_keep_largest_lut.argtypes = [ctypes.c_void_p, *dims,
+                                                 ctypes.c_void_p,
+                                                 ctypes.c_int,
+                                                 ctypes.c_uint8]
         _lib = lib
         return _lib
     except OSError as e:

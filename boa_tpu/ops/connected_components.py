@@ -75,6 +75,27 @@ def filter_components_by_size(mask: np.ndarray, interval: tuple[float, float],
     return keep[labels].astype(np.uint8)
 
 
+def keep_largest_lut_inplace(seg: np.ndarray, lut: np.ndarray,
+                             connectivity: int = 3,
+                             ignore_value: int = 255) -> bool:
+    """Overwrite every component of {lut[seg]} except the largest with
+    `ignore_value`, in place. Fused native path: no mask volume, no
+    labels volume (run-based sizes). Returns True when handled natively;
+    False means the caller must use the generic label/filter path.
+    """
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "boa_keep_largest_lut") or \
+            seg.dtype != np.uint8 or not seg.flags.c_contiguous:
+        return False
+    lut = np.ascontiguousarray(lut.astype(np.uint8, copy=False))
+    if lut.size < 256:
+        lut = np.pad(lut, (0, 256 - lut.size))
+    lib.boa_keep_largest_lut(seg.ctypes.data, *[int(s) for s in seg.shape],
+                             lut.ctypes.data, int(connectivity),
+                             int(ignore_value))
+    return True
+
+
 def component_sizes(labels: np.ndarray, n: int) -> np.ndarray:
     lib = native.get_lib()
     if lib is not None and labels.dtype == np.int32 and \

@@ -68,18 +68,26 @@ def postprocess_region_segmentation(seg: np.ndarray) -> np.ndarray:
 
 
 def _fill_2d_contours(label_mask: np.ndarray) -> np.ndarray:
-    """Slice-wise external-contour fill along the z axis (x,y,z volume)."""
+    """Slice-wise external-contour fill along the z axis (x,y,z volume).
+
+    Works in a z-major copy: slicing `[:, :, k]` of an (x, y, z) volume
+    gathers with stride nz — 300 such slices cost ~8 s of cache misses
+    on this host, vs ~2 s for two layout transposes + contiguous slices.
+    """
     import cv2
 
-    filled = np.zeros(label_mask.shape, np.uint8)
-    for k in range(label_mask.shape[2]):
-        sl = np.ascontiguousarray(label_mask[:, :, k].astype(np.uint8))
-        contours, _ = cv2.findContours(sl, cv2.RETR_EXTERNAL,
+    zxy = np.moveaxis(label_mask, 2, 0).astype(np.uint8)  # contiguous copy
+    out = np.zeros_like(zxy)
+    canvas = np.zeros(zxy.shape[1:], np.uint8)
+    for k in range(zxy.shape[0]):
+        contours, _ = cv2.findContours(zxy[k], cv2.RETR_EXTERNAL,
                                        cv2.CHAIN_APPROX_SIMPLE)
-        canvas = np.zeros(sl.shape, np.uint8)
+        if not contours:
+            continue
+        canvas[:] = 0  # cv2 needs a standalone Mat, not a subarray view
         cv2.drawContours(canvas, contours, -1, color=1, thickness=cv2.FILLED)
-        filled[:, :, k] = canvas
-    return filled.astype(bool)
+        out[k] = canvas
+    return np.ascontiguousarray(np.moveaxis(out, 0, 2)) > 0
 
 
 def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.ndarray:
@@ -89,9 +97,13 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
     components with size <= threshold - 1, i.e. keeps size >= threshold.
     """
     out = np.zeros(mask.shape, dtype=mask.dtype)
-    # one bincount pass lists the labels (np.unique sorts 78M voxels)
-    present = np.nonzero(np.bincount(
-        mask.ravel().astype(np.intp), minlength=1))[0]
+    # one native histogram pass lists the labels (np.unique sorts 78M
+    # voxels; np.bincount upcasts them to a 630 MB int64 temp)
+    if mask.dtype == np.uint8:
+        present = np.nonzero(cc.histogram_u8(mask))[0]
+    else:
+        present = np.nonzero(np.bincount(
+            mask.ravel().astype(np.intp), minlength=1))[0]
     for label_value in present:
         if label_value == 0:
             continue

@@ -74,6 +74,11 @@ def get_lib() -> ctypes.CDLL | None:
         lib.boa_component_sizes.restype = None
         lib.boa_component_sizes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+        if hasattr(lib, "boa_histogram_u8"):
+            lib.boa_histogram_u8.restype = None
+            lib.boa_histogram_u8.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int64,
+                                             ctypes.c_void_p]
         if hasattr(lib, "boa_keep_largest_lut"):  # absent in stale builds
             lib.boa_keep_largest_lut.restype = ctypes.c_int32
             lib.boa_keep_largest_lut.argtypes = [ctypes.c_void_p, *dims,

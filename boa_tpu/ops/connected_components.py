@@ -75,6 +75,19 @@ def filter_components_by_size(mask: np.ndarray, interval: tuple[float, float],
     return keep[labels].astype(np.uint8)
 
 
+def histogram_u8(data: np.ndarray) -> np.ndarray:
+    """256-bin histogram of a uint8 array (native; avoids np.bincount's
+    8x int64 upcast temp on 78M-voxel volumes)."""
+    lib = native.get_lib()
+    flat = data.reshape(-1)
+    if lib is not None and hasattr(lib, "boa_histogram_u8") and \
+            flat.dtype == np.uint8 and flat.flags.c_contiguous:
+        out = np.zeros(256, np.int64)
+        lib.boa_histogram_u8(flat.ctypes.data, flat.size, out.ctypes.data)
+        return out
+    return np.bincount(flat.ravel().astype(np.intp), minlength=256)[:256]
+
+
 def keep_largest_lut_inplace(seg: np.ndarray, lut: np.ndarray,
                              connectivity: int = 3,
                              ignore_value: int = 255) -> bool:

@@ -244,3 +244,25 @@ int32_t boa_filter_components_by_size(const uint8_t* mask, int64_t nx, int64_t n
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// 256-bin histogram of a uint8 volume (label discovery without the
+// int64 upcast np.bincount forces — that temp alone is 8x the volume).
+void boa_histogram_u8(const uint8_t* data, int64_t n, int64_t* out256) {
+  std::memset(out256, 0, 256 * sizeof(int64_t));
+  int64_t local[4][256];
+  std::memset(local, 0, sizeof(local));
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {  // split counters to break the dependency
+    ++local[0][data[i]];
+    ++local[1][data[i + 1]];
+    ++local[2][data[i + 2]];
+    ++local[3][data[i + 3]];
+  }
+  for (; i < n; ++i) ++local[0][data[i]];
+  for (int k = 0; k < 4; ++k)
+    for (int v = 0; v < 256; ++v) out256[v] += local[k][v];
+}
+
+}  // extern "C"

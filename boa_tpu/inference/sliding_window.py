@@ -203,11 +203,34 @@ def stack_fold_params(fold_params_list: list) -> object:
 # tiles (stacking K gauss-weighted predictions), then applies K *unrolled*
 # dynamic-index adds into the donated accumulator. The accumulator is
 # channels-last with the class axis padded to 128 lanes when it fits the
-# HBM budget, channels-first (unpadded) otherwise; `_chunk_argmax` slices
-# the real classes back out before reducing.
+# HBM budget (`_chunk_argmax` slices the real classes back out before
+# reducing). When it does not fit (full-res total: 25 classes on a
+# 512x512x600 grid would pad to a 40 GB channels-last buffer), the window
+# streams over z-ROWS instead: tiles sharing a z-start accumulate into a
+# channels-first (n_cls, X, Y, pz) row buffer whose updates are
+# full-minor-dim (z offset always 0 -> in-place like the lane-aligned
+# case), and rows are fused by overlap-add — `_row_finalize` emits the
+# argmax of the z-range no later row touches and rolls the remainder into
+# a carry buffer. This removes the per-tile copy of the multi-GB
+# channels-first accumulator that a whole-volume dynamic_update_slice at
+# unaligned z offsets costs on this XLA (measured 12-22 ms/tile).
 # ---------------------------------------------------------------------------
 
-_CHUNK_K = 6  # tiles per dispatch: ys footprint K x patch x 128cls fp16
+# ys-stack HBM budget for auto chunk sizing (measured on v5e, full-res
+# total 512x512x600: one 25-tile dispatch per z-row at 2.6 GB ys beats
+# 5 dispatches of 6 at 34->28.6 ms/tile — chunk-padding waste and the
+# ~30 ms per-dispatch tunnel latency dominate, so pick the fewest
+# equal-size chunks whose prediction stack fits this budget)
+_YS_BUDGET_BYTES = 4e9
+
+
+def _auto_chunk(n_tiles: int, tile_bytes: float,
+                budget: float = _YS_BUDGET_BYTES) -> int:
+    """Fewest equalized chunks with k*tile_bytes <= budget: minimizes both
+    dispatch count and padded-tile waste (waste < n_chunks tiles)."""
+    k_max = max(1, int(budget // max(tile_bytes, 1.0)))
+    n_chunks = -(-n_tiles // k_max)
+    return -(-n_tiles // n_chunks)
 
 
 def _pad_classes(n_cls: int) -> int:
@@ -217,14 +240,16 @@ def _pad_classes(n_cls: int) -> int:
 @partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
                                    "k", "channels_last", "n_cls_pad"),
          donate_argnums=(0,))
-def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, *, cfg,
-                mirror_axes, compute_dtype, k, channels_last, n_cls_pad):
+def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, z_base, *,
+                cfg, mirror_axes, compute_dtype, k, channels_last, n_cls_pad):
     """Forward K tiles (scan) + K unrolled in-place adds into `buf`.
 
-    buf: (X,Y,Z,n_cls_pad) if channels_last else (n_cls,X,Y,Z), donated
+    buf: (X,Y,Z,n_cls_pad) if channels_last else (n_cls,X,Y,pz), donated
     (its dtype IS the accumulation dtype). starts_c: (K,3) int32; valid:
     (K,) fp32 0/1 mask for padding tiles of the last chunk (their
-    prediction is zeroed, the forward still runs).
+    prediction is zeroed, the forward still runs). The network always reads
+    the tile at its absolute start; the accumulator update rebases z by
+    `z_base` (0 for a whole-volume buf, the row's z-start in row mode).
     """
     px, py, pz = gaussian.shape
     n_cls = cfg.num_classes
@@ -248,7 +273,8 @@ def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, *, cfg,
     win = (px, py, pz, n_cls_pad) if channels_last else (n_cls, px, py, pz)
     for i in range(k):  # straight-line: XLA updates the donated buf in place
         s = starts_c[i]
-        idx = (s[0], s[1], s[2], 0) if channels_last else (0, s[0], s[1], s[2])
+        idx = (s[0], s[1], s[2] - z_base, 0) if channels_last \
+            else (0, s[0], s[1], s[2] - z_base)
         cur = jax.lax.dynamic_slice(buf, idx, win)
         buf = jax.lax.dynamic_update_slice(
             buf, (cur.astype(jnp.float32) + ys[i].astype(jnp.float32)
@@ -267,49 +293,95 @@ def _chunk_argmax(buf, *, n_cls, revert, channels_last, seg_dtype):
     return jnp.argmax(buf[(slice(None),) + rv], axis=0).astype(seg_dtype)
 
 
+@partial(jax.jit, static_argnames=("d", "seg_dtype"), donate_argnums=(0, 1))
+def _row_finalize(rowbuf, carry, *, d, seg_dtype):
+    """Overlap-add one z-row: argmax-emit the first `d` z-slices (which no
+    later row touches), roll the rest into the carry for the next row, and
+    hand back a zeroed row buffer (reusing the donated memory)."""
+    head = rowbuf[..., :d].astype(jnp.float32) + carry[..., :d].astype(jnp.float32)
+    seg = jnp.argmax(head, axis=0).astype(seg_dtype)
+    tail = (rowbuf[..., d:].astype(jnp.float32) +
+            carry[..., d:].astype(jnp.float32)).astype(carry.dtype)
+    new_carry = jnp.pad(tail, ((0, 0),) * 3 + ((0, d),))
+    return seg, new_carry, jnp.zeros_like(rowbuf)
+
+
+@partial(jax.jit, static_argnames=("seg_dtype",), donate_argnums=(0, 1))
+def _row_finalize_last(rowbuf, carry, *, seg_dtype):
+    total = rowbuf.astype(jnp.float32) + carry.astype(jnp.float32)
+    return jnp.argmax(total, axis=0).astype(seg_dtype)
+
+
 def sliding_window_seg_chunked(
     fold_params, vol, starts: "np.ndarray", gaussian, cfg: ArchConfig,
     mirror_axes=(), compute_dtype=jnp.bfloat16, accum_dtype=jnp.float16,
-    seg_dtype=jnp.uint8, revert=None, k: int = _CHUNK_K,
+    seg_dtype=jnp.uint8, revert=None, k: int | None = None,
     accum_budget_bytes: float = 6e9):
     """Fused sliding-window -> argmax via chunked in-place accumulation.
 
     vol: (C,X,Y,Z) normalized+padded device array. starts: host (T,3) int32.
-    revert: per-axis (begin, end) of the unpadded region. Dispatches
-    ceil(T/k)+1 programs (all shared/compiled once per bucketed shape);
-    skipping the Gaussian weight normalization is argmax-exact (see
-    sliding_window_acc).
+    revert: per-axis (begin, end) of the unpadded region. `k` (tiles per
+    dispatch) defaults to the auto policy `_auto_chunk`; all dispatches
+    share one compiled program per bucketed shape. Skipping the Gaussian
+    weight normalization is argmax-exact (see sliding_window_acc).
     """
     import numpy as np
 
     n_cls = cfg.num_classes
     n_cls_pad = _pad_classes(n_cls)
     spatial = vol.shape[-3:]
-    channels_last = (float(np.prod(spatial)) * n_cls_pad *
-                     jnp.dtype(accum_dtype).itemsize) <= accum_budget_bytes
-    if channels_last:
-        buf = jnp.zeros(tuple(spatial) + (n_cls_pad,), accum_dtype)
-    else:
-        buf = jnp.zeros((n_cls,) + tuple(spatial), accum_dtype)
-
-    T = len(starts)
-    n_chunks = -(-T // k)
-    starts_pad = np.zeros((n_chunks * k, 3), np.int32)
-    starts_pad[:T] = starts
-    valid = np.zeros((n_chunks * k,), np.float32)
-    valid[:T] = 1.0
-    gaussian = jnp.asarray(gaussian)
-
-    # per-chunk starts/valid stay host numpy: they ride along with the
-    # dispatch instead of costing two device-slice round trips per chunk
-    # (~30 ms each through the tunnel)
-    for c in range(n_chunks):
-        buf = _chunk_step(
-            buf, fold_params, vol, starts_pad[c * k:(c + 1) * k],
-            valid[c * k:(c + 1) * k], gaussian, cfg=cfg,
-            mirror_axes=tuple(mirror_axes), compute_dtype=compute_dtype,
-            k=k, channels_last=channels_last, n_cls_pad=n_cls_pad)
     if revert is None:
         revert = tuple((0, n) for n in spatial)
-    return _chunk_argmax(buf, n_cls=n_cls, revert=tuple(revert),
-                         channels_last=channels_last, seg_dtype=seg_dtype)
+    gaussian = jnp.asarray(gaussian)
+    starts = np.asarray(starts, np.int32)
+    channels_last = (float(np.prod(spatial)) * n_cls_pad *
+                     jnp.dtype(accum_dtype).itemsize) <= accum_budget_bytes
+
+    tile_bytes = (float(np.prod(gaussian.shape)) *
+                  (n_cls_pad if channels_last else n_cls) *
+                  jnp.dtype(accum_dtype).itemsize)
+
+    def run_chunks(buf, row_starts, z_base):
+        # per-chunk starts/valid stay host numpy: they ride along with the
+        # dispatch instead of costing two device-slice round trips per
+        # chunk (~30 ms each through the tunnel)
+        T = len(row_starts)
+        kk = k if k is not None else _auto_chunk(T, tile_bytes)
+        n_chunks = -(-T // kk)
+        starts_pad = np.full((n_chunks * kk, 3), z_base, np.int32)
+        starts_pad[:T] = row_starts
+        valid = np.zeros((n_chunks * kk,), np.float32)
+        valid[:T] = 1.0
+        for c in range(n_chunks):
+            buf = _chunk_step(
+                buf, fold_params, vol, starts_pad[c * kk:(c + 1) * kk],
+                valid[c * kk:(c + 1) * kk], gaussian, np.int32(z_base),
+                cfg=cfg, mirror_axes=tuple(mirror_axes),
+                compute_dtype=compute_dtype, k=kk,
+                channels_last=channels_last, n_cls_pad=n_cls_pad)
+        return buf
+
+    if channels_last:
+        buf = jnp.zeros(tuple(spatial) + (n_cls_pad,), accum_dtype)
+        buf = run_chunks(buf, starts, 0)
+        return _chunk_argmax(buf, n_cls=n_cls, revert=tuple(revert),
+                             channels_last=True, seg_dtype=seg_dtype)
+
+    # z-row streaming (see the layout note above): per-row channels-first
+    # buffers with full-minor-dim updates + overlap-add carry between rows
+    pz = int(gaussian.shape[-1])
+    z_vals = np.unique(starts[:, 2])
+    rowbuf = jnp.zeros((n_cls, spatial[0], spatial[1], pz), accum_dtype)
+    carry = jnp.zeros_like(rowbuf)
+    slabs = []
+    for ri, z0 in enumerate(z_vals):
+        rowbuf = run_chunks(rowbuf, starts[starts[:, 2] == z0], int(z0))
+        if ri + 1 < len(z_vals):
+            d = int(z_vals[ri + 1] - z0)
+            seg, carry, rowbuf = _row_finalize(rowbuf, carry, d=d,
+                                               seg_dtype=seg_dtype)
+        else:
+            seg = _row_finalize_last(rowbuf, carry, seg_dtype=seg_dtype)
+        slabs.append(seg)
+    full = jnp.concatenate(slabs, axis=-1) if len(slabs) > 1 else slabs[0]
+    return full[tuple(slice(b, e) for b, e in revert)]

@@ -47,6 +47,13 @@ def soft_dice_loss(
     ``axis_name`` replaces AllGatherGrad when used inside shard_map.
     """
     n_cls = logits.shape[-1]
+    # Perf note (measured on v5e, flagship 6-stage 2x128^3 train step at
+    # ~291 ms/iter): (a) replacing the one-hot volumes with a
+    # gather/segment_sum confusion pass made the step 1.8x SLOWER — TPU
+    # scatter cost scales with update count; (b) casting probs/one-hot to
+    # bf16 changed nothing (±2%) — XLA already fuses the one-hot compare
+    # into the multiply-reduce, so no (…, C) volume is materialized and
+    # the traffic is dominated by the fp32 softmax reads. Keep fp32.
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     y = _one_hot(target, n_cls)
     if not do_bg:

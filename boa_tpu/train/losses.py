@@ -114,10 +114,44 @@ def dice_ce_loss(
     axis_name: str | None = None,
 ) -> jax.Array:
     """DC_and_CE_loss (`compound_losses.py:9-47`, built at
-    `nnUNetTrainer.py:399-402`): dice term do_bg=False, smooth=1e-5."""
-    dc = soft_dice_loss(logits, target, batch_dice=batch_dice, do_bg=False,
-                        smooth=1e-5, loss_mask=loss_mask, axis_name=axis_name)
-    ce = softmax_ce_loss(logits, target, loss_mask=loss_mask)
+    `nnUNetTrainer.py:399-402`): dice term do_bg=False, smooth=1e-5.
+
+    Fused: one log-softmax feeds both terms (`probs = exp(logp)` is
+    bitwise the softmax formula), where the reference — and the separate
+    soft_dice_loss/softmax_ce_loss here — normalize the big (…, C) volume
+    twice, forward and backward.
+    """
+    n_cls = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jnp.exp(logp)
+    y = _one_hot(target, n_cls)
+    probs_fg, y_fg = probs[..., 1:], y[..., 1:]  # dice do_bg=False
+    spatial = tuple(range(1, probs.ndim - 1))
+    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    if loss_mask is not None:
+        m = loss_mask[..., None].astype(jnp.float32)
+        intersect = jnp.sum(probs_fg * y_fg * m, spatial)
+        sum_pred = jnp.sum(probs_fg * m, spatial)
+        sum_gt = jnp.sum(y_fg * m, spatial)
+        mm = loss_mask.astype(jnp.float32)
+        ce = jnp.sum(nll * mm) / jnp.clip(jnp.sum(mm), 1.0)
+    else:
+        intersect = jnp.sum(probs_fg * y_fg, spatial)
+        sum_pred = jnp.sum(probs_fg, spatial)
+        sum_gt = jnp.sum(y_fg, spatial)
+        ce = jnp.mean(nll)
+    if batch_dice:
+        intersect = jnp.sum(intersect, axis=0)
+        sum_pred = jnp.sum(sum_pred, axis=0)
+        sum_gt = jnp.sum(sum_gt, axis=0)
+        if axis_name is not None:
+            intersect = jax.lax.psum(intersect, axis_name)
+            sum_pred = jax.lax.psum(sum_pred, axis_name)
+            sum_gt = jax.lax.psum(sum_gt, axis_name)
+    smooth = 1e-5
+    dc = -jnp.mean((2.0 * intersect + smooth) /
+                   jnp.clip(sum_gt + sum_pred + smooth, 1e-8))
     return weight_ce * ce + weight_dice * dc
 
 

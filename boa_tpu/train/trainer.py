@@ -88,13 +88,17 @@ def make_train_step(cfg: TrainConfig,
         return loss, outs[0]
 
     def step(params, momentum_buf, x, y, lr):
-        (loss, top), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y)
+        # train-step metrics are loss/grad-norm only, like the reference
+        # (`nnUNetTrainer.py:973-1003` returns {'loss'}); pseudo-dice is a
+        # validation-side metric — Trainer.train_epoch samples it via
+        # make_eval_step instead of paying two one-hot volume reductions
+        # plus an argmax on every iteration here.
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y)
         grads, gnorm = clip_by_global_norm(grads, cfg.grad_clip)
         params, momentum_buf = sgd_nesterov_update(
             params, grads, momentum_buf, lr,
             momentum=cfg.momentum, weight_decay=cfg.weight_decay)
-        metrics = {"loss": loss, "grad_norm": gnorm,
-                   "dice": jnp.mean(pseudo_dice(top, y))}
+        metrics = {"loss": loss, "grad_norm": gnorm}
         return params, momentum_buf, metrics
 
     kw: dict[str, Any] = {}
@@ -149,12 +153,17 @@ class Trainer:
         losses, t0 = [], time.time()
         for _ in range(n):
             x, y = next(batches)
+            xd, yd = jnp.asarray(x), jnp.asarray(y)
             st.params, st.momentum_buf, m = self._step(
-                st.params, st.momentum_buf, jnp.asarray(x), jnp.asarray(y),
-                jnp.float32(lr))
+                st.params, st.momentum_buf, xd, yd, jnp.float32(lr))
             losses.append(m)
         losses = {k: float(np.mean([float(m[k]) for m in losses]))
                   for k in losses[0]}
+        # pseudo-dice on the last batch with the updated params — a 1-batch
+        # sample of the reference's 50-iteration validation pass
+        # (`nnUNetTrainer.py:1040-1086`); the train step itself reports
+        # loss only, like the reference
+        losses["dice"] = float(jnp.mean(self._eval(st.params, xd, yd)))
         losses.update(epoch=st.epoch, lr=float(lr),
                       epoch_time=time.time() - t0)
         # EMA pseudo-dice (nnUNetTrainer.py:1087-1095, alpha 0.9)

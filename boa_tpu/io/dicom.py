@@ -8,11 +8,12 @@ pydicom is not in the image.
 
 Supports: explicit & implicit VR little endian parsing, sequences
 (defined and undefined length), uncompressed pixel data, encapsulated
-pixel data with in-repo codecs for JPEG Lossless SV1/P14 and RLE
-(io/dicom_codecs.py + native/jpegll.cpp — the syntaxes GDCM decodes for
-the reference), file-meta handling, explicit-VR-LE and encapsulated
-writing, and pydicom-compatible deterministic UID generation. Other
-compressed transfer syntaxes raise a clear error.
+pixel data with in-repo codecs for JPEG Lossless SV1/P14, JPEG-LS and
+RLE (io/dicom_codecs.py + native/jpegll.cpp + native/jpegls.cpp — the
+syntaxes GDCM decodes for the reference), file-meta handling,
+explicit-VR-LE and encapsulated writing, and pydicom-compatible
+deterministic UID generation. Other compressed transfer syntaxes raise
+a clear error.
 """
 
 from __future__ import annotations
@@ -35,8 +36,12 @@ UNCOMPRESSED = {IMPLICIT_VR_LE, EXPLICIT_VR_LE}
 # encapsulated syntaxes with in-repo codecs (io/dicom_codecs.py):
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
-SUPPORTED_COMPRESSED = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1, RLE_LOSSLESS}
+SUPPORTED_COMPRESSED = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
+                        JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS,
+                        RLE_LOSSLESS}
 
 
 class EncapsulatedFrames:
@@ -469,7 +474,8 @@ def dcmread(path: str | Path | bytes, stop_before_pixels: bool = False) -> Datas
         raise ValueError(
             f"Unsupported transfer syntax {ts}: supported are uncompressed "
             f"little endian, JPEG Lossless ({JPEG_LOSSLESS_SV1}/"
-            f"{JPEG_LOSSLESS_P14}) and RLE ({RLE_LOSSLESS}); transcode "
+            f"{JPEG_LOSSLESS_P14}), JPEG-LS ({JPEG_LS_LOSSLESS}/"
+            f"{JPEG_LS_NEAR_LOSSLESS}) and RLE ({RLE_LOSSLESS}); transcode "
             f"others with dcmdjpeg/gdcmconv first")
     body = _Reader(data, explicit=(ts != IMPLICIT_VR_LE))
     body.pos = r.pos
@@ -487,8 +493,8 @@ def pixel_array(ds: Dataset) -> np.ndarray:
     """Decode PixelData to (rows, cols) or (frames, rows, cols).
 
     Handles uncompressed LE and the encapsulated syntaxes with in-repo
-    codecs (JPEG Lossless SV1/P14, RLE) — the formats GDCM decodes for
-    the reference (`compute/io.py:326-383`).
+    codecs (JPEG Lossless SV1/P14, JPEG-LS, RLE) — the formats GDCM
+    decodes for the reference (`compute/io.py:326-383`).
     """
     raw = ds.get("PixelData")
     if raw is None:
@@ -531,6 +537,11 @@ def _decode_encapsulated(enc: EncapsulatedFrames, ts: str, rows: int,
                                           max(bits // 8, 1))
         elif ts in (JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14):
             arr = dicom_codecs.decode_jpeg_lossless(frame)
+            if arr.shape != (rows, cols):
+                raise ValueError(f"frame decoded to {arr.shape}, "
+                                 f"expected {(rows, cols)}")
+        elif ts in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
+            arr = dicom_codecs.decode_jpeg_ls(frame)
             if arr.shape != (rows, cols):
                 raise ValueError(f"frame decoded to {arr.shape}, "
                                  f"expected {(rows, cols)}")

@@ -393,3 +393,518 @@ def encode_rle(img: np.ndarray) -> bytes:
     header += [0] * (16 - len(header))
     body = struct.pack("<16I", *header) + b"".join(segments)
     return body + (b"\x00" if len(body) % 2 else b"")
+
+
+# ---------------------------------------------------------------------------
+# JPEG-LS (ITU-T T.87 / ISO 14495-1) — native decode via native/jpegls.cpp,
+# pure-python fallback decoder + encoder (NEAR=0) for round-trip tests.
+# Single-component scans (DICOM CT/MR frames).
+# ---------------------------------------------------------------------------
+
+_JLS_J = (0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+          4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _jls_native_lib():
+    import ctypes
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "boa_jpegls_decode"):
+        return None
+    if not getattr(lib, "_jpegls_bound", False):
+        lib.boa_jpegls_decode.restype = ctypes.c_int32
+        lib.boa_jpegls_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64] + [ctypes.POINTER(ctypes.c_int32)] * 4
+        lib._jpegls_bound = True
+    return lib
+
+
+def decode_jpeg_ls(frame: bytes) -> np.ndarray:
+    """(rows, cols) uint16 samples from one JPEG-LS codestream."""
+    lib = _jls_native_lib()
+    if lib is not None:
+        import ctypes
+
+        rows, cols = ctypes.c_int32(), ctypes.c_int32()
+        ncomp, prec = ctypes.c_int32(), ctypes.c_int32()
+        # geometry pass needs the real buffer in JPEG-LS (entropy data is
+        # context-adaptive), so parse SOF here for the allocation
+        geo = _jls_parse_headers(frame)
+        out = np.empty(geo["rows"] * geo["cols"], np.uint16)
+        rc = lib.boa_jpegls_decode(frame, len(frame),
+                                   out.ctypes.data_as(ctypes.c_void_p),
+                                   out.size, ctypes.byref(rows),
+                                   ctypes.byref(cols), ctypes.byref(ncomp),
+                                   ctypes.byref(prec))
+        if rc != 0:
+            raise ValueError(f"JPEG-LS decode failed (rc={rc})")
+        return out.reshape(rows.value, cols.value)
+    return _decode_jpegls_python(frame)
+
+
+def _jls_parse_headers(frame: bytes) -> dict:
+    """SOF55/LSE/SOS header scan; returns geometry + coding params."""
+    if frame[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG-LS stream (no SOI)")
+    pos = 2
+    info: dict = {"reset": 64, "maxval": 0, "t1": 0, "t2": 0, "t3": 0}
+    while pos + 2 <= len(frame):
+        if frame[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = frame[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seg = struct.unpack(">H", frame[pos:pos + 2])[0]
+        body = frame[pos + 2:pos + seg]
+        if marker == 0xF7:  # SOF55
+            info["precision"] = body[0]
+            info["rows"], info["cols"] = struct.unpack(">HH", body[1:5])
+            info["ncomp"] = body[5]
+        elif marker == 0xF8:  # LSE
+            if body[0] != 1:
+                raise ValueError("JPEG-LS mapping tables unsupported")
+            (info["maxval"], info["t1"], info["t2"], info["t3"],
+             info["reset"]) = struct.unpack(">5H", body[1:11])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1 or info.get("ncomp") != 1:
+                raise ValueError("only single-component JPEG-LS supported")
+            info["near"] = body[1 + 2 * ns]
+            if body[2 + 2 * ns] != 0:
+                raise ValueError("interleaved JPEG-LS unsupported")
+            info["data_at"] = pos + seg
+            return info
+        pos += seg
+    raise ValueError("no SOS marker in JPEG-LS stream")
+
+
+def _jls_params(info: dict) -> dict:
+    """Derived coding parameters (T.87 C.2.4.1): thresholds, LIMIT, qbpp."""
+    maxval = info["maxval"] or (1 << info["precision"]) - 1
+    near = info["near"]
+    rng = (maxval + 2 * near) // (2 * near + 1) + 1
+    qbpp = max(1, (rng - 1).bit_length())
+    bpp = max(2, (maxval).bit_length())
+    limit = 2 * (bpp + max(8, bpp))
+    bt1, bt2, bt3 = 3, 7, 21
+    if maxval >= 128:
+        f = (min(maxval, 4095) + 128) // 256
+        t1, t2 = f * (bt1 - 2) + 2 + 3 * near, f * (bt2 - 3) + 3 + 5 * near
+        t3 = f * (bt3 - 4) + 4 + 7 * near
+    else:
+        f = 256 // (maxval + 1)
+        t1 = max(2, bt1 // f) + 3 * near
+        t2, t3 = max(3, bt2 // f) + 5 * near, max(4, bt3 // f) + 7 * near
+    if t1 > maxval or t1 < near + 1:
+        t1 = near + 1
+    t1 = info["t1"] or t1
+    t2 = info["t2"] or (t1 if (t2 > maxval or t2 < t1) else t2)
+    t3 = info["t3"] or (t2 if (t3 > maxval or t3 < t2) else t3)
+    return {"maxval": maxval, "near": near, "range": rng, "qbpp": qbpp,
+            "limit": limit, "reset": info["reset"] or 64,
+            "t1": t1, "t2": t2, "t3": t3}
+
+
+class _LsBits:
+    """MSB-first reader with JPEG-LS unstuffing: a byte after 0xFF
+    carries 7 payload bits (stuffed 0 MSB); 0xFF + MSB-set byte = marker."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+        self.prev_ff = False
+        self.marker = False
+
+    def next(self) -> int:
+        if self.pos >= len(self.data):
+            self.marker = True
+            return 0
+        cur = self.data[self.pos]
+        first = 1 if self.prev_ff else 0
+        if first and self.bit == 0 and (cur & 0x80):
+            self.marker = True
+            return 0
+        b = (cur >> (7 - (self.bit + first))) & 1
+        self.bit += 1
+        if self.bit == 8 - first:
+            self.bit = 0
+            self.prev_ff = cur == 0xFF
+            self.pos += 1
+        return b
+
+    def read(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.next()
+        return v
+
+
+def _jls_golomb_read(br: "_LsBits", k: int, lim: int, qbpp: int) -> int:
+    u = 0
+    while br.next() == 0:
+        u += 1
+        if br.marker or u > lim:
+            raise ValueError("truncated JPEG-LS stream")
+    if u < lim - qbpp - 1:
+        return (u << k) | br.read(k)
+    return br.read(qbpp) + 1
+
+
+def _jls_quantize(d: int, p: dict) -> int:
+    if d <= -p["t3"]:
+        return -4
+    if d <= -p["t2"]:
+        return -3
+    if d <= -p["t1"]:
+        return -2
+    if d < -p["near"]:
+        return -1
+    if d <= p["near"]:
+        return 0
+    if d < p["t1"]:
+        return 1
+    if d < p["t2"]:
+        return 2
+    if d < p["t3"]:
+        return 3
+    return 4
+
+
+def _decode_jpegls_python(frame: bytes) -> np.ndarray:
+    """Fallback decoder — faithful port of native/jpegls.cpp (slow)."""
+    info = _jls_parse_headers(frame)
+    p = _jls_params(info)
+    rows, cols = info["rows"], info["cols"]
+    maxval, near, rng = p["maxval"], p["near"], p["range"]
+    qbpp, limit, reset = p["qbpp"], p["limit"], p["reset"]
+    a0 = max(2, (rng + 32) // 64)
+    A = [a0] * 367
+    N = [1] * 367
+    B = [0] * 365
+    C = [0] * 365
+    Nn = [0, 0]
+    ri = 0
+
+    def fix(v: int) -> int:
+        if v < -near:
+            v += rng * (2 * near + 1)
+        elif v > maxval + near:
+            v -= rng * (2 * near + 1)
+        return min(max(v, 0), maxval)
+
+    br = _LsBits(frame[info["data_at"]:])
+    out = np.empty((rows, cols), np.uint16)
+    prev = [0] * (cols + 2)
+    cur = [0] * (cols + 2)
+    for row in range(rows):
+        cur[0] = prev[1]
+        prev[cols + 1] = prev[cols]
+        col = 1
+        while col <= cols:
+            ra, rb = cur[col - 1], prev[col]
+            rc, rd = prev[col - 1], prev[col + 1]
+            q1 = _jls_quantize(rd - rb, p)
+            q2 = _jls_quantize(rb - rc, p)
+            q3 = _jls_quantize(rc - ra, p)
+            if q1 == 0 and q2 == 0 and q3 == 0:  # run mode (A.7)
+                rem = cols - col + 1
+                while rem > 0:
+                    if br.next() == 1:
+                        if br.marker:
+                            raise ValueError("truncated JPEG-LS run")
+                        cnt = 1 << _JLS_J[ri]
+                        if cnt <= rem:
+                            for _ in range(cnt):
+                                cur[col] = ra
+                                col += 1
+                            rem -= cnt
+                            if ri < 31:
+                                ri += 1
+                            if rem == 0:
+                                break
+                        else:
+                            for _ in range(rem):
+                                cur[col] = ra
+                                col += 1
+                            rem = 0
+                            break
+                    else:
+                        if br.marker:
+                            raise ValueError("truncated JPEG-LS run")
+                        rcnt = br.read(_JLS_J[ri]) if _JLS_J[ri] else 0
+                        if rcnt > rem - 1:
+                            raise ValueError("JPEG-LS run overruns line")
+                        for _ in range(rcnt):
+                            cur[col] = ra
+                            col += 1
+                        rb2, ra2 = prev[col], cur[col - 1]
+                        ritype = 1 if abs(ra2 - rb2) <= near else 0
+                        px = ra2 if ritype else rb2
+                        ctx = 365 + ritype
+                        temp = A[ctx] + (N[ctx] >> 1 if ritype else 0)
+                        k = 0
+                        while (N[ctx] << k) < temp:
+                            k += 1
+                        em = _jls_golomb_read(br, k,
+                                              limit - _JLS_J[ri] - 1, qbpp)
+                        tmp2 = em + ritype
+                        mp = tmp2 & 1
+                        eabs = (tmp2 + mp) // 2
+                        cond = 1 if (k != 0 or 2 * Nn[ritype] >= N[ctx]) else 0
+                        errval = -eabs if cond == mp else eabs
+                        if errval < 0:
+                            Nn[ritype] += 1
+                        A[ctx] += (em + 1 - ritype) >> 1
+                        if N[ctx] == reset:
+                            A[ctx] >>= 1
+                            N[ctx] >>= 1
+                            Nn[ritype] >>= 1
+                        N[ctx] += 1
+                        e = errval * (2 * near + 1)
+                        rx = px + e if (ritype or rb2 > ra2) else px - e
+                        cur[col] = fix(rx)
+                        col += 1
+                        if ri > 0:
+                            ri -= 1
+                        break
+                continue
+            # regular mode (A.4-A.6)
+            q = q1 * 81 + q2 * 9 + q3
+            sign = 1
+            if q < 0:
+                sign, q = -1, -q
+            q -= 1
+            if rc >= max(ra, rb):
+                px = min(ra, rb)
+            elif rc <= min(ra, rb):
+                px = max(ra, rb)
+            else:
+                px = ra + rb - rc
+            px = min(max(px + sign * C[q], 0), maxval)
+            k = 0
+            while (N[q] << k) < A[q]:
+                k += 1
+            m = _jls_golomb_read(br, k, limit, qbpp)
+            errval = -((m >> 1) + 1) if (m & 1) else (m >> 1)
+            if k == 0 and near == 0 and 2 * B[q] <= -N[q]:
+                errval = -errval - 1
+            B[q] += errval * (2 * near + 1)
+            A[q] += abs(errval)
+            if N[q] == reset:
+                A[q] >>= 1
+                B[q] = B[q] >> 1 if B[q] >= 0 else -((1 - B[q]) >> 1)
+                N[q] >>= 1
+            N[q] += 1
+            if B[q] <= -N[q]:
+                B[q] += N[q]
+                if C[q] > -128:
+                    C[q] -= 1
+                if B[q] <= -N[q]:
+                    B[q] = -N[q] + 1
+            elif B[q] > 0:
+                B[q] -= N[q]
+                if C[q] < 127:
+                    C[q] += 1
+                if B[q] > 0:
+                    B[q] = 0
+            cur[col] = fix(px + sign * errval * (2 * near + 1))
+            col += 1
+        prev, cur = cur, prev
+        out[row] = prev[1:cols + 1]
+    return out
+
+
+class _LsBitWriter:
+    """MSB-first writer with JPEG-LS bit stuffing (7-bit byte after 0xFF)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+        self.cap = 8
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == self.cap:
+                self.out.append(self.cur)
+                self.cap = 7 if self.cur == 0xFF else 8
+                self.cur = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur << (self.cap - self.nbits))
+        return bytes(self.out)
+
+
+def encode_jpeg_ls(img: np.ndarray, precision: int | None = None) -> bytes:
+    """Lossless (NEAR=0) single-component JPEG-LS codestream of a 2-D
+    unsigned array — the encoder mirror of the decoders above, used by the
+    writer and the round-trip tests."""
+    img = np.ascontiguousarray(img, np.uint16)
+    rows, cols = img.shape
+    if precision is None:
+        precision = max(2, int(img.max()).bit_length())
+    p = _jls_params({"precision": precision, "maxval": 0, "near": 0,
+                     "t1": 0, "t2": 0, "t3": 0, "reset": 64})
+    maxval, rng = p["maxval"], p["range"]
+    qbpp, limit, reset = p["qbpp"], p["limit"], p["reset"]
+    half = (rng + 1) // 2
+    a0 = max(2, (rng + 32) // 64)
+    A = [a0] * 367
+    N = [1] * 367
+    B = [0] * 365
+    C = [0] * 365
+    Nn = [0, 0]
+    ri = 0
+    bw = _LsBitWriter()
+
+    def golomb_put(m: int, k: int, lim: int) -> None:
+        hi = m >> k
+        if hi < lim - qbpp - 1:
+            bw.put(1, hi + 1)  # hi zeros then a 1
+            if k:
+                bw.put(m & ((1 << k) - 1), k)
+        else:
+            bw.put(1, lim - qbpp)
+            bw.put(m - 1, qbpp)
+
+    line = img.astype(np.int64)
+    prev = [0] * (cols + 2)
+    cur = [0] * (cols + 2)
+    for row in range(rows):
+        x = line[row]
+        cur[0] = prev[1]
+        prev[cols + 1] = prev[cols]
+        col = 1
+        while col <= cols:
+            ra, rb = cur[col - 1], prev[col]
+            rc, rd = prev[col - 1], prev[col + 1]
+            q1 = _jls_quantize(rd - rb, p)
+            q2 = _jls_quantize(rb - rc, p)
+            q3 = _jls_quantize(rc - ra, p)
+            if q1 == 0 and q2 == 0 and q3 == 0:  # run mode
+                start = col
+                while col <= cols and int(x[col - 1]) == ra:
+                    cur[col] = ra
+                    col += 1
+                runcnt = col - start
+                while runcnt >= (1 << _JLS_J[ri]):
+                    bw.put(1, 1)
+                    runcnt -= 1 << _JLS_J[ri]
+                    if ri < 31:
+                        ri += 1
+                if col > cols:  # run to end of line
+                    if runcnt > 0:
+                        bw.put(1, 1)
+                    continue
+                bw.put(0, 1)
+                if _JLS_J[ri]:
+                    bw.put(runcnt, _JLS_J[ri])
+                # run interruption sample
+                xi = int(x[col - 1])
+                rb2, ra2 = prev[col], cur[col - 1]
+                ritype = 1 if ra2 == rb2 else 0
+                px = ra2 if ritype else rb2
+                errval = xi - px
+                if ritype == 0 and ra2 > rb2:
+                    errval = -errval
+                if errval < 0:
+                    errval += rng
+                if errval >= half:
+                    errval -= rng
+                ctx = 365 + ritype
+                temp = A[ctx] + (N[ctx] >> 1 if ritype else 0)
+                k = 0
+                while (N[ctx] << k) < temp:
+                    k += 1
+                cond = 1 if (k != 0 or 2 * Nn[ritype] >= N[ctx]) else 0
+                if errval < 0:
+                    mp = cond
+                elif errval > 0:
+                    mp = 1 - cond
+                else:
+                    mp = 0
+                em = 2 * abs(errval) - ritype - mp
+                golomb_put(em, k, limit - _JLS_J[ri] - 1)
+                if errval < 0:
+                    Nn[ritype] += 1
+                A[ctx] += (em + 1 - ritype) >> 1
+                if N[ctx] == reset:
+                    A[ctx] >>= 1
+                    N[ctx] >>= 1
+                    Nn[ritype] >>= 1
+                N[ctx] += 1
+                cur[col] = xi
+                col += 1
+                if ri > 0:
+                    ri -= 1
+                continue
+            # regular mode
+            q = q1 * 81 + q2 * 9 + q3
+            sign = 1
+            if q < 0:
+                sign, q = -1, -q
+            q -= 1
+            if rc >= max(ra, rb):
+                px = min(ra, rb)
+            elif rc <= min(ra, rb):
+                px = max(ra, rb)
+            else:
+                px = ra + rb - rc
+            px = min(max(px + sign * C[q], 0), maxval)
+            xi = int(x[col - 1])
+            errval = xi - px
+            if sign < 0:
+                errval = -errval
+            if errval < 0:
+                errval += rng
+            if errval >= half:
+                errval -= rng
+            k = 0
+            while (N[q] << k) < A[q]:
+                k += 1
+            if k == 0 and 2 * B[q] <= -N[q]:
+                m = 2 * errval + 1 if errval >= 0 else -2 * (errval + 1)
+            else:
+                m = 2 * errval if errval >= 0 else -2 * errval - 1
+            golomb_put(m, k, limit)
+            B[q] += errval
+            A[q] += abs(errval)
+            if N[q] == reset:
+                A[q] >>= 1
+                B[q] = B[q] >> 1 if B[q] >= 0 else -((1 - B[q]) >> 1)
+                N[q] >>= 1
+            N[q] += 1
+            if B[q] <= -N[q]:
+                B[q] += N[q]
+                if C[q] > -128:
+                    C[q] -= 1
+                if B[q] <= -N[q]:
+                    B[q] = -N[q] + 1
+            elif B[q] > 0:
+                B[q] -= N[q]
+                if C[q] < 127:
+                    C[q] += 1
+                if B[q] > 0:
+                    B[q] = 0
+            cur[col] = xi
+            col += 1
+        prev, cur = cur, prev
+
+    data = bw.flush()
+    out = bytearray(b"\xff\xd8")  # SOI
+    sof = struct.pack(">BHHB", precision, rows, cols, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xf7" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([1, 1, 0x00, 0, 0, 0x00])  # 1 comp, NEAR=0, ILV=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

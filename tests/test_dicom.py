@@ -253,7 +253,31 @@ def test_jpeg_lossless_roundtrip_frame(rng):
     np.testing.assert_array_equal(back_py, img)
 
 
-@pytest.mark.parametrize("ts_name", ["rle", "jpegll"])
+def test_jpeg_ls_roundtrip_frames(rng):
+    """T.87 codec: encoder round-trips through BOTH the native (C++) and
+    the pure-python decoder on patterns exercising regular mode, run mode
+    (incl. end-of-line runs), the Golomb escape path and 16-bit range.
+    Parity: CharLS/GDCM read in compute/io.py:326-383."""
+    from boa_tpu.io import dicom_codecs
+
+    cases = [
+        _ct_slice(rng).view(np.uint16),                       # CT-like
+        np.full((40, 50), 1234, np.uint16),                   # pure run
+        rng.integers(0, 65536, (20, 21)).astype(np.uint16),   # max entropy
+        np.repeat(rng.integers(0, 16, (16, 8)), 8,
+                  axis=1).astype(np.uint16),                  # broken runs
+        (np.arange(48)[:, None] * 7 +
+         np.arange(40)[None, :] * 3).astype(np.uint16),       # gradient
+    ]
+    for img in cases:
+        frame = dicom_codecs.encode_jpeg_ls(img)
+        back_py = dicom_codecs._decode_jpegls_python(frame)
+        np.testing.assert_array_equal(back_py, img)
+        back = dicom_codecs.decode_jpeg_ls(frame)
+        np.testing.assert_array_equal(back, img)
+
+
+@pytest.mark.parametrize("ts_name", ["rle", "jpegll", "jpegls"])
 def test_compressed_file_read_parity(tmp_path, rng, ts_name):
     """A compressed Part-10 file reads back identical to the uncompressed
     path (parity: GDCM read in compute/io.py:326-383)."""
@@ -274,6 +298,9 @@ def test_compressed_file_read_parity(tmp_path, rng, ts_name):
     if ts_name == "rle":
         ts = dicom.RLE_LOSSLESS
         frame = dicom_codecs.encode_rle(raw16)
+    elif ts_name == "jpegls":
+        ts = dicom.JPEG_LS_LOSSLESS
+        frame = dicom_codecs.encode_jpeg_ls(raw16)
     else:
         ts = dicom.JPEG_LOSSLESS_SV1
         frame = dicom_codecs.encode_jpeg_lossless_sv1(raw16)

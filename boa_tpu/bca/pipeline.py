@@ -13,12 +13,14 @@ from __future__ import annotations
 import json
 import logging
 import time as _time
+from concurrent.futures import Future
 from pathlib import Path
 from typing import Any, Callable
 
 import numpy as np
 
 from boa_tpu.bca import postprocess as bca_pp
+from boa_tpu.bca.definitions import BodyRegion
 from boa_tpu.bca.report import AggregatableBodyPart, Builder, create_vertebrae_info
 from boa_tpu.bca.tissues import subclassify_tissues
 from boa_tpu.inference.pipeline import predict_image
@@ -27,6 +29,30 @@ from boa_tpu.tasks import class_maps
 from boa_tpu.weights.store import ModelStore
 
 logger = logging.getLogger(__name__)
+
+
+def _finish_bca_task(task_name: str, res, label_map,
+                     output_file: Path) -> nifti.NiftiImage:
+    """Pure-host tail of one BCA model: per-task postprocess + save.
+
+    No device calls — safe to run on the background HostWorker while the
+    calling thread dispatches the next model (`infer/infer.py:39-89`
+    runs this serially on the reference's multi-core host)."""
+    t0 = _time.perf_counter()
+    seg = np.asarray(res.seg.data, dtype=np.uint8)
+    if task_name == "body_parts":
+        seg = bca_pp.postprocess_part_segmentation(seg)
+    elif task_name == "body_regions":
+        seg = bca_pp.postprocess_region_segmentation(seg)
+    logger.info("BCA %s postprocessed in %.2fs", task_name,
+                _time.perf_counter() - t0)
+    out = nifti.NiftiImage(data=seg, affine=res.seg.affine)
+    out.set_label_map(label_map)
+    t0 = _time.perf_counter()
+    nifti.save(out, output_file)
+    logger.info("BCA %s saved in %.2fs", task_name,
+                _time.perf_counter() - t0)
+    return out
 
 
 def bca_inference(
@@ -38,32 +64,30 @@ def bca_inference(
     recompute: bool = False,
     compute_dtype: str = "bfloat16",
     fake_predict: Callable | None = None,
-) -> nifti.NiftiImage:
-    """Run one BCA model incl. its postprocessing; cached on disk."""
+    worker=None,
+):
+    """Run one BCA model incl. its postprocessing; cached on disk.
+
+    Returns the finished NiftiImage — or, when `worker` is given, a
+    Future of it (postprocess+save deferred to the host thread)."""
     output_file = Path(output_dir) / f"{task_name}.nii.gz"
     if not recompute and output_file.is_file():
         logger.info("Loading already computed %s...", task_name)
-        return nifti.load(output_file)
+        img = nifti.load(output_file)
+        if worker is None:
+            return img
+        fut: Future = Future()
+        fut.set_result(img)
+        return fut
     t0 = _time.perf_counter()
     res = predict_image(ct_img, task_name, store, fast=fast_bca,
                         compute_dtype=compute_dtype, fake_predict=fake_predict)
     logger.info("BCA %s predicted in %.2fs", task_name,
                 _time.perf_counter() - t0)
-    t0 = _time.perf_counter()
-    seg = np.asarray(res.seg.data, dtype=np.uint8)
-    if task_name == "body_parts":
-        seg = bca_pp.postprocess_part_segmentation(seg)
-    elif task_name == "body_regions":
-        seg = bca_pp.postprocess_region_segmentation(seg)
-    logger.info("BCA %s postprocessed in %.2fs", task_name,
-                _time.perf_counter() - t0)
-    out = nifti.NiftiImage(data=seg, affine=res.seg.affine)
-    out.set_label_map(res.label_map)
-    t0 = _time.perf_counter()
-    nifti.save(out, output_file)
-    logger.info("BCA %s saved in %.2fs", task_name,
-                _time.perf_counter() - t0)
-    return out
+    if worker is not None:
+        return worker.submit(f"bca-{task_name}-finish", _finish_bca_task,
+                             task_name, res, res.label_map, output_file)
+    return _finish_bca_task(task_name, res, res.label_map, output_file)
 
 
 def run_pipeline(
@@ -79,22 +103,61 @@ def run_pipeline(
     compute_dtype: str = "bfloat16",
     fake_predict: Callable | None = None,
     total_seg: np.ndarray | None = None,
+    worker=None,
+    stats_out: dict[str, Any] | None = None,
+    images_out: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """Returns the bca-measurements dict (also written to disk)."""
+    """Returns the bca-measurements dict (also written to disk).
+
+    With a `worker` (utils/stages.HostWorker) the host tails overlap the
+    device stages: body_parts postprocess+save runs while body_regions
+    predicts and tissues transfer; gzip saves run behind the report
+    builder; the PDF render is left in flight for the orchestrator to
+    reap. All .nii.gz/.json files are on disk when this returns."""
     output_dir = Path(output_dir)
     output_dir.mkdir(exist_ok=True, parents=True)
     store = store or ModelStore()
     ct_img = (input_image if isinstance(input_image, nifti.NiftiImage)
               else nifti.load(input_image))
+    save_futures: list = []
 
-    body_parts_img = bca_inference(ct_img, output_dir, "body_parts", store,
+    # body_parts: the host postprocess (cv2 contour fill + CC) hides
+    # behind the body_regions predict below
+    body_parts_res = bca_inference(ct_img, output_dir, "body_parts", store,
                                    fast_bca, recompute=recompute,
                                    compute_dtype=compute_dtype,
-                                   fake_predict=fake_predict)
-    body_regions_img = bca_inference(ct_img, output_dir, "body_regions", store,
-                                     fast_bca, recompute=recompute,
-                                     compute_dtype=compute_dtype,
-                                     fake_predict=fake_predict)
+                                   fake_predict=fake_predict, worker=worker)
+
+    # body_regions: its postprocessed labels feed the tissue pass NOW, so
+    # postprocess stays on this thread (native keep-largest, fast) and
+    # only the gzip save is deferred
+    regions_file = output_dir / "body_regions.nii.gz"
+    if not recompute and regions_file.is_file():
+        logger.info("Loading already computed body_regions...")
+        body_regions_img = nifti.load(regions_file)
+    else:
+        t0 = _time.perf_counter()
+        res = predict_image(ct_img, "body_regions", store, fast=fast_bca,
+                            compute_dtype=compute_dtype,
+                            fake_predict=fake_predict)
+        logger.info("BCA body_regions predicted in %.2fs",
+                    _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        seg = bca_pp.postprocess_region_segmentation(
+            np.asarray(res.seg.data, dtype=np.uint8))
+        logger.info("BCA body_regions postprocessed in %.2fs",
+                    _time.perf_counter() - t0)
+        body_regions_img = nifti.NiftiImage(data=seg, affine=res.seg.affine)
+        body_regions_img.set_label_map(res.label_map)
+        if worker is not None:
+            save_futures.append(worker.submit(
+                "save-body_regions.nii.gz", nifti.save, body_regions_img,
+                regions_file))
+        else:
+            t0 = _time.perf_counter()
+            nifti.save(body_regions_img, regions_file)
+            logger.info("BCA body_regions saved in %.2fs",
+                        _time.perf_counter() - t0)
 
     t0 = _time.perf_counter()
     regions = np.asarray(body_regions_img.data)
@@ -107,7 +170,12 @@ def run_pipeline(
     tis_img.set_label_map({int(k): v for v, k in
                            class_maps.bca_tissues().items()})
     t0 = _time.perf_counter()
-    nifti.save(tis_img, output_dir / "tissues.nii.gz")
+    if worker is not None:
+        save_futures.append(worker.submit(
+            "save-tissues.nii.gz", nifti.save, tis_img,
+            output_dir / "tissues.nii.gz"))
+    else:
+        nifti.save(tis_img, output_dir / "tissues.nii.gz")
 
     # total segmentation + measurements (produced by the BOA orchestrator);
     # the in-memory seg from the orchestrator skips a 78 MB gunzip reload
@@ -118,6 +186,9 @@ def run_pipeline(
     total_measurements = json.loads(tm_path.read_text()) if tm_path.exists() else None
     logger.info("BCA tissues save + total reload in %.2fs",
                 _time.perf_counter() - t0)
+
+    body_parts_img = (body_parts_res.result()
+                      if isinstance(body_parts_res, Future) else body_parts_res)
 
     t0 = _time.perf_counter()
     spacing = ct_img.zooms
@@ -134,6 +205,20 @@ def run_pipeline(
             logger.warning("No supported body part detected")
     builder.examined_body_part = body_part
 
+    if stats_out is not None:
+        # presence flags for the study stats (commands.py:206-216 reads
+        # them back from disk in the reference; the per-region z counts
+        # are already resident here)
+        zc = builder.region_z_counts()
+        flag = 0
+        for bit, region in ((1, BodyRegion.ABDOMINAL_CAVITY),
+                            (2, BodyRegion.THORACIC_CAVITY),
+                            (4, BodyRegion.BRAIN)):
+            r = int(region)
+            if r < zc.shape[1] and zc[:, r].sum() > 0:
+                flag |= bit
+        stats_out["bca_regions"] = flag
+
     vertebrae_info = None
     if total_seg is not None:
         vertebrae_info = create_vertebrae_info(
@@ -145,8 +230,13 @@ def run_pipeline(
     logger.info("BCA report prepared in %.2fs", _time.perf_counter() - t0)
     t0 = _time.perf_counter()
     if save_pdf:
-        (output_dir / "report.pdf").write_bytes(builder.create_pdf(**prepared))
-        logger.info("BCA PDF rendered in %.2fs", _time.perf_counter() - t0)
+        if worker is not None:
+            worker.submit("bca-report-pdf", _write_pdf, builder, prepared,
+                          output_dir / "report.pdf")
+        else:
+            _write_pdf(builder, prepared, output_dir / "report.pdf")
+            logger.info("BCA PDF rendered in %.2fs",
+                        _time.perf_counter() - t0)
     t0 = _time.perf_counter()
     json_data = builder.create_json(**prepared)
 
@@ -156,4 +246,17 @@ def run_pipeline(
     (output_dir / "bca-measurements.json").write_text(
         json.dumps(json_data, indent=2))
     logger.info("BCA json in %.2fs", _time.perf_counter() - t0)
+    if images_out is not None:
+        images_out["body_parts"] = body_parts_img
+        images_out["body_regions"] = body_regions_img
+        images_out["tissues"] = tis_img
+    # file contract for callers reading the segs back (the PDF may still
+    # be rendering on the worker; analyze_ct reaps it)
+    for fut in save_futures:
+        fut.result()
     return json_data
+
+
+def _write_pdf(builder: Builder, prepared: dict[str, Any],
+               path: Path) -> None:
+    path.write_bytes(builder.create_pdf(**prepared))

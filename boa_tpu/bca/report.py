@@ -135,6 +135,17 @@ def _tissue_name(t: Tissue) -> str:
     return t.name.capitalize() if t in (Tissue.BONE, Tissue.MUSCLE) else t.name
 
 
+@partial(jax.jit, static_argnames=("shape",))
+def _unpack_mask(packed: jax.Array, shape: tuple[int, int, int]) -> jax.Array:
+    """Device-side np.packbits inverse (MSB-first). Uploading the 1-bit
+    torso mask packed cuts the tunnel payload (and its host-side
+    compression cost) 8x vs a bool volume."""
+    n = shape[0] * shape[1] * shape[2]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[:, None] >> shifts[None, :]) & jnp.uint8(1)
+    return bits.reshape(-1)[:n].reshape(shape)
+
+
 @partial(jax.jit, static_argnames=("width",))
 def _region_z_pass(regions: jax.Array, width: int) -> jax.Array:
     """(nz, width) per-slice region-label counts on device."""
@@ -164,11 +175,13 @@ class Builder:
         self._region_zc: np.ndarray | None = None
 
         torso = self._parts == int(BodyPart.TORSO)
+        torso_dev = _unpack_mask(jnp.asarray(np.packbits(torso.reshape(-1))),
+                                 torso.shape)
         counts, husums, counts_nl, husums_nl = _slicewise_pass(
             jnp.asarray(self._ct),
             tissues_dev if tissues_dev is not None
             else jnp.asarray(self._tissues),
-            jnp.asarray(torso))
+            torso_dev)
         self._counts = np.asarray(counts, np.float64)
         self._husums = np.asarray(husums, np.float64)
         self._counts_nl = np.asarray(counts_nl, np.float64)

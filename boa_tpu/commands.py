@@ -27,6 +27,7 @@ from boa_tpu.compute.inference import compute_all_models
 from boa_tpu.compute.ts_metrics import compute_segmentator_metrics
 from boa_tpu.io import nifti, xlsx
 from boa_tpu.utils.misc import ADDITIONAL_MODELS_OUTPUT_NAME
+from boa_tpu.utils.stages import HostWorker
 
 logger = logging.getLogger(__name__)
 
@@ -142,7 +143,8 @@ def analyze_ct(
         else contextlib.nullcontext()
 
     with _debug_log_handler(processed_output_folder / "debug_information.txt",
-                            header=header) as write_debug, profiler_ctx:
+                            header=header) as write_debug, profiler_ctx, \
+            HostWorker() as worker:  # aborts pending stages on error
         if cnr_adjustment and "heartchambers_highres" not in models:
             logger.warning(
                 "--cnr-adjustment is enabled but 'heartchambers_highres' is "
@@ -171,6 +173,7 @@ def analyze_ct(
                                  "boa_version": __version__}
         seg_output = processed_output_folder
         start = time()
+        seg_images: dict[str, Any] = {}  # in-memory segs for the metrics
         ct_stats = compute_all_models(
             ct_path=ct_path,
             segmentation_folder=seg_output,
@@ -191,6 +194,8 @@ def analyze_ct(
             recompute=recompute,
             cnr_adjustment=cnr_adjustment,
             fake_predict=fake_predict,
+            worker=worker,
+            images_out=seg_images,
         )
         logger.info("All models computed: DONE in %0.5fs", time() - start)
         stats["inference_time"] = time() - start
@@ -203,17 +208,20 @@ def analyze_ct(
                 output_path=seg_output)
             logger.info("Metrics from BCA: DONE in %0.5fs", time() - start)
             stats["bca_metrics_time"] = time() - start
-            regions_path = seg_output / "body_regions.nii.gz"
-            if regions_path.is_file():
-                regions = nifti.load(regions_path).data
-                regions_flag = 0
-                if (regions == int(BodyRegion.ABDOMINAL_CAVITY)).any():
-                    regions_flag |= 1
-                if (regions == int(BodyRegion.THORACIC_CAVITY)).any():
-                    regions_flag |= 2
-                if (regions == int(BodyRegion.BRAIN)).any():
-                    regions_flag |= 4
-                stats["bca_regions"] = regions_flag
+            if "bca_regions" not in stats:
+                # fallback for cached-BCA runs (run_pipeline fills this
+                # from its resident per-region z counts otherwise)
+                regions_path = seg_output / "body_regions.nii.gz"
+                if regions_path.is_file():
+                    regions = nifti.load(regions_path).data
+                    regions_flag = 0
+                    if (regions == int(BodyRegion.ABDOMINAL_CAVITY)).any():
+                        regions_flag |= 1
+                    if (regions == int(BodyRegion.THORACIC_CAVITY)).any():
+                        regions_flag |= 2
+                    if (regions == int(BodyRegion.BRAIN)).any():
+                        regions_flag |= 4
+                    stats["bca_regions"] = regions_flag
 
         regions_df = None
         cnr_df = None
@@ -221,7 +229,7 @@ def analyze_ct(
             start = time()
             region_information, regions_df, cnr_df = compute_segmentator_metrics(
                 ct_path=ct_path, segmentation_folder=seg_output,
-                store_axes=False)
+                store_axes=False, seg_images=seg_images)
             logger.info("Metrics from TotalSegmentator: DONE in %0.5fs",
                         time() - start)
             stats["totalsegmentator_metrics_time"] = time() - start
@@ -259,6 +267,7 @@ def analyze_ct(
                               aggr_df, slices_df, slices_no_limbs_df)
         logger.info("Excel stored: DONE in %0.5fs", time() - start)
         stats["excel_time"] = time() - start
+        worker.close()  # reap deferred preview/PDF renders
         logger.info("Complete CT analysis: DONE in %0.5fs",
                     time() - start_total)
         stats["total_time"] = time() - start_total

@@ -67,8 +67,16 @@ def compute_all_models(
     cnr_adjustment: bool = True,
     store: ModelStore | None = None,
     fake_predict=None,
+    worker=None,
+    images_out: dict[str, Any] | None = None,
 ) -> dict[str, int]:
-    """Returns per-study stats (voxel/slice counts), writes all artifacts."""
+    """Returns per-study stats (voxel/slice counts), writes all artifacts.
+
+    `worker` (utils/stages.HostWorker) defers pure-host stages — gzip
+    saves, preview shading — behind the next device stage; every file
+    this function promises is synced before it returns. `images_out`
+    collects the in-memory seg NiftiImages (keyed by output name) so the
+    caller's metrics passes skip gunzip reloads."""
     totalsegmentator_params = dict(totalsegmentator_params or {})
     bca_params = bca_params or {}
     with_preview = totalsegmentator_params.pop("preview", False)
@@ -97,9 +105,11 @@ def compute_all_models(
     }
 
     crop_total: nifti.NiftiImage | None = None  # cached low-res total for crops
+    save_futures: list = []  # deferred seg saves; synced before return
     # in-memory seg images for the measurement engine: sharing the instance
     # also shares its cached device upload with the preview renderer
-    seg_cache: dict[str, nifti.NiftiImage] = {}
+    seg_cache: dict[str, nifti.NiftiImage] = \
+        images_out if images_out is not None else {}
     for chosen_task in measurement_models:
         logger.info("Computing model %s...", chosen_task)
         seg_file = segmentation_folder / f"{_output_name(chosen_task)}.nii.gz"
@@ -134,11 +144,15 @@ def compute_all_models(
         )
         logger.info("Model %s predicted in %.2fs", chosen_task,
                     _time.perf_counter() - t_model)
-        t_model = _time.perf_counter()
-        nifti.save(res.seg, seg_file)
         seg_cache[chosen_task] = res.seg
-        logger.info("Saved %s in %.2fs", seg_file.name,
-                    _time.perf_counter() - t_model)
+        if worker is not None:
+            save_futures.append(worker.submit(
+                f"save-{seg_file.name}", nifti.save, res.seg, seg_file))
+        else:
+            t_model = _time.perf_counter()
+            nifti.save(res.seg, seg_file)
+            logger.info("Saved %s in %.2fs", seg_file.name,
+                        _time.perf_counter() - t_model)
         if res.stats is not None:
             with (segmentation_folder / f"{chosen_task}-statistics.json"
                   ).open("w") as f:
@@ -149,9 +163,12 @@ def compute_all_models(
 
                 t_prev = _time.perf_counter()
                 generate_preview(ct_img, res.seg, res.label_map,
-                                 segmentation_folder / "preview_total.png")
-                logger.info("Preview rendered in %.2fs",
-                            _time.perf_counter() - t_prev)
+                                 segmentation_folder / "preview_total.png",
+                                 worker=worker)
+                logger.info("Preview rendered in %.2fs%s",
+                            _time.perf_counter() - t_prev,
+                            " (depth pass; render deferred)"
+                            if worker is not None else "")
             except Exception:
                 logger.warning("Preview generation failed", exc_info=True)
 
@@ -194,10 +211,17 @@ def compute_all_models(
                 fake_predict=fake_predict,
                 total_seg=np.asarray(seg_cache["total"].data)
                 if "total" in seg_cache else None,
+                worker=worker,
+                stats_out=stats,
+                images_out=images_out,
                 **bca_params,
             )
         else:
             bca_inference(ct_img, segmentation_folder, boa_task, store,
                           fast_bca, recompute=recompute,
                           fake_predict=fake_predict)
+    # file contract: everything this function promised is on disk (the
+    # preview render / report PDF may still be in flight on the worker)
+    for fut in save_futures:
+        fut.result()
     return stats

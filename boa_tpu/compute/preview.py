@@ -142,12 +142,11 @@ def _shade_group(depths: np.ndarray, labels: list[int],
 
 
 def generate_preview(ct_img, seg_img, label_map: dict[int, str],
-                     out_path: str | Path, aspect: float | None = None) -> None:
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    from matplotlib import colormaps
-
+                     out_path: str | Path, aspect: float | None = None,
+                     worker=None) -> None:
+    """Render the montage; with a `worker` (utils/stages.HostWorker) the
+    matplotlib/shading phase is deferred to the background host thread —
+    only the device depth pass runs on the calling thread."""
     ct = np.asarray(ct_img.data)
     seg = np.asarray(seg_img.data)
     if seg.shape != ct.shape:
@@ -167,6 +166,22 @@ def generate_preview(ct_img, seg_img, label_map: dict[int, str],
             depths = _label_depths(seg, n_labels)
     else:
         depths = _label_depths(seg, n_labels)
+
+    if worker is not None:
+        worker.submit("preview-render", _render_montage, ct, depths, inv,
+                      aspect, out_path, suppress=True)
+    else:
+        _render_montage(ct, depths, inv, aspect, out_path)
+
+
+def _render_montage(ct: np.ndarray | None, depths: np.ndarray,
+                    inv: dict[str, int], aspect: float,
+                    out_path: str | Path) -> None:
+    """Pure-host phase: shading + matplotlib composite (no device calls)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import colormaps
 
     cmap = colormaps["turbo"]
     n = len(ROI_GROUPS)

@@ -100,21 +100,36 @@ def _stat_record(prefix: dict[str, Any], stats: dict[str, Any]) -> dict[str, Any
 
 
 def _body_axes_cm(ct_path: Path, segmentation_folder: Path,
-                  store_axes: bool) -> tuple[float | None, float | None]:
-    """L3-level body axes in cm, or (None, None) when inputs are missing."""
-    total_path = segmentation_folder / "total.nii.gz"
-    body_parts_path = segmentation_folder / "body_parts.nii.gz"
-    if not (total_path.exists() and body_parts_path.exists()):
+                  store_axes: bool,
+                  seg_images: dict[str, Any] | None = None
+                  ) -> tuple[float | None, float | None]:
+    """L3-level body axes in cm, or (None, None) when inputs are missing.
+
+    `seg_images` (name -> NiftiImage) lets the orchestrator pass its
+    in-memory segs, skipping two 78 MB gunzip reloads; the CT itself is
+    only needed for its voxel spacing — header-only read."""
+    seg_images = seg_images or {}
+
+    def _seg(name: str) -> np.ndarray | None:
+        img = seg_images.get(name)
+        if img is not None:
+            return np.asarray(img.data)
+        path = segmentation_folder / f"{name}.nii.gz"
+        return np.asarray(nifti.load(path).data) if path.exists() else None
+
+    region_data = _seg("total")
+    body_data = _seg("body_parts")
+    if region_data is None or body_data is None:
         return None, None
-    region_data = np.asarray(nifti.load(total_path).data)
-    body_data = np.asarray(nifti.load(body_parts_path).data)
     l3_label = {v: k for k, v in
                 class_maps.get_class_map("total").items()}["vertebrae_L3"]
-    ct_img = nifti.load(Path(ct_path))
+    _, ct_affine = nifti.load_header(Path(ct_path))
+    spacing_xy = np.asarray([np.linalg.norm(ct_affine[:3, i])
+                             for i in range(2)])
     major_mm, minor_mm = major_minor_axis(
         l3_mask=create_mask(region_data, l3_label),
         body_mask=create_mask(body_data, 1),
-        img_spacing=np.asarray(ct_img.zooms[:2]),
+        img_spacing=spacing_xy,
         plot_axes=segmentation_folder if store_axes else None,
     )
     if major_mm is None or minor_mm is None:
@@ -126,6 +141,7 @@ def compute_segmentator_metrics(
     ct_path: Path,
     segmentation_folder: Path,
     store_axes: bool = False,
+    seg_images: dict[str, Any] | None = None,
 ) -> tuple[list[dict[str, Any]], pd.DataFrame, pd.DataFrame]:
     """(info rows, regions-statistics df, cnr-adjusted df) —
     `ts_metrics.py:70-171`."""
@@ -134,7 +150,7 @@ def compute_segmentator_metrics(
         measurements = json.load(of)
 
     major_axis, minor_axis = _body_axes_cm(ct_path, segmentation_folder,
-                                           store_axes)
+                                           store_axes, seg_images=seg_images)
     mean_axis = None
     if major_axis is not None and minor_axis is not None:
         mean_axis = (major_axis + minor_axis) / 2

@@ -229,6 +229,25 @@ def _read_bytes(path: str | Path) -> bytes:
     return raw
 
 
+def load_header(path: str | Path) -> tuple[tuple[int, ...], np.ndarray]:
+    """(shape, affine) from the 348-byte header only — decompresses just
+    the head of a .nii.gz stream instead of the whole voxel payload
+    (a 512x512x300 CT costs ~2 s of gunzip via `load`)."""
+    path = Path(path)
+    if path.name.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            raw = f.read(4096)
+    else:
+        with open(path, "rb") as f:
+            raw = f.read(4096)
+    h = _parse_header(raw)
+    ndim = h["dim"][0]
+    shape = tuple(int(d) for d in h["dim"][1:1 + ndim])
+    return shape, _build_affine_from_header(h)
+
+
 def load(path: str | Path, *, dtype: np.dtype | None = None) -> NiftiImage:
     """Load a .nii or .nii.gz file. Applies scl_slope/scl_inter if non-trivial."""
     raw = _read_bytes(path)

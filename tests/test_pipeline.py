@@ -200,6 +200,25 @@ def test_preview_shaded_surfaces(tmp_path):
     import jax.numpy as jnp
     d_dev = preview._label_depths_device(jnp.asarray(seg), n_labels)
     np.testing.assert_array_equal(d_host, d_dev)
+
+    # the on-device per-group reduction (what generate_preview downloads:
+    # one int16 front + uint8 argmin per ROI group) matches the host path
+    inv_all = {v: k for k, v in get_class_map("total").items()}
+    gf_dev = preview._group_fronts_device(jnp.asarray(seg), inv_all, n_labels)
+    gf_host = preview._group_fronts_from_depths(d_host, inv_all)
+    assert gf_dev.keys() == gf_host.keys()
+    for group in gf_host:
+        if gf_host[group] is None:
+            assert gf_dev[group] is None
+            continue
+        fh, wh, lh = gf_host[group]
+        fd, wd, ld = gf_dev[group]
+        assert lh == ld
+        np.testing.assert_array_equal(np.isfinite(fh), np.isfinite(fd))
+        np.testing.assert_array_equal(fh[np.isfinite(fh)],
+                                      fd[np.isfinite(fd)])
+        np.testing.assert_array_equal(wh[np.isfinite(fh)],
+                                      wd[np.isfinite(fd)])
     # liver has a front surface with varying depth (3-D, not a flat mask)
     inv = {v: k for k, v in get_class_map("total").items()}
     liver_d = d_host[:, :, inv["liver"]]

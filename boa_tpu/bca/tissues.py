@@ -16,10 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from boa_tpu.bca.definitions import TISSUE_RULES
+from boa_tpu.bca.definitions import TISSUE_RULES, Tissue
+from boa_tpu.ops import packing
 from boa_tpu.ops.morphology import median_filter_inplane
 
 _RULES = tuple((int(t), float(lo), float(hi), int(r)) for t, (lo, hi), r in TISSUE_RULES)
+_MAX_TISSUE = max(int(t) for t in Tissue)
 
 
 @jax.jit
@@ -43,7 +45,10 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
     ct = jnp.asarray(ct_data)
     if median_filtering:
         ct = median_filter_inplane(ct.astype(jnp.float32), 3)
-    regions_dev = jnp.asarray(body_regions)
+    # both label volumes cross the tunnel 4-bit packed when possible: the
+    # speckled tissue map especially compresses poorly as raw bytes
+    body_regions = np.asarray(body_regions)
+    regions_dev = packing.upload_labels(body_regions)
     dev = _subclassify(ct, regions_dev)
-    host = np.asarray(dev)
+    host = packing.download_labels(dev, _MAX_TISSUE)
     return (host, dev, regions_dev) if return_device else host

@@ -1,0 +1,60 @@
+"""4-bit label packing (ops/packing.py): host/device parity, fallbacks.
+
+Used by the tissue pass (bca/tissues.py) to halve tunnel payloads."""
+
+import numpy as np
+import pytest
+
+from boa_tpu.ops import packing
+
+
+@pytest.fixture
+def labels(rng):
+    return rng.integers(0, 12, (16, 7, 5)).astype(np.uint8)
+
+
+def test_host_roundtrip(labels):
+    np.testing.assert_array_equal(
+        packing.unpack_host(packing.pack_host(labels)), labels)
+
+
+def test_device_matches_host(labels):
+    import jax.numpy as jnp
+
+    packed_h = packing.pack_host(labels)
+    packed_d = np.asarray(packing.pack_device(jnp.asarray(labels)))
+    np.testing.assert_array_equal(packed_h, packed_d)
+    unpacked_d = np.asarray(packing.unpack_device(jnp.asarray(packed_h)))
+    np.testing.assert_array_equal(unpacked_d, labels)
+
+
+def test_upload_download_identity(labels):
+    dev = packing.upload_labels(labels)
+    np.testing.assert_array_equal(np.asarray(dev), labels)
+    np.testing.assert_array_equal(packing.download_labels(dev, 15), labels)
+
+
+@pytest.mark.parametrize("case", ["odd_major", "big_labels", "non_u8"])
+def test_unpackable_falls_back(case, rng):
+    if case == "odd_major":
+        a = rng.integers(0, 12, (15, 4, 4)).astype(np.uint8)
+    elif case == "big_labels":
+        a = rng.integers(0, 200, (16, 4, 4)).astype(np.uint8)
+    else:
+        a = rng.integers(0, 12, (16, 4, 4)).astype(np.int16)
+    dev = packing.upload_labels(a)
+    np.testing.assert_array_equal(np.asarray(dev), a)
+    np.testing.assert_array_equal(
+        packing.download_labels(dev, int(a.max())), a)
+
+
+def test_tissue_pass_uses_packing(rng):
+    """subclassify_tissues output is unchanged by the packed transfers."""
+    from boa_tpu.bca.tissues import subclassify_tissues
+
+    ct = rng.integers(-1000, 1500, (32, 16, 8)).astype(np.int16)
+    regions = rng.integers(0, 11, (32, 16, 8)).astype(np.uint8)
+    host, dev, regions_dev = subclassify_tissues(ct, regions,
+                                                 return_device=True)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+    np.testing.assert_array_equal(np.asarray(regions_dev), regions)

@@ -10,10 +10,10 @@ Supports: explicit & implicit VR little endian parsing, sequences
 (defined and undefined length), uncompressed pixel data, encapsulated
 pixel data with in-repo codecs for JPEG Lossless SV1/P14, JPEG-LS and
 RLE (io/dicom_codecs.py + native/jpegll.cpp + native/jpegls.cpp — the
-syntaxes GDCM decodes for the reference), file-meta handling,
-explicit-VR-LE and encapsulated writing, and pydicom-compatible
-deterministic UID generation. Other compressed transfer syntaxes raise
-a clear error.
+syntaxes GDCM decodes for the reference) plus JPEG 2000 through the
+gated Pillow/OpenJPEG binding, file-meta handling, explicit-VR-LE and
+encapsulated writing, and pydicom-compatible deterministic UID
+generation. Other compressed transfer syntaxes raise a clear error.
 """
 
 from __future__ import annotations
@@ -38,9 +38,12 @@ JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
 JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
+JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
+JPEG_2000 = "1.2.840.10008.1.2.4.91"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 SUPPORTED_COMPRESSED = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
                         JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS,
+                        JPEG_2000_LOSSLESS, JPEG_2000,
                         RLE_LOSSLESS}
 
 
@@ -475,7 +478,8 @@ def dcmread(path: str | Path | bytes, stop_before_pixels: bool = False) -> Datas
             f"Unsupported transfer syntax {ts}: supported are uncompressed "
             f"little endian, JPEG Lossless ({JPEG_LOSSLESS_SV1}/"
             f"{JPEG_LOSSLESS_P14}), JPEG-LS ({JPEG_LS_LOSSLESS}/"
-            f"{JPEG_LS_NEAR_LOSSLESS}) and RLE ({RLE_LOSSLESS}); transcode "
+            f"{JPEG_LS_NEAR_LOSSLESS}), JPEG 2000 ({JPEG_2000_LOSSLESS}/"
+            f"{JPEG_2000}) and RLE ({RLE_LOSSLESS}); transcode "
             f"others with dcmdjpeg/gdcmconv first")
     body = _Reader(data, explicit=(ts != IMPLICIT_VR_LE))
     body.pos = r.pos
@@ -542,6 +546,11 @@ def _decode_encapsulated(enc: EncapsulatedFrames, ts: str, rows: int,
                                  f"expected {(rows, cols)}")
         elif ts in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
             arr = dicom_codecs.decode_jpeg_ls(frame)
+            if arr.shape != (rows, cols):
+                raise ValueError(f"frame decoded to {arr.shape}, "
+                                 f"expected {(rows, cols)}")
+        elif ts in (JPEG_2000_LOSSLESS, JPEG_2000):
+            arr = dicom_codecs.decode_jpeg2000(frame)
             if arr.shape != (rows, cols):
                 raise ValueError(f"frame decoded to {arr.shape}, "
                                  f"expected {(rows, cols)}")

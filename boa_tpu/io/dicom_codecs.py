@@ -908,3 +908,55 @@ def encode_jpeg_ls(img: np.ndarray, precision: int | None = None) -> bytes:
     out += data
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG 2000 (ISO/IEC 15444-1) — decoded through the optional Pillow/
+# OpenJPEG binding (gated import, like the reference's GDCM backend at
+# compute/io.py:326-383). DICOM frames carry a raw J2K codestream
+# (SOC = FF4F), which Pillow's Jpeg2K plugin reads directly; the encoder
+# (tests, transcoding) emits the same raw codestream with the reversible
+# 5/3 wavelet so lossless round-trips are exact.
+# ---------------------------------------------------------------------------
+
+
+def _pil_jpeg2000():
+    try:
+        from PIL import Image, features
+    except ImportError as e:  # pragma: no cover - PIL is in the image
+        raise ValueError(
+            "JPEG 2000 DICOM decoding needs Pillow with OpenJPEG; install "
+            "pillow or transcode with gdcmconv/dcmdjp2k first") from e
+    if not features.check("jpg_2000"):
+        raise ValueError(
+            "this Pillow build lacks OpenJPEG (jpg_2000) support; "
+            "transcode with gdcmconv/dcmdjp2k first")
+    return Image
+
+
+def decode_jpeg2000(frame: bytes) -> np.ndarray:
+    """(rows, cols) uint16/uint8 bit pattern from one J2K codestream.
+
+    Signed components come back as the 16-bit two's-complement pattern;
+    the caller reinterprets per PixelRepresentation (io/dicom.py)."""
+    import io as _io
+
+    Image = _pil_jpeg2000()
+    arr = np.array(Image.open(_io.BytesIO(frame)))
+    if arr.ndim != 2:
+        raise ValueError(f"expected a single-component J2K frame, got "
+                         f"shape {arr.shape}")
+    if arr.dtype in (np.int32, np.uint32, np.int16):
+        arr = (arr.astype(np.int64) & 0xFFFF).astype(np.uint16)
+    return arr
+
+
+def encode_jpeg2000(img: np.ndarray) -> bytes:
+    """Lossless (reversible 5/3) raw J2K codestream of one frame."""
+    import io as _io
+
+    Image = _pil_jpeg2000()
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG2000", irreversible=False,
+                              no_jp2=True)
+    return buf.getvalue()

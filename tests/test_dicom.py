@@ -277,7 +277,25 @@ def test_jpeg_ls_roundtrip_frames(rng):
         np.testing.assert_array_equal(back, img)
 
 
-@pytest.mark.parametrize("ts_name", ["rle", "jpegll", "jpegls"])
+def test_jpeg2000_roundtrip_frames(rng):
+    """J2K lossless (reversible 5/3 via Pillow/OpenJPEG): exact on CT-like,
+    uniform and max-entropy 16-bit frames. Parity: GDCM read in
+    compute/io.py:326-383."""
+    from boa_tpu.io import dicom_codecs
+
+    cases = [
+        _ct_slice(rng).view(np.uint16),
+        np.full((40, 50), 1234, np.uint16),
+        rng.integers(0, 65536, (20, 21)).astype(np.uint16),
+    ]
+    for img in cases:
+        frame = dicom_codecs.encode_jpeg2000(img)
+        assert frame[:2] == b"\xff\x4f"  # raw codestream, not JP2
+        back = dicom_codecs.decode_jpeg2000(frame)
+        np.testing.assert_array_equal(back, img)
+
+
+@pytest.mark.parametrize("ts_name", ["rle", "jpegll", "jpegls", "j2k"])
 def test_compressed_file_read_parity(tmp_path, rng, ts_name):
     """A compressed Part-10 file reads back identical to the uncompressed
     path (parity: GDCM read in compute/io.py:326-383)."""
@@ -301,6 +319,9 @@ def test_compressed_file_read_parity(tmp_path, rng, ts_name):
     elif ts_name == "jpegls":
         ts = dicom.JPEG_LS_LOSSLESS
         frame = dicom_codecs.encode_jpeg_ls(raw16)
+    elif ts_name == "j2k":
+        ts = dicom.JPEG_2000_LOSSLESS
+        frame = dicom_codecs.encode_jpeg2000(raw16)
     else:
         ts = dicom.JPEG_LOSSLESS_SV1
         frame = dicom_codecs.encode_jpeg_lossless_sv1(raw16)
@@ -353,7 +374,7 @@ def test_unsupported_syntax_clear_error(tmp_path, rng):
     ds.SOPClassUID = dicom.CT_IMAGE_STORAGE
     ds.SOPInstanceUID = dicom.generate_uid()
     meta = dicom.Dataset()
-    meta.TransferSyntaxUID = "1.2.840.10008.1.2.4.90"  # J2K lossless
+    meta.TransferSyntaxUID = "1.2.840.10008.1.2.4.50"  # lossy JPEG baseline
     ds.file_meta = meta
     p = tmp_path / "bad.dcm"
     dicom.dcmwrite(p, ds)
@@ -361,7 +382,7 @@ def test_unsupported_syntax_clear_error(tmp_path, rng):
     raw = bytearray(p.read_bytes())
     idx = raw.find(b"1.2.840.10008.1.2.1\x00")
     if idx >= 0:
-        raw[idx:idx + 20] = b"1.2.840.10008.1.2.4.90"[:20].ljust(20, b"\x00")
+        raw[idx:idx + 20] = b"1.2.840.10008.1.2.4.50"[:20].ljust(20, b"\x00")
     p.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="transfer syntax"):
         dicom.dcmread(p)

@@ -113,22 +113,21 @@ _N_TISSUE = len(Tissue) + 1  # + background
 
 @jax.jit
 def _slicewise_pass(ct: jax.Array, tissues: jax.Array, torso: jax.Array):
-    """Returns (counts, husums, counts_nl, husums_nl): (nz, n_tissue) each."""
-    nz = tissues.shape[2]
+    """Returns (counts, husums, counts_nl, husums_nl): (nz, n_tissue) each.
+
+    One-hot over the 9 tissue ids reduced over (x, y): TPU scatter-adds
+    (what segment_sum lowers to) serialize per-segment, while this is a
+    fused bandwidth-bound reduce XLA handles at full speed."""
     t = tissues.astype(jnp.int32)
-    zidx = jnp.arange(nz, dtype=jnp.int32)[None, None, :]
-    combined = (jnp.broadcast_to(zidx, t.shape) * _N_TISSUE + t).ravel()
-    ones = jnp.ones(combined.shape, jnp.float32)
-    ctf = ct.astype(jnp.float32).ravel()
-    n = nz * _N_TISSUE
-    counts = jax.ops.segment_sum(ones, combined, num_segments=n)
-    husums = jax.ops.segment_sum(ctf, combined, num_segments=n)
-    torso_f = torso.astype(jnp.float32).ravel()
-    counts_nl = jax.ops.segment_sum(torso_f, combined, num_segments=n)
-    husums_nl = jax.ops.segment_sum(ctf * torso_f, combined, num_segments=n)
-    shape = (nz, _N_TISSUE)
-    return (counts.reshape(shape), husums.reshape(shape),
-            counts_nl.reshape(shape), husums_nl.reshape(shape))
+    ctf = ct.astype(jnp.float32)
+    torso_f = torso.astype(jnp.float32)
+    oh = (t[..., None] == jnp.arange(_N_TISSUE, dtype=jnp.int32)
+          ).astype(jnp.float32)                      # (x, y, z, n_tissue)
+    counts = jnp.sum(oh, axis=(0, 1))
+    husums = jnp.sum(oh * ctf[..., None], axis=(0, 1))
+    counts_nl = jnp.sum(oh * torso_f[..., None], axis=(0, 1))
+    husums_nl = jnp.sum(oh * (ctf * torso_f)[..., None], axis=(0, 1))
+    return counts, husums, counts_nl, husums_nl
 
 
 def _tissue_name(t: Tissue) -> str:
@@ -148,13 +147,11 @@ def _unpack_mask(packed: jax.Array, shape: tuple[int, int, int]) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("width",))
 def _region_z_pass(regions: jax.Array, width: int) -> jax.Array:
-    """(nz, width) per-slice region-label counts on device."""
-    nz = regions.shape[2]
-    z = jnp.broadcast_to(jnp.arange(nz, dtype=jnp.int32)[None, None, :],
-                         regions.shape)
-    comb = (z * width + regions.astype(jnp.int32)).ravel()
-    return jax.ops.segment_sum(jnp.ones_like(comb, jnp.int32), comb,
-                               num_segments=nz * width).reshape(nz, width)
+    """(nz, width) per-slice region-label counts on device (one-hot
+    reduce — same rationale as _slicewise_pass)."""
+    oh = (regions.astype(jnp.int32)[..., None]
+          == jnp.arange(width, dtype=jnp.int32)).astype(jnp.int32)
+    return jnp.sum(oh, axis=(0, 1))
 
 
 class Builder:

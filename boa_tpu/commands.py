@@ -106,8 +106,15 @@ def analyze_ct(
     nr_thr_saving: int = 6,          # and saving are device/XLA-side here
     nnunet_verbose: bool = False,
     fake_predict=None,
+    worker: HostWorker | None = None,
 ) -> tuple[Path, dict[str, Any]]:
-    """Full study analysis; returns (excel path, stats dict)."""
+    """Full study analysis; returns (excel path, stats dict).
+
+    Passing a shared `worker` (utils/stages.HostWorker) lets a study
+    stream carry this study's deferred host tails (preview render,
+    report PDF) into the next study's device time; the caller then owns
+    reaping it (worker.barrier()/close()). Without one, all artifacts
+    are on disk when this returns."""
     input_folder = Path(input_folder)
     processed_output_folder = Path(processed_output_folder)
     excel_output_folder = Path(excel_output_folder)
@@ -142,9 +149,11 @@ def analyze_ct(
     profiler_ctx = jax.profiler.trace(profile_dir) if profile_dir \
         else contextlib.nullcontext()
 
+    own_worker = worker is None
+    worker_ctx = HostWorker() if own_worker else contextlib.nullcontext(worker)
     with _debug_log_handler(processed_output_folder / "debug_information.txt",
                             header=header) as write_debug, profiler_ctx, \
-            HostWorker() as worker:  # aborts pending stages on error
+            worker_ctx as worker:  # (owned) aborts pending stages on error
         if cnr_adjustment and "heartchambers_highres" not in models:
             logger.warning(
                 "--cnr-adjustment is enabled but 'heartchambers_highres' is "
@@ -267,7 +276,8 @@ def analyze_ct(
                               aggr_df, slices_df, slices_no_limbs_df)
         logger.info("Excel stored: DONE in %0.5fs", time() - start)
         stats["excel_time"] = time() - start
-        worker.close()  # reap deferred preview/PDF renders
+        if own_worker:
+            worker.close()  # reap deferred preview/PDF renders
         logger.info("Complete CT analysis: DONE in %0.5fs",
                     time() - start_total)
         stats["total_time"] = time() - start_total

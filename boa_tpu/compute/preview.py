@@ -130,41 +130,45 @@ def _group_fronts_device(seg_dev, inv: dict[str, int], n_labels: int
     from functools import partial
 
     nx, ny, nz = seg_dev.shape
-    width = max(n_labels, int(jnp.max(seg_dev)) + 1)
     group_labels = {g: tuple(inv[r] for r in rois if r in inv)
                     for g, rois in ROI_GROUPS.items()}
     groups = tuple(v for v in group_labels.values() if v)
+    BIG = np.int32(2 ** 24)  # "not in this group" encoding sentinel
 
-    @partial(jax.jit, static_argnames=("width", "groups"))
-    def fronts(seg, width, groups):
-        yz = jnp.arange(ny * nz, dtype=jnp.int32).reshape(1, ny, nz)
-        keys = (yz * width + seg.astype(jnp.int32)).ravel()
-        xvals = jnp.broadcast_to(
-            jnp.arange(nx, dtype=jnp.int32)[:, None, None], seg.shape
-        ).ravel()
-        depth = jax.ops.segment_min(
-            xvals, keys, num_segments=ny * nz * width).reshape(ny * nz, width)
-        outs = []
+    @partial(jax.jit, static_argnames=("groups",))
+    def fronts(seg, groups):
+        """First-hit per group via min over x of (x*256 + rank): the
+        smallest x wins and carries its label rank in the low byte. The
+        per-group label match is a chain of compare-selects XLA fuses
+        into one volume pass — no scatter-min over ny*nz*width segments
+        (TPU scatters serialize) and no gather. Outputs stack into one
+        int16 + one uint8 download."""
+        segi = seg.astype(jnp.int32)
+        x_enc = (jnp.arange(nx, dtype=jnp.int32) * 256)[:, None, None]
+        fr, wh = [], []
         for labels in groups:
-            stack = depth[:, jnp.asarray(labels, jnp.int32)]
-            front = jnp.min(stack, axis=1)
-            which = jnp.argmin(stack, axis=1).astype(jnp.uint8)
-            outs.append((jnp.minimum(front, jnp.int32(_FAR16))
-                         .astype(jnp.int16), which))
-        return outs
+            acc = jnp.full(segi.shape, BIG, jnp.int32)
+            for rank, lb in enumerate(labels):
+                acc = jnp.where(segi == lb, x_enc + rank, acc)
+            front_enc = jnp.min(acc, axis=0)           # (y, z)
+            fr.append(jnp.where(front_enc < BIG, front_enc >> 8,
+                                jnp.int32(_FAR16)).astype(jnp.int16))
+            wh.append((front_enc & 255).astype(jnp.uint8))
+        return jnp.stack(fr), jnp.stack(wh)
 
-    res = fronts(seg_dev, width, groups)
+    fr_dev, wh_dev = fronts(seg_dev, groups)
+    fr_all = np.asarray(fr_dev).astype(np.float32)
+    wh_all = np.asarray(wh_dev)
     out: dict[str, tuple | None] = {}
-    it = iter(res)
+    gi = 0
     for group, labels in group_labels.items():
         if not labels:
             out[group] = None
             continue
-        f_dev, w_dev = next(it)
-        front = np.asarray(f_dev, np.float32).reshape(ny, nz)
+        front = fr_all[gi].copy()
         front[front >= float(_FAR16)] = np.inf
-        which = np.asarray(w_dev).reshape(ny, nz)
-        out[group] = (front, which, list(labels))
+        out[group] = (front, wh_all[gi], list(labels))
+        gi += 1
     return out
 
 

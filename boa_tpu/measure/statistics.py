@@ -43,19 +43,32 @@ def segmented_stats(seg: jax.Array, ct: jax.Array, num_classes: int,
     segf = seg.astype(jnp.int32).ravel()
     cti = jnp.clip(ct.astype(jnp.int32), HU_MIN, HU_MAX).ravel()
 
-    combined = segf * N_BINS + (cti - HU_MIN)
-    # accumulate in int32: fp32 loses exactness above 2^24 counts/bucket
-    # (a uniform giant class — e.g. all-background — can exceed that)
-    hist_i = jax.ops.segment_sum(jnp.ones_like(combined, jnp.int32),
-                                 combined,
-                                 num_segments=num_classes * N_BINS
-                                 ).reshape(num_classes, N_BINS)
-    hist = hist_i.astype(jnp.float32)
+    if with_histogram:
+        combined = segf * N_BINS + (cti - HU_MIN)
+        # accumulate in int32: fp32 loses exactness above 2^24 counts/
+        # bucket (a uniform giant class — e.g. all-background — exceeds it)
+        hist_i = jax.ops.segment_sum(jnp.ones_like(combined, jnp.int32),
+                                     combined,
+                                     num_segments=num_classes * N_BINS
+                                     ).reshape(num_classes, N_BINS)
+        hist = hist_i.astype(jnp.float32)
 
-    values = jnp.arange(HU_MIN, HU_MAX + 1, dtype=jnp.float32)
-    count = jnp.sum(hist_i, axis=1).astype(jnp.float32)
-    hu_sum = hist @ values
-    hu_sumsq = hist @ (values * values)
+        values = jnp.arange(HU_MIN, HU_MAX + 1, dtype=jnp.float32)
+        count = jnp.sum(hist_i, axis=1).astype(jnp.float32)
+        hu_sum = hist @ values
+        hu_sumsq = hist @ (values * values)
+    else:
+        # moments only: one-hot over classes reduced over voxels — a
+        # fused bandwidth-bound pass instead of the 78M-update histogram
+        # scatter (TPU scatter-adds serialize; see _slicewise_pass). The
+        # reduce fusion keeps the (V, C) one-hot virtual; a dot would
+        # materialize it (37 GB at 118 classes).
+        oh = (segf[:, None] == jnp.arange(num_classes, dtype=jnp.int32))
+        ctf = cti.astype(jnp.float32)
+        count = jnp.sum(oh.astype(jnp.int32), axis=0).astype(jnp.float32)
+        ohf = oh.astype(jnp.float32)
+        hu_sum = jnp.sum(ohf * ctf[:, None], axis=0)
+        hu_sumsq = jnp.sum(ohf * (ctf * ctf)[:, None], axis=0)
 
     # border: classes present on any 3-voxel face margin — reduce only the
     # six face slabs

@@ -12,11 +12,14 @@ the writer can emit compressed files.
 
 from __future__ import annotations
 
+import logging
 import struct
 
 import numpy as np
 
 from boa_tpu import native
+
+logger = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -911,26 +914,75 @@ def encode_jpeg_ls(img: np.ndarray, precision: int | None = None) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# JPEG 2000 (ISO/IEC 15444-1) — decoded through the optional Pillow/
-# OpenJPEG binding (gated import, like the reference's GDCM backend at
-# compute/io.py:326-383). DICOM frames carry a raw J2K codestream
-# (SOC = FF4F), which Pillow's Jpeg2K plugin reads directly; the encoder
-# (tests, transcoding) emits the same raw codestream with the reversible
-# 5/3 wavelet so lossless round-trips are exact.
+# JPEG 2000 (ISO/IEC 15444-1) — three decode paths, in priority order:
+# the in-repo native decoder (native/jpeg2000.cpp), the Pillow/OpenJPEG
+# binding when present (same backend family as the reference's GDCM read,
+# compute/io.py:326-383), and the pure-Python reference implementation
+# (io/j2k.py). DICOM frames carry a raw J2K codestream (SOC = FF4F);
+# the encoder (tests, transcoding) emits the same raw codestream with
+# the reversible 5/3 wavelet so lossless round-trips are exact.
 # ---------------------------------------------------------------------------
+
+
+def _j2k_native_lib():
+    import ctypes
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "boa_j2k_decode"):
+        return None
+    if not getattr(lib, "_j2k_bound", False):
+        lib.boa_j2k_decode.restype = ctypes.c_int32
+        lib.boa_j2k_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib._j2k_bound = True
+    return lib
+
+
+def _j2k_frame_dims(frame: bytes) -> tuple[int, int]:
+    """(rows, cols) from the SIZ marker (for output allocation)."""
+    if frame[:2] != b"\xff\x4f":
+        raise ValueError("not a raw J2K codestream (missing SOC)")
+    pos = 2
+    while pos + 4 <= len(frame):
+        if frame[pos] != 0xFF:
+            break
+        marker = frame[pos + 1]
+        ln = int.from_bytes(frame[pos + 2:pos + 4], "big")
+        if marker == 0x51:
+            seg = frame[pos + 4:pos + 2 + ln]
+            xsiz = int.from_bytes(seg[2:6], "big")
+            ysiz = int.from_bytes(seg[6:10], "big")
+            xo = int.from_bytes(seg[10:14], "big")
+            yo = int.from_bytes(seg[14:18], "big")
+            return ysiz - yo, xsiz - xo
+        pos += 2 + ln
+    raise ValueError("missing SIZ marker")
+
+
+def _decode_j2k_native(frame: bytes) -> np.ndarray:
+    import ctypes
+
+    lib = _j2k_native_lib()
+    rows_, cols_ = _j2k_frame_dims(frame)
+    out = np.empty(rows_ * cols_, np.uint16)
+    rows, cols = ctypes.c_int32(), ctypes.c_int32()
+    rc = lib.boa_j2k_decode(frame, len(frame),
+                            out.ctypes.data_as(ctypes.c_void_p), out.size,
+                            ctypes.byref(rows), ctypes.byref(cols))
+    if rc != 0:
+        raise ValueError(f"native J2K decode failed (rc={rc})")
+    return out.reshape(rows.value, cols.value)
 
 
 def _pil_jpeg2000():
     try:
         from PIL import Image, features
-    except ImportError as e:  # pragma: no cover - PIL is in the image
-        raise ValueError(
-            "JPEG 2000 DICOM decoding needs Pillow with OpenJPEG; install "
-            "pillow or transcode with gdcmconv/dcmdjp2k first") from e
+    except ImportError:
+        return None
     if not features.check("jpg_2000"):
-        raise ValueError(
-            "this Pillow build lacks OpenJPEG (jpg_2000) support; "
-            "transcode with gdcmconv/dcmdjp2k first")
+        return None
     return Image
 
 
@@ -941,14 +993,25 @@ def decode_jpeg2000(frame: bytes) -> np.ndarray:
     the caller reinterprets per PixelRepresentation (io/dicom.py)."""
     import io as _io
 
+    lib = _j2k_native_lib()
+    if lib is not None:
+        try:
+            return _decode_j2k_native(frame)
+        except ValueError:
+            logger.debug("native J2K decode failed; falling back",
+                         exc_info=True)
     Image = _pil_jpeg2000()
-    arr = np.array(Image.open(_io.BytesIO(frame)))
-    if arr.ndim != 2:
-        raise ValueError(f"expected a single-component J2K frame, got "
-                         f"shape {arr.shape}")
-    if arr.dtype in (np.int32, np.uint32, np.int16):
-        arr = (arr.astype(np.int64) & 0xFFFF).astype(np.uint16)
-    return arr
+    if Image is not None:
+        arr = np.array(Image.open(_io.BytesIO(frame)))
+        if arr.ndim != 2:
+            raise ValueError(f"expected a single-component J2K frame, got "
+                             f"shape {arr.shape}")
+        if arr.dtype in (np.int32, np.uint32, np.int16):
+            arr = (arr.astype(np.int64) & 0xFFFF).astype(np.uint16)
+        return arr
+    from boa_tpu.io import j2k
+
+    return (j2k.decode(frame).astype(np.int64) & 0xFFFF).astype(np.uint16)
 
 
 def encode_jpeg2000(img: np.ndarray) -> bytes:
@@ -956,6 +1019,8 @@ def encode_jpeg2000(img: np.ndarray) -> bytes:
     import io as _io
 
     Image = _pil_jpeg2000()
+    if Image is None:
+        raise ValueError("JPEG 2000 encoding needs Pillow with OpenJPEG")
     buf = _io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG2000", irreversible=False,
                               no_jp2=True)

@@ -1,0 +1,95 @@
+"""In-repo JPEG 2000 decoder (io/j2k.py + native/jpeg2000.cpp) vs the
+Pillow/OpenJPEG oracle. Parity target: the GDCM read path of the
+reference (compute/io.py:326-383) for .4.90 lossless streams."""
+
+import io
+
+import numpy as np
+import pytest
+
+from boa_tpu.io import j2k
+
+Image = pytest.importorskip("PIL.Image", reason="Pillow oracle needed")
+
+
+def _enc(img: np.ndarray, **kw) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG2000", irreversible=False,
+                              no_jp2=True, **kw)
+    return buf.getvalue()
+
+
+def _oracle(data: bytes) -> np.ndarray:
+    return np.array(Image.open(io.BytesIO(data))).astype(np.int64)
+
+
+CASES = {
+    "u8-noise": lambda rng: (rng.integers(0, 255, (16, 16))
+                             .astype(np.uint8), {}),
+    "u8-rect": lambda rng: (rng.integers(0, 255, (24, 17))
+                            .astype(np.uint8), {}),
+    "u16-grad": lambda rng: ((np.arange(32 * 45).reshape(32, 45) % 4096)
+                             .astype(np.uint16), {}),
+    "u16-noise": lambda rng: (rng.integers(0, 65536, (33, 29))
+                              .astype(np.uint16), {}),
+    "one-res": lambda rng: (rng.integers(0, 255, (16, 16))
+                            .astype(np.uint8), {"num_resolutions": 1}),
+    "cb32": lambda rng: (rng.integers(0, 4096, (70, 70)).astype(np.uint16),
+                         {"codeblock_size": (32, 32)}),
+    "multi-cb": lambda rng: (rng.integers(0, 4096, (200, 150))
+                             .astype(np.uint16), {}),
+    "ct-like": lambda rng: ((np.clip(rng.normal(40, 120, (96, 96)),
+                                     -1024, 3071) + 1024)
+                            .astype(np.uint16), {}),
+    "rpcl": lambda rng: (rng.integers(0, 4096, (80, 64)).astype(np.uint16),
+                         {"progression": "RPCL"}),
+    "cprl": lambda rng: (rng.integers(0, 4096, (80, 64)).astype(np.uint16),
+                         {"progression": "CPRL"}),
+    "layers": lambda rng: (rng.integers(0, 4096, (80, 64)).astype(np.uint16),
+                           {"quality_mode": "rates",
+                            "quality_layers": [40, 10, 1]}),
+    "tiles": lambda rng: (rng.integers(0, 4096, (130, 100))
+                          .astype(np.uint16), {"tile_size": (64, 64)}),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_python_decoder_matches_openjpeg(case, rng):
+    img, kw = CASES[case](rng)
+    data = _enc(img, **kw)
+    # oracle decode, not the original pixels: openjpeg's encoder is
+    # lossy on partial-width tiles even with irreversible=False, and the
+    # decoder contract is to reproduce the STREAM
+    want = _oracle(data)
+    got = j2k.decode(data)
+    np.testing.assert_array_equal(got, want)
+    if case != "tiles":  # lossless cases also round-trip the pixels
+        np.testing.assert_array_equal(got, img.astype(np.int64))
+
+
+def test_rejects_non_codestream():
+    with pytest.raises(ValueError, match="SOC"):
+        j2k.decode(b"\x00\x01\x02\x03")
+
+
+def test_rejects_irreversible(rng):
+    img = rng.integers(0, 255, (16, 16)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG2000", irreversible=True,
+                              no_jp2=True)
+    with pytest.raises(ValueError, match="5/3"):
+        j2k.decode(buf.getvalue())
+
+
+def test_native_decoder_matches_python(rng):
+    """The C++ port (native/jpeg2000.cpp) agrees with io/j2k.py on a
+    CT-like frame; skipped when the native lib is unavailable."""
+    from boa_tpu.io import dicom_codecs
+
+    if dicom_codecs._j2k_native_lib() is None:
+        pytest.skip("native lib unavailable")
+    img = (np.clip(rng.normal(40, 120, (128, 96)), -1024, 3071)
+           + 1024).astype(np.uint16)
+    data = _enc(img)
+    got = dicom_codecs._decode_j2k_native(data)
+    np.testing.assert_array_equal(got, j2k.decode(data).astype(np.uint16))

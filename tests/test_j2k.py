@@ -81,6 +81,30 @@ def test_rejects_irreversible(rng):
         j2k.decode(buf.getvalue())
 
 
+def test_signed_component(rng):
+    """Signed Ssiz (DICOM PixelRepresentation=1 encodes): no DC shift,
+    two's-complement bit pattern out — python and native agree."""
+    from boa_tpu.io import dicom_codecs
+
+    img = rng.integers(0, 4096, (32, 24)).astype(np.uint16)
+    data = bytearray(_enc(img))
+    # SIZ Ssiz byte: SOC(2) + marker(2) + Lsiz(2) + 36 payload bytes in
+    pos = data.find(b"\xff\x51")
+    ssiz_at = pos + 4 + 36
+    assert data[ssiz_at] == 15  # 16-bit unsigned
+    data[ssiz_at] = 0x80 | 15   # flip to signed
+    data = bytes(data)
+    got_py = j2k.decode(data)
+    # same coefficients, no +2^15 DC shift
+    np.testing.assert_array_equal(
+        (got_py + (1 << 15)).astype(np.int64) & 0xFFFF,
+        img.astype(np.int64))
+    if dicom_codecs._j2k_native_lib() is not None:
+        got_nat = dicom_codecs._decode_j2k_native(data)
+        np.testing.assert_array_equal(
+            got_nat, (got_py.astype(np.int64) & 0xFFFF).astype(np.uint16))
+
+
 def test_native_decoder_matches_python(rng):
     """The C++ port (native/jpeg2000.cpp) agrees with io/j2k.py on a
     CT-like frame; skipped when the native lib is unavailable."""

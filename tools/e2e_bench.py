@@ -83,6 +83,12 @@ def main() -> None:
                     "labels: measures the HOST pipeline on plausible "
                     "segmentations (device predict excluded; bench.py "
                     "measures that). This is the VERDICT r1 #3 metric.")
+    ap.add_argument("--slices", type=int, default=300,
+                    help="z slices of the phantom (600 = the BASELINE.md "
+                    "north-star 512x512x600 shape)")
+    ap.add_argument("--zspacing", type=float, default=3.0,
+                    help="z voxel spacing in mm (1.0 with --slices 600 "
+                    "matches a thin-slice whole-torso study)")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -94,12 +100,17 @@ def main() -> None:
         from boa_tpu.io import nifti
         from boa_tpu.testing import anatomy
 
-        ct_path = os.path.join(args.workdir, "anatomy.nii.gz")
+        suffix = "" if (args.slices, args.zspacing) == (300, 3.0) \
+            else f"_{args.slices}_{args.zspacing:g}"
+        ct_path = os.path.join(args.workdir, f"anatomy{suffix}.nii.gz")
         if not os.path.exists(ct_path):
-            affine = np.diag([-1.5, -1.5, 3.0, 1.0])
+            affine = np.diag([-1.5, -1.5, args.zspacing, 1.0])
             affine[:3, 3] = (200.0, 180.0, -400.0)
-            nifti.save(nifti.NiftiImage(data=anatomy.synth_ct(),
-                                        affine=affine), ct_path)
+            nifti.save(nifti.NiftiImage(
+                data=anatomy.synth_ct(
+                    shape=(512, 512, args.slices),
+                    spacing=(1.5, 1.5, args.zspacing)),
+                affine=affine), ct_path)
         fake = anatomy.fake_predict_factory()
     else:
         ensure_weights(wroot)

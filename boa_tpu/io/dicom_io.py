@@ -17,8 +17,7 @@ from typing import Any
 
 import numpy as np
 
-from boa_tpu.io import dicom
-from boa_tpu.io import nifti
+from boa_tpu.io import dicom, dicom_codecs, nifti
 
 logger = logging.getLogger(__name__)
 
@@ -196,13 +195,16 @@ def write_ct_series(img: nifti.NiftiImage, out_dir: Path, *,
                     series_description: str = "CT Axial",
                     study_uid: str | None = None,
                     series_uid: str | None = None,
-                    extra: dict[str, Any] | None = None) -> list[Path]:
-    """Write a NiftiImage as an axial CT DICOM series (explicit VR LE).
+                    extra: dict[str, Any] | None = None,
+                    transfer_syntax: str | None = None) -> list[Path]:
+    """Write a NiftiImage as an axial CT DICOM series.
 
     The inverse of `read_series` (exact round-trip on int16 HU volumes);
     also the test/PACS-simulation series source — the reference downloads
-    a TCIA series for this (`tests/conftest.py:32-60`).
-    """
+    a TCIA series for this (`tests/conftest.py:32-60`). `transfer_syntax`
+    selects explicit VR LE (default) or one of the supported compressed
+    syntaxes (RLE, JPEG Lossless SV1, JPEG-LS, JPEG 2000) with
+    encapsulated frames."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     data = np.asarray(img.data)
@@ -220,6 +222,15 @@ def write_ct_series(img: nifti.NiftiImage, out_dir: Path, *,
     study_uid = study_uid or dicom.generate_uid()
     series_uid = series_uid or dicom.generate_uid()
     frame_uid = dicom.generate_uid()
+    ts = transfer_syntax or dicom.EXPLICIT_VR_LE
+    encoders = {
+        dicom.RLE_LOSSLESS: dicom_codecs.encode_rle,
+        dicom.JPEG_LOSSLESS_SV1: dicom_codecs.encode_jpeg_lossless_sv1,
+        dicom.JPEG_LS_LOSSLESS: dicom_codecs.encode_jpeg_ls,
+        dicom.JPEG_2000_LOSSLESS: dicom_codecs.encode_jpeg2000,
+    }
+    if ts != dicom.EXPLICIT_VR_LE and ts not in encoders:
+        raise ValueError(f"unsupported write transfer syntax {ts}")
     files = []
     for z in range(nz):
         ds = dicom.Dataset()
@@ -227,7 +238,7 @@ def write_ct_series(img: nifti.NiftiImage, out_dir: Path, *,
         ds.file_meta = dicom.Dataset()
         ds.file_meta.MediaStorageSOPClassUID = dicom.CT_IMAGE_STORAGE
         ds.file_meta.MediaStorageSOPInstanceUID = sop_uid
-        ds.file_meta.TransferSyntaxUID = dicom.EXPLICIT_VR_LE
+        ds.file_meta.TransferSyntaxUID = ts
         ds.SOPClassUID = dicom.CT_IMAGE_STORAGE
         ds.SOPInstanceUID = sop_uid
         ds.Modality = "CT"
@@ -265,7 +276,11 @@ def write_ct_series(img: nifti.NiftiImage, out_dir: Path, *,
         for k, v in (extra or {}).items():
             setattr(ds, k, v)
         sl = np.ascontiguousarray(data[:, :, z].T.astype(np.int16))
-        ds.set_raw(dicom.DICT["PixelData"][:2], "OW", sl.tobytes())
+        if ts == dicom.EXPLICIT_VR_LE:
+            ds.set_raw(dicom.DICT["PixelData"][:2], "OW", sl.tobytes())
+        else:
+            frame = encoders[ts](sl.view(np.uint16))
+            ds.PixelData = dicom.encapsulate([frame])
         p = out_dir / f"slice_{z:04d}.dcm"
         dicom.dcmwrite(p, ds)
         files.append(p)

@@ -42,6 +42,40 @@ def _fake_predict(vol, spacing, task_id):
     return seg
 
 
+def test_analyze_ct_from_compressed_dicom_series(ct_file, tmp_path):
+    """DICOM-series input (JPEG-LS encapsulated) through the full
+    orchestrator: ingest -> models -> metrics -> workbook
+    (`commands.py:41-288` with the GDCM-equivalent in-repo codecs)."""
+    from boa_tpu.io import dicom, dicom_io
+
+    src = nifti.load(ct_file)
+    series = tmp_path / "series"
+    dicom_io.write_ct_series(src, series,
+                             transfer_syntax=dicom.JPEG_LS_LOSSLESS,
+                             extra={"KVP": 120.0})
+    out = tmp_path / "out"
+    excel_path, stats = analyze_ct(
+        input_folder=series,
+        processed_output_folder=out,
+        excel_output_folder=out,
+        models=["total"],
+        compute_contrast_information=False,
+        total_preview=False,
+        bca_pdf=False,
+        fast_total=True,
+        fake_predict=_fake_predict,
+    )
+    assert excel_path.exists()
+    seg = nifti.load(out / "total.nii.gz")
+    assert seg.shape == src.shape
+    # the ingested NIfTI matches the pre-compression voxels exactly
+    ingested = nifti.load(out / "image.nii.gz")
+    np.testing.assert_array_equal(np.asarray(ingested.data),
+                                  np.asarray(src.data))
+    info = [r[0] for r in xlsx.read_xlsx(excel_path)["info"] if r]
+    assert "SeriesInstanceUID" in info
+
+
 def test_analyze_ct_end_to_end(ct_file, tmp_path):
     out = tmp_path / "out"
     excel_path, stats = analyze_ct(

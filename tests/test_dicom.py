@@ -50,6 +50,21 @@ def test_dcmread_implicit_vr(ct_image, series_dir, tmp_path):
     assert ds.SOPClassUID == dicom.CT_IMAGE_STORAGE
 
 
+@pytest.mark.parametrize("ts_attr", ["RLE_LOSSLESS", "JPEG_LS_LOSSLESS",
+                                     "JPEG_2000_LOSSLESS"])
+def test_compressed_series_roundtrip(ct_image, tmp_path, ts_attr):
+    """A whole series written with a compressed transfer syntax reads
+    back voxel-identical (the shape hospitals actually send — GDCM read
+    in compute/io.py:326-383)."""
+    ts = getattr(dicom, ts_attr)
+    dicom_io.write_ct_series(ct_image, tmp_path / "dcm", transfer_syntax=ts)
+    first = dicom.dcmread(sorted((tmp_path / "dcm").iterdir())[0])
+    assert first.file_meta.TransferSyntaxUID == ts
+    img, files, _ = dicom_io.read_series(tmp_path / "dcm")
+    np.testing.assert_array_equal(np.asarray(img.data),
+                                  np.asarray(ct_image.data))
+
+
 def test_get_image_info(series_dir, tmp_path):
     nifti_path, info = dicom_io.get_image_info(series_dir, tmp_path / "out")
     assert nifti_path.exists()

@@ -46,7 +46,10 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
     if median_filtering:
         ct = median_filter_inplane(ct.astype(jnp.float32), 3)
     # both label volumes cross the tunnel 4-bit packed when possible: the
-    # speckled tissue map especially compresses poorly as raw bytes
+    # speckled tissue map especially compresses poorly as raw bytes.
+    # upload_labels MUST scan for the real max (a host pass): the region
+    # postprocess emits 255-ignore fragments (bca/postprocess.py
+    # IGNORE_VALUE), and packing a >15 label would corrupt its byte pair.
     body_regions = np.asarray(body_regions)
     regions_dev = packing.upload_labels(body_regions)
     dev = _subclassify(ct, regions_dev)

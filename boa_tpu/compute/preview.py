@@ -74,32 +74,6 @@ def _label_depths(seg: np.ndarray, n_labels: int) -> np.ndarray:
 _FAR16 = np.int16(32000)  # int16 "no hit" sentinel for the device maps
 
 
-def _label_depths_device(seg_dev, n_labels: int) -> np.ndarray:
-    """Device variant of _label_depths; downloads the full (ny, nz,
-    labels) stack — prefer _group_fronts_device, which reduces per ROI
-    group on device and moves ~30x fewer bytes."""
-    import jax
-    import jax.numpy as jnp
-
-    nx, ny, nz = seg_dev.shape
-    width = max(n_labels, int(jnp.max(seg_dev)) + 1)
-
-    @jax.jit
-    def depths(seg):
-        yz = jnp.arange(ny * nz, dtype=jnp.int32).reshape(1, ny, nz)
-        keys = (yz * width + seg.astype(jnp.int32)).ravel()
-        xvals = jnp.broadcast_to(
-            jnp.arange(nx, dtype=jnp.int32)[:, None, None], seg.shape
-        ).ravel()
-        return jax.ops.segment_min(xvals, keys, num_segments=ny * nz * width)
-
-    out = np.asarray(depths(seg_dev)).reshape(ny, nz, width)[:, :, :n_labels]
-    # segment_min of an empty segment yields the dtype max — normalize
-    out = out.copy()
-    out[out > nx] = _FAR
-    return out
-
-
 def _group_fronts_from_depths(depths: np.ndarray, inv: dict[str, int]
                               ) -> dict[str, tuple | None]:
     """Host fallback: per-group (front float32 — inf where no hit,

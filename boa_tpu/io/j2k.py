@@ -145,24 +145,25 @@ class MQDecoder:
 
 
 class BitReader:
-    __slots__ = ("data", "pos", "buf", "cnt")
+    __slots__ = ("data", "pos", "buf", "cnt", "prev_ff")
 
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
         self.pos = pos
         self.buf = 0
         self.cnt = 0
+        # bit-stuffing state: True iff the byte THIS READER last consumed
+        # was 0xFF. Inspecting raw data[pos-1] instead would mis-trigger
+        # after externally skipped bytes (SOP segments, packet bodies)
+        # that happen to end in 0xFF.
+        self.prev_ff = False
 
     def bit(self) -> int:
         if self.cnt == 0:
-            if self.pos > 0 and self.data[self.pos - 1] == 0xFF:
-                self.buf = self.data[self.pos]
-                self.pos += 1
-                self.cnt = 7        # stuffed byte carries 7 bits
-            else:
-                self.buf = self.data[self.pos]
-                self.pos += 1
-                self.cnt = 8
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.cnt = 7 if self.prev_ff else 8
+            self.prev_ff = self.buf == 0xFF
         self.cnt -= 1
         return (self.buf >> self.cnt) & 1
 
@@ -174,10 +175,17 @@ class BitReader:
 
     def align(self) -> None:
         """End of packet header: skip to byte boundary (plus the stuffing
-        bit if the last consumed byte was 0xFF)."""
+        byte if the last consumed byte was 0xFF)."""
         self.cnt = 0
-        if self.pos > 0 and self.data[self.pos - 1] == 0xFF:
+        if self.prev_ff:
             self.pos += 1
+        self.prev_ff = False
+
+    def skip_raw(self, n: int) -> None:
+        """Advance over non-header bytes (SOP segments, packet bodies);
+        resets the stuffing state."""
+        self.pos += n
+        self.prev_ff = False
 
 
 class TagTree:
@@ -248,8 +256,6 @@ class CodeBlock:
     included: bool = False
     n_zero_bitplanes: int = 0
     lblock: int = 3
-    n_passes_total: int = 0
-    data: bytes = b""
 
 
 @dataclass
@@ -304,6 +310,9 @@ def _parse_markers(data: bytes):
             xr, yr = seg[37], seg[38]
             if xr != 1 or yr != 1:
                 raise ValueError("subsampled components unsupported")
+            if xtsiz <= 0 or ytsiz <= 0 or xsiz <= xosiz or ysiz <= yosiz \
+                    or xtosiz > xosiz or ytosiz > yosiz:
+                raise ValueError("malformed SIZ geometry")
             siz = {"xsiz": xsiz, "ysiz": ysiz, "xosiz": xosiz,
                    "yosiz": yosiz, "xtsiz": xtsiz, "ytsiz": ytsiz,
                    "xtosiz": xtosiz, "ytosiz": ytosiz,
@@ -331,6 +340,9 @@ def _parse_markers(data: bytes):
                                  "supported (lossless)")
             if scod & 1:          # user precincts
                 cp.precinct_sizes = [(b & 0x0F, b >> 4) for b in seg[10:]]
+                if any(p != (15, 15) for p in cp.precinct_sizes):
+                    raise ValueError(
+                        "precinct-partitioned codestreams unsupported")
             else:
                 cp.precinct_sizes = [(15, 15)] * (cp.n_levels + 1)
         elif marker == 0x5C:      # QCD — reversible: exponents only
@@ -346,10 +358,19 @@ def _parse_markers(data: bytes):
             tpsot, tnsot = seg[6], seg[7]
             if tpsot != 0 or (tnsot not in (0, 1)):
                 raise ValueError("multiple tile-parts unsupported")
-            # find SOD
+            # tile-part header markers until SOD (PLT/COM skippable)
             p2 = pos + ln
-            if data[p2:p2 + 2] != b"\xff\x93":
-                raise ValueError("expected SOD after SOT segment")
+            while data[p2:p2 + 2] != b"\xff\x93":
+                if p2 + 4 > n or data[p2] != 0xFF:
+                    raise ValueError("malformed tile-part header")
+                m2 = data[p2 + 1]
+                if m2 == 0x61:
+                    raise ValueError(
+                        "PPT packed packet headers unsupported")
+                if m2 not in (0x58, 0x64):  # PLT / COM
+                    raise ValueError(
+                        f"unsupported tile-header marker 0x{m2:02x}")
+                p2 += 2 + int.from_bytes(data[p2 + 2:p2 + 4], "big")
             start = p2 + 2
             end = pos - 2 + (psot if psot else (n - (pos - 2)))
             tiles.append((isot, data[start:end]))
@@ -357,10 +378,11 @@ def _parse_markers(data: bytes):
             continue
         elif marker in (0x53, 0x5D):  # COC / QCC
             raise ValueError("per-component COC/QCC unsupported")
+        elif marker in (0x60, 0x61):  # PPM/PPT move packet headers
+            raise ValueError("PPM/PPT packed packet headers unsupported")
         elif marker == 0x64 or marker == 0x55 or marker == 0x57 \
-                or marker == 0x58 or marker == 0x60 or marker == 0x61 \
-                or marker == 0x63:
-            pass                  # COM/TLM/PLM/PLT/PPM/PPT/CRG: skip
+                or marker == 0x58 or marker == 0x63:
+            pass                  # COM/TLM/PLM/PLT/CRG: skip
         elif marker == 0x5F:      # POC
             raise ValueError("POC progression changes unsupported")
         pos += ln
@@ -625,16 +647,14 @@ def _decode_packet(br: BitReader, bands, layer: int, cp: CodingParams,
                 n_passes = _n_passes_decode(br)
                 while br.bit():
                     cblk.lblock += 1
-                total_len = 0
                 # single codeword segment (no bypass/termall)
                 bits = cblk.lblock + _int_log2(n_passes)
-                total_len = br.bits(bits)
-                blocks.append((band, cblk, n_passes, total_len))
+                blocks.append((band, cblk, n_passes, br.bits(bits)))
     br.align()
     for band, cblk, n_passes, ln in blocks:
         contribs.append((band, cblk, n_passes,
                          br.data[br.pos:br.pos + ln]))
-        br.pos += ln
+        br.skip_raw(ln)
 
 
 def _int_log2(v: int) -> int:
@@ -676,11 +696,11 @@ def _decode_tile(tdata: bytes, cp: CodingParams, tx0, ty0, tx1, ty1
     def packet(r: int, layer: int) -> None:
         if cp.sop:
             if br.data[br.pos:br.pos + 2] == b"\xff\x91":
-                br.pos += 6
+                br.skip_raw(6)
         _decode_packet(br, res[r], layer, cp, contribs)
         if cp.eph:
             if br.data[br.pos:br.pos + 2] == b"\xff\x92":
-                br.pos += 2
+                br.skip_raw(2)
 
     order = cp.prog_order
     if order == 0:               # LRCP

@@ -73,6 +73,11 @@ class HostWorker:
         if self._pool is None:
             self._pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="boa-host-stage")
+        # prune completed-successful stages: a long-lived shared worker
+        # (study streams) must not retain every stage's result (a
+        # finished bca postprocess future pins a ~78 MB volume)
+        self._pending = [(n, f) for n, f in self._pending
+                         if not f.done() or f.exception() is not None]
         fut = self._pool.submit(self._run, name, suppress, fn, args, kwargs)
         self._pending.append((name, fut))
         return fut

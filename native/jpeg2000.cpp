@@ -116,13 +116,18 @@ struct BitReader {
   int64_t n, pos;
   uint32_t buf;
   int cnt;
+  // stuffing state: true iff the byte THIS reader last consumed was
+  // 0xFF (raw data[pos-1] would mis-trigger after externally skipped
+  // SOP segments / packet bodies ending in 0xFF)
+  bool prev_ff = false;
   BitReader(const uint8_t* d, int64_t len) : data(d), n(len), pos(0),
                                              buf(0), cnt(0) {}
   int bit() {
     if (cnt == 0) {
       if (pos >= n) throw std::runtime_error("packet header overrun");
-      if (pos > 0 && data[pos - 1] == 0xFF) { buf = data[pos++]; cnt = 7; }
-      else { buf = data[pos++]; cnt = 8; }
+      buf = data[pos++];
+      cnt = prev_ff ? 7 : 8;
+      prev_ff = buf == 0xFF;
     }
     cnt -= 1;
     return (buf >> cnt) & 1;
@@ -134,7 +139,12 @@ struct BitReader {
   }
   void align() {
     cnt = 0;
-    if (pos > 0 && data[pos - 1] == 0xFF) pos += 1;
+    if (prev_ff) pos += 1;
+    prev_ff = false;
+  }
+  void skip_raw(int64_t k) {
+    pos += k;
+    prev_ff = false;
   }
 };
 
@@ -484,7 +494,7 @@ static void decode_packet(BitReader& br, std::vector<Band>& bands, int layer,
   br.align();
   for (auto& b : blocks) {
     contribs.push_back({b.band, b.cblk, b.n_passes, br.pos, b.len});
-    br.pos += b.len;
+    br.skip_raw(b.len);
     if (br.pos > br.n) throw std::runtime_error("packet body overrun");
   }
 }
@@ -575,11 +585,11 @@ static void decode_tile(const uint8_t* tdata, int64_t tlen,
   auto packet = [&](int r, int layer) {
     if (cp.sop && br.pos + 2 <= br.n && tdata[br.pos] == 0xFF
         && tdata[br.pos + 1] == 0x91)
-      br.pos += 6;
+      br.skip_raw(6);
     decode_packet(br, res[r], layer, contribs);
     if (cp.eph && br.pos + 2 <= br.n && tdata[br.pos] == 0xFF
         && tdata[br.pos + 1] == 0x92)
-      br.pos += 2;
+      br.skip_raw(2);
   };
 
   if (cp.prog_order == 0) {
@@ -691,6 +701,10 @@ extern "C" int32_t boa_j2k_decode(const char* cdata, int64_t len,
         siz.xosiz = rd32(seg + 10); siz.yosiz = rd32(seg + 14);
         siz.xtsiz = rd32(seg + 18); siz.ytsiz = rd32(seg + 22);
         siz.xtosiz = rd32(seg + 26); siz.ytosiz = rd32(seg + 30);
+        if (siz.xtsiz <= 0 || siz.ytsiz <= 0 || siz.xsiz <= siz.xosiz
+            || siz.ysiz <= siz.yosiz || siz.xtosiz > siz.xosiz
+            || siz.ytosiz > siz.yosiz)
+          return 3;                         // malformed geometry
         if (rd16(seg + 34) != 1) return 4;  // single component only
         siz.prec = (seg[36] & 0x7F) + 1;
         siz.is_signed = (seg[36] & 0x80) != 0;
@@ -727,17 +741,26 @@ extern "C" int32_t boa_j2k_decode(const char* cdata, int64_t len,
         int64_t psot = rd32(seg + 2);
         int tpsot = seg[6], tnsot = seg[7];
         if (tpsot != 0 || (tnsot != 0 && tnsot != 1)) return 8;
+        // tile-part header markers until SOD (PLT/COM skippable)
         int64_t p2 = pos + ln;
-        if (p2 + 2 > len || data[p2] != 0xFF || data[p2 + 1] != 0x93)
-          return 3;
+        for (;;) {
+          if (p2 + 2 > len || data[p2] != 0xFF) return 3;
+          int m2 = data[p2 + 1];
+          if (m2 == 0x93) break;
+          if (m2 == 0x61) return 4;        // PPT unsupported
+          if (m2 != 0x58 && m2 != 0x64) return 4;  // PLT / COM only
+          if (p2 + 4 > len) return 3;
+          p2 += 2 + rd16(data + p2 + 2);
+        }
         int64_t start = p2 + 2;
         int64_t end = pos - 2 + (psot ? psot : (len - (pos - 2)));
         if (end > len) return 3;
         tiles.push_back({isot, start, end - start});
         pos = end;
         continue;
-      } else if (marker == 0x53 || marker == 0x5D || marker == 0x5F) {
-        return 4;                         // COC/QCC/POC
+      } else if (marker == 0x53 || marker == 0x5D || marker == 0x5F
+                 || marker == 0x60 || marker == 0x61) {
+        return 4;                         // COC/QCC/POC/PPM/PPT
       }
       pos += ln;
     }

@@ -57,6 +57,11 @@ def test_compressed_series_roundtrip(ct_image, tmp_path, ts_attr):
     back voxel-identical (the shape hospitals actually send — GDCM read
     in compute/io.py:326-383)."""
     ts = getattr(dicom, ts_attr)
+    if ts_attr == "JPEG_2000_LOSSLESS":
+        from boa_tpu.io import dicom_codecs
+
+        if dicom_codecs._pil_jpeg2000() is None:
+            pytest.skip("Pillow/OpenJPEG encoder unavailable")
     dicom_io.write_ct_series(ct_image, tmp_path / "dcm", transfer_syntax=ts)
     first = dicom.dcmread(sorted((tmp_path / "dcm").iterdir())[0])
     assert first.file_meta.TransferSyntaxUID == ts
@@ -298,6 +303,8 @@ def test_jpeg2000_roundtrip_frames(rng):
     compute/io.py:326-383."""
     from boa_tpu.io import dicom_codecs
 
+    if dicom_codecs._pil_jpeg2000() is None:
+        pytest.skip("Pillow/OpenJPEG encoder unavailable")
     cases = [
         _ct_slice(rng).view(np.uint16),
         np.full((40, 50), 1234, np.uint16),
@@ -335,6 +342,8 @@ def test_compressed_file_read_parity(tmp_path, rng, ts_name):
         ts = dicom.JPEG_LS_LOSSLESS
         frame = dicom_codecs.encode_jpeg_ls(raw16)
     elif ts_name == "j2k":
+        if dicom_codecs._pil_jpeg2000() is None:
+            pytest.skip("Pillow/OpenJPEG encoder unavailable")
         ts = dicom.JPEG_2000_LOSSLESS
         frame = dicom_codecs.encode_jpeg2000(raw16)
     else:

@@ -67,6 +67,36 @@ def test_python_decoder_matches_openjpeg(case, rng):
         np.testing.assert_array_equal(got, img.astype(np.int64))
 
 
+def test_malformed_siz_rejected_not_crash(rng):
+    """XTsiz=0 (hostile/corrupt SIZ) must raise, not divide by zero —
+    the native path must return an error code, not SIGFPE the process."""
+    from boa_tpu.io import dicom_codecs
+
+    img = rng.integers(0, 255, (16, 16)).astype(np.uint8)
+    data = bytearray(_enc(img))
+    pos = data.find(b"\xff\x51")
+    # SIZ payload starts at pos+6 (marker+len+Rsiz): XTsiz at offset 18
+    data[pos + 6 + 16:pos + 6 + 20] = (0).to_bytes(4, "big")
+    data = bytes(data)
+    with pytest.raises(ValueError):
+        j2k.decode(data)
+    if dicom_codecs._j2k_native_lib() is not None:
+        with pytest.raises(ValueError, match="native J2K decode failed"):
+            dicom_codecs._decode_j2k_native(data)
+
+
+def test_bitreader_stuffing_is_reader_local():
+    """skip_raw over bytes ending in 0xFF (SOP tails, packet bodies) must
+    not trigger bit-stuffing on the next header byte."""
+    br = j2k.BitReader(bytes([0x00, 0xFF, 0b10110010]))
+    br.skip_raw(2)               # externally skipped; ends with 0xFF
+    assert br.bits(8) == 0b10110010  # full 8 bits, no 7-bit unstuffing
+    # whereas a CONSUMED 0xFF does unstuff the following byte
+    br2 = j2k.BitReader(bytes([0xFF, 0b01110010]))
+    assert br2.bits(8) == 0xFF
+    assert br2.bits(7) == 0b1110010
+
+
 def test_rejects_non_codestream():
     with pytest.raises(ValueError, match="SOC"):
         j2k.decode(b"\x00\x01\x02\x03")

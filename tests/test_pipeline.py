@@ -198,8 +198,6 @@ def test_preview_shaded_surfaces(tmp_path):
 
     d_host = preview._label_depths(seg, n_labels)
     import jax.numpy as jnp
-    d_dev = preview._label_depths_device(jnp.asarray(seg), n_labels)
-    np.testing.assert_array_equal(d_host, d_dev)
 
     # the on-device per-group reduction (what generate_preview downloads:
     # one int16 front + uint8 argmin per ROI group) matches the host path

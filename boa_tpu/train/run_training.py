@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 from pathlib import Path
 
@@ -81,6 +82,16 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
     trainer, mesh = build_trainer(cases_dir, out_dir, patch, batch_size,
                                   num_classes, epochs=epochs, iters=iters,
                                   mesh_shape=mesh_shape)
+    # self-describing training output: weights/store.export_trained_model
+    # turns it into a servable store entry from this metadata
+    out_dir.mkdir(parents=True, exist_ok=True)
+    arch = trainer.cfg.arch
+    (out_dir / "export_meta.json").write_text(json.dumps({
+        "patch_size": list(patch),
+        "num_classes": int(num_classes),
+        "features_per_stage": list(arch.features_per_stage),
+        "cases_dir": str(cases_dir),
+    }))
     ckpt = out_dir / "checkpoint_latest.pkl"
     if resume and ckpt.exists():
         trainer.load_checkpoint(ckpt)

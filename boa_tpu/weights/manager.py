@@ -143,6 +143,14 @@ def main(argv=None) -> None:
     i.add_argument("folder", type=Path)
     i.add_argument("--root", type=Path, default=None)
     sub.add_parser("list", help="list installed model folders")
+    e = sub.add_parser("export",
+                       help="export a train/run_training output into the "
+                            "servable store (train -> serve loop)")
+    e.add_argument("training_dir", type=Path)
+    e.add_argument("--task-id", type=int, required=True)
+    e.add_argument("--name", required=True)
+    e.add_argument("--root", type=Path, default=None)
+    e.add_argument("--fold", type=int, default=0)
     s = sub.add_parser("create-synthetic",
                        help="random-weight model at a task's architecture "
                             "(tests/benchmarks)")
@@ -160,6 +168,12 @@ def main(argv=None) -> None:
         for name in list_installed():
             print(name)
         print(f"(root: {weights_root()})")
+    elif args.cmd == "export":
+        from boa_tpu.weights.store import export_trained_model
+
+        out = export_trained_model(args.training_dir, args.task_id,
+                                   args.name, root=args.root, fold=args.fold)
+        print(f"exported to {out}")
     elif args.cmd == "create-synthetic":
         from boa_tpu.inference.pipeline import class_map_for_task
         from boa_tpu.tasks.registry import TASKS, get_task

@@ -98,6 +98,80 @@ def import_torch_model_folder(src: str | Path, dst_root: str | Path | None = Non
     return dst
 
 
+def export_trained_model(
+    training_dir: str | Path,
+    task_id: int,
+    name: str,
+    root: str | Path | None = None,
+    trainer: str = "nnUNetTrainer",
+    fold: int = 0,
+    checkpoint: str = "checkpoint_final.pkl",
+) -> Path:
+    """Turn a train/run_training output into a servable store entry.
+
+    Closes the train->serve loop the reference gets from nnU-Net's shared
+    results folder (`predict_from_raw_data.py:83-120` serves straight
+    from the training output): reads the trainer checkpoint + the
+    export_meta.json the training run wrote, grafts target spacing /
+    intensity normalization / label names from the preprocessing plans
+    (cases_dir parent) when available, and writes
+    ``DatasetXXX_name/trainer__nnUNetPlans__3d_fullres/fold_N/
+    checkpoint_final.npz`` so `ModelStore.load` / `predict_image` can use
+    the model directly.
+    """
+    import pickle
+
+    training_dir = Path(training_dir)
+    meta = json.loads((training_dir / "export_meta.json").read_text())
+    with open(training_dir / checkpoint, "rb") as f:
+        blob = pickle.load(f)
+    params = blob["params"]
+
+    spacing = (1.0, 1.0, 1.0)
+    label_names = None
+    intensity = None
+    prep_dir = Path(meta.get("cases_dir", training_dir)).parent
+    prep_plans_path = prep_dir / "plans.json"
+    if prep_plans_path.exists():
+        prep_plans = json.loads(prep_plans_path.read_text())
+        cfg3d = prep_plans.get("configurations", {}).get("3d_fullres", {})
+        spacing = tuple(cfg3d.get("spacing", spacing))
+        intensity = prep_plans.get(
+            "foreground_intensity_properties_per_channel")
+    ds_json = prep_dir.parent / "dataset.json"
+    for cand in (prep_dir / "dataset.json", ds_json):
+        if cand.exists():
+            labels = json.loads(cand.read_text()).get("labels")
+            if labels:
+                # synthetic_plans re-adds background; pass classes 1..N
+                label_names = [n for n, v in sorted(
+                    ((n, v) for n, v in labels.items()
+                     if not isinstance(v, (list, tuple)) and int(v) != 0),
+                    key=lambda kv: int(kv[1]))]
+            break
+
+    plans = synthetic_plans(
+        num_classes=meta["num_classes"],
+        patch_size=tuple(meta["patch_size"]),
+        spacing=spacing,
+        features=tuple(meta["features_per_stage"]),
+        label_names=label_names)
+    if intensity:
+        plans.plans["foreground_intensity_properties_per_channel"] = intensity
+
+    mdir = (Path(root) if root else weights_root()) \
+        / f"Dataset{task_id:03d}_{name}" \
+        / f"{trainer}__nnUNetPlans__3d_fullres"
+    mdir.mkdir(parents=True, exist_ok=True)
+    (mdir / "plans.json").write_text(json.dumps(plans.plans))
+    (mdir / "dataset.json").write_text(json.dumps(plans.dataset))
+    fdir = mdir / f"fold_{fold}"
+    fdir.mkdir(exist_ok=True)
+    cv.save_params_npz(jax.tree.map(np.asarray, params),
+                       fdir / "checkpoint_final.npz")
+    return mdir
+
+
 def create_synthetic_model(
     root: str | Path,
     task_id: int,

@@ -207,6 +207,31 @@ def test_plan_and_preprocess_end_to_end(tmp_path, rng):
                         num_classes=2, seed=0)
     assert np.isfinite(last["loss"])
 
+    # train -> serve loop: export the trained checkpoint into the store
+    # layout and run the REAL predictor on a raw case
+    # (nnU-Net serves straight from its results folder,
+    # predict_from_raw_data.py:83-120 — this is our equivalent)
+    from boa_tpu.inference.predictor import Predictor
+    from boa_tpu.weights.store import ModelStore, export_trained_model
+
+    mdir = export_trained_model(tmp_path / "tr", task_id=901, name="Toy",
+                                root=tmp_path / "store")
+    assert (mdir / "plans.json").exists()
+    assert (mdir / "fold_0" / "checkpoint_final.npz").exists()
+    plans, params = ModelStore(tmp_path / "store").load(901)
+    cfg = plans.arch_config()
+    assert cfg.num_classes == 2
+    assert cfg.features_per_stage[0] == 32  # run_training default arch
+    # plans carry the prep spacing + real intensity stats
+    conf = plans.plans["configurations"]["3d_fullres"]
+    assert tuple(conf["spacing"]) != (1.0, 1.0, 1.0)
+    img = nifti.load(ds / "imagesTr" / "case0_0000.nii.gz")
+    pred = Predictor(plans=plans, fold_params=params,
+                     compute_dtype="float32")
+    seg = pred.predict(np.asarray(img.data, np.float32), img.zooms)
+    assert seg.shape == img.shape
+    assert set(np.unique(seg)) <= {0, 1}
+
 
 def _big_body_fingerprint():
     """Whole-body-CT-like fingerprint (no actual volumes needed)."""

@@ -618,12 +618,24 @@ def _n_passes_decode(br: BitReader) -> int:
 
 
 def _decode_packet(br: BitReader, bands, layer: int, cp: CodingParams,
-                   contribs: list) -> None:
+                   contribs: list,
+                   header_ends: list | None = None) -> None:
     """One packet (single precinct spanning the whole resolution):
     updates code-block states and appends (cblk, n_passes, data-slice)
-    descriptors to consume after the header."""
+    descriptors to consume after the header. `header_ends` (tests)
+    records the byte offset where each packet header ends — the EPH
+    insertion point."""
+
+    def eph() -> None:
+        # EPH terminates the packet HEADER — it sits BEFORE the bodies
+        if header_ends is not None:
+            header_ends.append(br.pos)
+        if cp.eph and br.data[br.pos:br.pos + 2] == b"\xff\x92":
+            br.skip_raw(2)
+
     if br.bit() == 0:            # empty packet
         br.align()
+        eph()
         return
     blocks = []
     for band in bands:
@@ -651,6 +663,7 @@ def _decode_packet(br: BitReader, bands, layer: int, cp: CodingParams,
                 bits = cblk.lblock + _int_log2(n_passes)
                 blocks.append((band, cblk, n_passes, br.bits(bits)))
     br.align()
+    eph()
     for band, cblk, n_passes, ln in blocks:
         contribs.append((band, cblk, n_passes,
                          br.data[br.pos:br.pos + ln]))
@@ -698,9 +711,6 @@ def _decode_tile(tdata: bytes, cp: CodingParams, tx0, ty0, tx1, ty1
             if br.data[br.pos:br.pos + 2] == b"\xff\x91":
                 br.skip_raw(6)
         _decode_packet(br, res[r], layer, cp, contribs)
-        if cp.eph:
-            if br.data[br.pos:br.pos + 2] == b"\xff\x92":
-                br.skip_raw(2)
 
     order = cp.prog_order
     if order == 0:               # LRCP

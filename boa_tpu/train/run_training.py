@@ -90,7 +90,7 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
         "patch_size": list(patch),
         "num_classes": int(num_classes),
         "features_per_stage": list(arch.features_per_stage),
-        "cases_dir": str(cases_dir),
+        "cases_dir": str(cases_dir.resolve()),  # export runs from any cwd
     }))
     ckpt = out_dir / "checkpoint_latest.pkl"
     if resume and ckpt.exists():

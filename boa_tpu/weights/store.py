@@ -16,6 +16,7 @@ benchmarking (no egress is available to download the published weights).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from pathlib import Path
 
@@ -27,6 +28,8 @@ from boa_tpu.plans.plans import ModelPlans, synthetic_plans
 from boa_tpu.weights import convert as cv
 
 DEFAULT_WEIGHTS_ENV = "BOA_WEIGHTS_PATH"
+
+logger = logging.getLogger(__name__)
 
 
 def weights_root() -> Path:
@@ -138,6 +141,12 @@ def export_trained_model(
         spacing = tuple(cfg3d.get("spacing", spacing))
         intensity = prep_plans.get(
             "foreground_intensity_properties_per_channel")
+    else:
+        logger.warning(
+            "Preprocessing plans not found at %s: exporting with 1 mm "
+            "spacing and synthetic intensity normalization — serving "
+            "resampling/normalization will NOT match training. Re-export "
+            "with the case store available.", prep_plans_path)
     ds_json = prep_dir.parent / "dataset.json"
     for cand in (prep_dir / "dataset.json", ds_json):
         if cand.exists():
@@ -149,6 +158,12 @@ def export_trained_model(
                      if not isinstance(v, (list, tuple)) and int(v) != 0),
                     key=lambda kv: int(kv[1]))]
             break
+    if label_names is not None and len(label_names) != meta["num_classes"] - 1:
+        logger.warning(
+            "dataset.json lists %d foreground labels but the checkpoint "
+            "has %d classes; using generic class names",
+            len(label_names), meta["num_classes"] - 1)
+        label_names = None
 
     plans = synthetic_plans(
         num_classes=meta["num_classes"],
@@ -159,16 +174,25 @@ def export_trained_model(
     if intensity:
         plans.plans["foreground_intensity_properties_per_channel"] = intensity
 
-    mdir = (Path(root) if root else weights_root()) \
-        / f"Dataset{task_id:03d}_{name}" \
-        / f"{trainer}__nnUNetPlans__3d_fullres"
+    mdir = _write_store_entry(
+        Path(root) if root else weights_root(), task_id, name, trainer,
+        plans, {fold: params})
+    return mdir
+
+
+def _write_store_entry(root: Path, task_id: int, name: str, trainer: str,
+                       plans, fold_params: dict) -> Path:
+    """Materialize plans + per-fold params in the store layout."""
+    mdir = Path(root) / f"Dataset{task_id:03d}_{name}" / \
+        f"{trainer}__nnUNetPlans__3d_fullres"
     mdir.mkdir(parents=True, exist_ok=True)
     (mdir / "plans.json").write_text(json.dumps(plans.plans))
     (mdir / "dataset.json").write_text(json.dumps(plans.dataset))
-    fdir = mdir / f"fold_{fold}"
-    fdir.mkdir(exist_ok=True)
-    cv.save_params_npz(jax.tree.map(np.asarray, params),
-                       fdir / "checkpoint_final.npz")
+    for fold, params in fold_params.items():
+        fdir = mdir / f"fold_{fold}"
+        fdir.mkdir(exist_ok=True)
+        cv.save_params_npz(jax.tree.map(np.asarray, params),
+                           fdir / "checkpoint_final.npz")
     return mdir
 
 
@@ -189,16 +213,9 @@ def create_synthetic_model(
     plans = synthetic_plans(num_classes=num_classes, patch_size=patch_size,
                             spacing=spacing, features=features,
                             label_names=label_names)
-    mdir = Path(root) / f"Dataset{task_id:03d}_{name}" / \
-        f"{trainer}__nnUNetPlans__3d_fullres"
-    mdir.mkdir(parents=True, exist_ok=True)
-    (mdir / "plans.json").write_text(json.dumps(plans.plans))
-    (mdir / "dataset.json").write_text(json.dumps(plans.dataset))
     cfg = plans.arch_config()
-    for f in range(n_folds):
-        params = init_unet(jax.random.key(seed + task_id * 10 + f), cfg)
-        fdir = mdir / f"fold_{f}"
-        fdir.mkdir(exist_ok=True)
-        cv.save_params_npz(jax.tree.map(np.asarray, params),
-                           fdir / "checkpoint_final.npz")
-    return mdir
+    fold_params = {
+        f: init_unet(jax.random.key(seed + task_id * 10 + f), cfg)
+        for f in range(n_folds)}
+    return _write_store_entry(Path(root), task_id, name, trainer, plans,
+                              fold_params)

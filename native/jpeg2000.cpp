@@ -463,8 +463,14 @@ static int n_passes_decode(BitReader& br) {
 struct Contrib { Band* band; CodeBlock* cblk; int n_passes; int64_t off, len; };
 
 static void decode_packet(BitReader& br, std::vector<Band>& bands, int layer,
-                          std::vector<Contrib>& contribs) {
-  if (br.bit() == 0) { br.align(); return; }
+                          bool eph_on, std::vector<Contrib>& contribs) {
+  // EPH terminates the packet HEADER — skip it BEFORE the bodies
+  auto eph = [&]() {
+    if (eph_on && br.pos + 2 <= br.n && br.data[br.pos] == 0xFF
+        && br.data[br.pos + 1] == 0x92)
+      br.skip_raw(2);
+  };
+  if (br.bit() == 0) { br.align(); eph(); return; }
   struct Pending { Band* band; CodeBlock* cblk; int n_passes; int64_t len; };
   std::vector<Pending> blocks;
   for (auto& band : bands) {
@@ -492,6 +498,7 @@ static void decode_packet(BitReader& br, std::vector<Band>& bands, int layer,
       }
   }
   br.align();
+  eph();
   for (auto& b : blocks) {
     contribs.push_back({b.band, b.cblk, b.n_passes, br.pos, b.len});
     br.skip_raw(b.len);
@@ -586,10 +593,7 @@ static void decode_tile(const uint8_t* tdata, int64_t tlen,
     if (cp.sop && br.pos + 2 <= br.n && tdata[br.pos] == 0xFF
         && tdata[br.pos + 1] == 0x91)
       br.skip_raw(6);
-    decode_packet(br, res[r], layer, contribs);
-    if (cp.eph && br.pos + 2 <= br.n && tdata[br.pos] == 0xFF
-        && tdata[br.pos + 1] == 0x92)
-      br.skip_raw(2);
+    decode_packet(br, res[r], layer, cp.eph, contribs);
   };
 
   if (cp.prog_order == 0) {

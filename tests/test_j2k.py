@@ -97,6 +97,53 @@ def test_bitreader_stuffing_is_reader_local():
     assert br2.bits(7) == 0b1110010
 
 
+def test_eph_streams_decode_identically(rng):
+    """EPH sits between packet header and body: a stream with FF92
+    markers inserted at every header end (and Scod bit 2 set) must
+    decode identically to the EPH-free original — python AND native."""
+    from boa_tpu.io import dicom_codecs
+
+    img = rng.integers(0, 4096, (40, 33)).astype(np.uint16)
+    data = _enc(img)
+    siz, cp, tiles = j2k._parse_markers(data)
+    assert len(tiles) == 1
+    isot, tdata = tiles[0]
+
+    # trace packet-header end offsets within the tile bitstream
+    res = j2k._build_bands(0, 0, siz["xsiz"], siz["ysiz"],
+                           cp.n_levels, cp.cb_w, cp.cb_h)
+    br = j2k.BitReader(tdata)
+    ends: list[int] = []
+    for layer in range(cp.n_layers):
+        for r in range(cp.n_levels + 1):
+            j2k._decode_packet(br, res[r], layer, cp, [], header_ends=ends)
+
+    new_tile = bytearray(tdata)
+    for pos in sorted(ends, reverse=True):
+        new_tile[pos:pos] = b"\xff\x92"
+
+    out = bytearray(data)
+    # set Scod bit 2 (EPH) in COD
+    cod = out.find(b"\xff\x52")
+    out[cod + 4] |= 4
+    # splice the new tile bitstream, fixing Psot
+    sot = out.find(b"\xff\x90")
+    psot_old = int.from_bytes(out[sot + 6:sot + 10], "big")
+    sod = out.find(b"\xff\x93", sot)
+    start = sod + 2
+    out[start:start + len(tdata)] = new_tile
+    psot_new = psot_old + (len(new_tile) - len(tdata))
+    out[sot + 6:sot + 10] = psot_new.to_bytes(4, "big")
+    out = bytes(out)
+
+    want = j2k.decode(data)
+    np.testing.assert_array_equal(j2k.decode(out), want)
+    if dicom_codecs._j2k_native_lib() is not None:
+        got = dicom_codecs._decode_j2k_native(out)
+        np.testing.assert_array_equal(
+            got, (want.astype(np.int64) & 0xFFFF).astype(np.uint16))
+
+
 def test_rejects_non_codestream():
     with pytest.raises(ValueError, match="SOC"):
         j2k.decode(b"\x00\x01\x02\x03")

@@ -42,6 +42,32 @@ def _fake_predict(vol, spacing, task_id):
     return seg
 
 
+def test_overlapped_stages_match_serial(ct_file, tmp_path, monkeypatch):
+    """BOA_SERIAL_STAGES=1 (reference-style serial execution) and the
+    default HostWorker-overlapped run produce identical artifacts."""
+    outs = {}
+    for mode, env in (("overlap", "0"), ("serial", "1")):
+        monkeypatch.setenv("BOA_SERIAL_STAGES", env)
+        out = tmp_path / mode
+        analyze_ct(
+            input_folder=ct_file, processed_output_folder=out,
+            excel_output_folder=out, models=["total", "bca"],
+            compute_contrast_information=True, total_preview=True,
+            bca_pdf=True, fast_total=True, fake_predict=_fake_predict)
+        outs[mode] = out
+    for seg in ("total.nii.gz", "body_regions.nii.gz", "body_parts.nii.gz",
+                "tissues.nii.gz"):
+        a = np.asarray(nifti.load(outs["overlap"] / seg).data)
+        b = np.asarray(nifti.load(outs["serial"] / seg).data)
+        np.testing.assert_array_equal(a, b, err_msg=seg)
+    for j in ("total-measurements.json", "bca-measurements.json"):
+        assert json.loads((outs["overlap"] / j).read_text()) == \
+            json.loads((outs["serial"] / j).read_text()), j
+    for art in ("preview_total.png", "report.pdf"):
+        assert (outs["overlap"] / art).exists() and \
+            (outs["serial"] / art).exists(), art
+
+
 def test_analyze_ct_from_compressed_dicom_series(ct_file, tmp_path):
     """DICOM-series input (JPEG-LS encapsulated) through the full
     orchestrator: ingest -> models -> metrics -> workbook

@@ -351,3 +351,25 @@ def test_chunked_matches_reference_logits(plans, rng):
         accum_dtype=jnp.float32, k=4,
         revert=tuple((0, n) for n in vol.shape[1:])))
     np.testing.assert_array_equal(got, ref.astype(got.dtype))
+
+
+def test_zscore_normalization_path(rng):
+    """MR-style models (ZScoreNormalization, totalsegmentator MR tasks):
+    the device op matches numpy, and both the fused on-grid path and the
+    resampled general path execute the scheme branch."""
+    vol = np.abs(rng.normal(400.0, 150.0, (24, 20, 18))).astype(np.float32)
+    dev = pp.zscore_normalize(jnp.asarray(vol))
+    manual = (vol - vol.mean(dtype=np.float64)) / vol.std(dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(dev), manual, rtol=2e-5, atol=2e-5)
+
+    zp = synthetic_plans(num_classes=NUM_CLASSES, patch_size=PATCH,
+                         spacing=(3.0, 3.0, 3.0), features=(8, 16, 32))
+    conf = zp.plans["configurations"]["3d_fullres"]
+    conf["normalization_schemes"] = ["ZScoreNormalization"]
+    _, params = _make_model(zp, 0)
+    pred = Predictor(plans=zp, fold_params=[params], compute_dtype="float32")
+    seg = pred.predict(vol, (3.0, 3.0, 3.0))      # on-grid: fused path
+    assert seg.shape == vol.shape
+    assert set(np.unique(seg)) <= set(range(NUM_CLASSES))
+    seg2 = pred.predict(vol, (2.0, 2.0, 2.0))     # off-grid: general path
+    assert seg2.shape == vol.shape

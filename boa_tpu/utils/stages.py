@@ -83,13 +83,18 @@ class HostWorker:
         return fut
 
     def barrier(self) -> None:
-        """Wait for all submitted stages; raise the first failure."""
+        """Wait for all submitted stages; raise the first failure (later
+        failures are logged so they aren't silently dropped)."""
         pending, self._pending = self._pending, []
         first_exc: BaseException | None = None
         for name, fut in pending:
             exc = fut.exception()
-            if exc is not None and first_exc is None:
+            if exc is None:
+                continue
+            if first_exc is None:
                 first_exc = exc
+            else:
+                logger.error("Deferred stage %s also failed: %s", name, exc)
         if first_exc is not None:
             raise first_exc
 

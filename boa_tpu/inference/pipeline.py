@@ -20,6 +20,7 @@ import logging
 import os
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Callable
 
 import numpy as np
@@ -105,12 +106,24 @@ def predict_image(
     bucket: int | None = None,
     nnunet_resampling: bool = False,
     fake_predict: Callable[[np.ndarray, tuple, int], np.ndarray] | None = None,
+    remove_small_blobs: bool = False,
+    save_probabilities=None,
+    stats_aggregation: str = "mean",
+    stats_normalized_intensities: bool = False,
+    stats_exclude_border: bool = True,
 ) -> PredictImageResult:
     """Run one model family over a CT volume.
 
     fake_predict(vol_xyz, spacing_xyz, task_id) -> seg replaces the network
     call — the `test=N` hook of the reference (`nnunet.py:560-578`) that lets
     pipeline tests run without weights.
+
+    remove_small_blobs drops connected components < 200 mm³ from every class
+    on the model grid (`nnunet.py` general postprocessing, -rmb flag).
+    save_probabilities writes the fold-averaged class probabilities of the
+    model-grid volume to this path as `.npz` (+ a `.pkl` properties dict) —
+    the reference's expert flag (`nnunet.py:191-293`); multi-sub-model tasks
+    get a `_{task_id}` suffix per sub-model.
     """
     task = get_task(task_name, fast=fast) if task_name in ("total", "body") or \
         not task_name.endswith(("_fast", "_fastest")) else get_task(task_name)
@@ -173,13 +186,20 @@ def predict_image(
     # --- per-task-id prediction + merge (device-side LUT remap instead of
     #     the reference's per-class boolean-mask writes, nnunet.py:534-559)
     use_folds = folds if folds is not None else task.folds
+    if save_probabilities is not None:
+        save_probabilities = Path(save_probabilities)
     if multimodel:
         seg_combined = jnp.zeros(data_rsp.shape, dtype=jnp.uint8)
         inv = {v: k for k, v in label_map.items()}
         for tid in task.task_ids:
+            probs_path = None
+            if save_probabilities is not None:
+                probs_path = save_probabilities.with_name(
+                    save_probabilities.stem.split(".")[0] + f"_{tid}.npz")
             seg_part = _predict_one(data_rsp, rsp_spacing, tid, task, use_folds,
                                     step_size, store, compute_dtype,
-                                    fake_predict, bucket)
+                                    fake_predict, bucket,
+                                    save_probabilities=probs_path)
             seg_part = jnp.asarray(seg_part)
             part_map = class_maps.class_map_5_parts[
                 class_maps.map_taskid_to_partname[tid]]
@@ -192,23 +212,17 @@ def predict_image(
     else:
         seg_rsp = _predict_one(data_rsp, rsp_spacing, task.task_ids[0], task,
                                use_folds, step_size, store, compute_dtype,
-                               fake_predict, bucket)
+                               fake_predict, bucket,
+                               save_probabilities=save_probabilities)
         seg_rsp = jnp.asarray(seg_rsp).astype(jnp.uint8)
     spans.mark("predict", sync=seg_rsp)
 
-    # --- fast statistics on the model grid (statistics.py:91-141), device
-    stats = None
-    if statistics:
-        from boa_tpu.measure.statistics import get_basic_statistics
-
-        stats = get_basic_statistics(seg_rsp, data_rsp, rsp_spacing, label_map)
-
     # --- multilabel postprocessing on the model grid (host: native C++ CC;
-    #     only the `body` task needs it — one extra download+upload there)
+    #     runs BEFORE statistics like the reference, nnunet.py:596-640)
+    vox_vol = float(np.prod(rsp_spacing))
     if task.keep_largest_blob:
         from boa_tpu.ops import postprocessing as pped
 
-        vox_vol = float(np.prod(rsp_spacing))
         seg_np = np.asarray(seg_rsp)
         seg_np = pped.keep_largest_blob_multilabel(seg_np, label_map, ["body_trunc"])
         seg_np = pped.remove_small_blobs_multilabel(
@@ -216,9 +230,33 @@ def predict_image(
             interval=(50000.0 / vox_vol, 1e10))
         seg_rsp = jnp.asarray(seg_np)
         seg_model_grid = NiftiImage(data=seg_np, affine=rsp_affine)
+    elif remove_small_blobs:
+        seg_model_grid = None  # built below from the cleaned seg
     else:
         seg_model_grid = NiftiImage(data=np.asarray(seg_rsp), affine=rsp_affine)
+    if remove_small_blobs:
+        # general postprocessing: drop components < 200 mm³ from every
+        # class (`nnunet.py` -rmb, size_thr_mm3 = 200)
+        from boa_tpu.ops import postprocessing as pped
+
+        seg_np = np.asarray(seg_rsp)
+        seg_np = pped.remove_small_blobs_multilabel(
+            seg_np, label_map, list(label_map.values()),
+            interval=(200.0 / vox_vol, 1e10))
+        seg_rsp = jnp.asarray(seg_np)
+        seg_model_grid = NiftiImage(data=seg_np, affine=rsp_affine)
     spans.mark("postprocess+download")
+
+    # --- fast statistics on the model grid (statistics.py:91-141), device
+    stats = None
+    if statistics:
+        from boa_tpu.measure.statistics import get_basic_statistics
+
+        stats = get_basic_statistics(
+            seg_rsp, data_rsp, rsp_spacing, label_map,
+            exclude_masks_at_border=stats_exclude_border,
+            metric=stats_aggregation,
+            normalized_intensities=stats_normalized_intensities)
 
     # --- back to the original grid. Host↔device transfer is the scarcest
     #     resource (tunneled TPU): when the model grid is COARSER than the
@@ -288,13 +326,20 @@ def predict_image(
 
 def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
                  step_size: float, store: ModelStore, compute_dtype: str,
-                 fake_predict, bucket: int | None = None) -> np.ndarray:
+                 fake_predict, bucket: int | None = None,
+                 save_probabilities: Path | None = None) -> np.ndarray:
     if fake_predict is not None:
         if getattr(fake_predict, "wants_volume", True):
             vol = np.asarray(data_rsp)
         else:  # shape-only fakes skip the (tunnel-expensive) download
             vol = np.broadcast_to(np.int32(0), data_rsp.shape)
-        return np.asarray(fake_predict(vol, spacing, task_id))
+        seg = np.asarray(fake_predict(vol, spacing, task_id))
+        if save_probabilities is not None:  # one-hot stand-in probabilities
+            n_cls = int(seg.max()) + 1
+            probs = np.zeros((n_cls,) + seg.shape, np.float16)
+            np.put_along_axis(probs, seg[None].astype(np.int64), 1.0, axis=0)
+            _save_probabilities(probs, save_probabilities, spacing)
+        return seg
     from boa_tpu.inference.predictor import load_stacked_cached
 
     plans, stacked = load_stacked_cached(store, task_id, task.trainer,
@@ -302,4 +347,25 @@ def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
     predictor = Predictor(plans=plans, stacked_params=stacked,
                           tile_step_size=step_size, compute_dtype=compute_dtype,
                           bucket=bucket)
+    if save_probabilities is not None:
+        seg, probs = predictor.predict(data_rsp, spacing,
+                                       return_probabilities=True)
+        _save_probabilities(probs, save_probabilities, spacing)
+        return seg
     return predictor.predict(data_rsp, spacing, return_device=True)
+
+
+def _save_probabilities(probs: np.ndarray, path: Path, spacing) -> None:
+    """`.npz` probabilities + `.pkl` properties dict, the file pair nnU-Net
+    emits for `--save_probabilities` (`nnunet.py:291-293` copies s01.npz +
+    s01.pkl). The pkl holds the nnU-Net-style properties (z,y,x spacing)."""
+    import pickle
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, probabilities=np.asarray(probs, np.float16))
+    props = {"spacing": tuple(float(s) for s in spacing[::-1]),
+             "shape_after_cropping_and_before_resampling":
+                 tuple(int(n) for n in probs.shape[1:])}
+    with open(path.with_suffix(".pkl"), "wb") as fh:
+        pickle.dump(props, fh)

@@ -281,7 +281,8 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def predict(self, vol_xyz: np.ndarray | jax.Array, spacing_xyz,
-                return_device: bool = False) -> np.ndarray | jax.Array:
+                return_device: bool = False,
+                return_probabilities: bool = False) -> np.ndarray | jax.Array:
         """Full nnU-Net-equivalent prediction for a raw (X,Y,Z) volume at
         `spacing_xyz`; returns a uint8/uint16 label volume of the same shape.
 
@@ -289,6 +290,14 @@ class Predictor:
         with ``return_device`` the result stays there too (the pipeline
         downloads only the final model-grid seg — host↔device bandwidth is
         the scarcest resource, see bench notes).
+
+        ``return_probabilities`` returns ``(seg, probs)`` with probs a
+        float16 (n_classes, X, Y, Z) array of softmax (sigmoid for
+        region-based plans) probabilities at the input grid — the
+        `save_probabilities` expert flag of the reference
+        (`predict_from_raw_data.py` export with probabilities; logits are
+        resampled first and the nonlinearity applied after, matching
+        `export_prediction.py` order). Forces the general logits path.
         """
         assert self.plans.transpose_forward == [0, 1, 2], (
             "non-identity transpose_forward not yet supported")
@@ -316,6 +325,7 @@ class Predictor:
                                           tgt_spacing0)
         if tuple(new_shape0) == tuple(shape_before_resample) \
                 and not self.plans.has_regions \
+                and not return_probabilities \
                 and scheme in ("CTNormalization", "ZScoreNormalization",
                                "ZScore"):
             old_accum = self.accum_dtype
@@ -374,7 +384,29 @@ class Predictor:
         #    be tens of GB of HBM here).
         np_dt = np.uint8 if self.cfg.num_classes <= 255 else np.uint16
         dt = jnp.uint8 if self.cfg.num_classes <= 255 else jnp.uint16
-        if self.plans.has_regions:
+        probs_dev = None
+        if return_probabilities:
+            # materialize the full back-resampled logits (expert flag; the
+            # reference pays the same (C, X, Y, Z) footprint in host RAM)
+            if tuple(new_shape) != tuple(shape_before_resample):
+                logits = rs.resample_volume(
+                    logits.astype(jnp.float32), shape_before_resample,
+                    order=1, convention="resize", separate_z_order=sep_z)
+            if self.plans.has_regions:
+                probs_dev = jax.nn.sigmoid(logits.astype(jnp.float32))
+            else:
+                probs_dev = jax.nn.softmax(logits.astype(jnp.float32), axis=0)
+            probs_dev = probs_dev.astype(jnp.float16)
+            if self.plans.has_regions:
+                order = self.plans.regions_class_order
+                assert order is not None
+                seg_cropped = jnp.zeros(logits.shape[1:], dt)
+                for i, c in enumerate(order):
+                    seg_cropped = jnp.where(logits[i] > 0.0,
+                                            jnp.asarray(c, dt), seg_cropped)
+            else:
+                seg_cropped = jnp.argmax(logits, axis=0).astype(dt)
+        elif self.plans.has_regions:
             # sigmoid heads: paint regions in regions_class_order
             # (LabelManager.convert_probabilities_to_segmentation:170-176)
             order = self.plans.regions_class_order
@@ -400,6 +432,14 @@ class Predictor:
         else:
             seg = jax.lax.dynamic_update_slice(
                 jnp.zeros(orig_shape, dt), seg_cropped, bbox[:, 0].tolist())
+        if probs_dev is not None:
+            if not full_extent:
+                probs_dev = jax.lax.dynamic_update_slice(
+                    jnp.zeros((probs_dev.shape[0],) + orig_shape, jnp.float16),
+                    probs_dev, [0] + bbox[:, 0].tolist())
+            if return_device:
+                return seg, probs_dev
+            return np.asarray(seg).astype(np_dt), np.asarray(probs_dev)
         if return_device:
             return seg
         return np.asarray(seg).astype(np_dt)

@@ -114,13 +114,24 @@ def get_basic_statistics(seg: np.ndarray, ct: np.ndarray, spacing,
                          class_map: dict[int, str],
                          exclude_masks_at_border: bool = True,
                          metric: str = "mean",
-                         roi_subset: list[str] | None = None) -> dict:
-    """TotalSegmentator statistics dict: {name: {volume, intensity}}."""
+                         roi_subset: list[str] | None = None,
+                         normalized_intensities: bool = False) -> dict:
+    """TotalSegmentator statistics dict: {name: {volume, intensity}}.
+
+    `normalized_intensities` reports intensities of the min-max-normalized
+    CT (`statistics.py:108-109` rescales the int16 volume to [0, 1]). The
+    rescale is affine and monotone, so mean and median commute with it —
+    computed here from the HU stats plus the global min/max, exactly.
+    """
     num_classes = max(class_map.keys()) + 1
     if isinstance(ct, jax.Array):  # device-resident: cast on device
         ct16 = ct.astype(jnp.int16)
     else:
         ct16 = jnp.asarray(np.asarray(ct, dtype=np.int16))  # reference int16 cast
+    cmin, cscale = 0.0, 1.0
+    if normalized_intensities:
+        cmin = float(jnp.min(ct16))
+        cscale = max(float(jnp.max(ct16)) - cmin, 1e-8)
     res = segmented_stats(jnp.asarray(seg), ct16, num_classes,
                           with_histogram=(metric == "median"))
     count = np.asarray(res["count"])
@@ -143,8 +154,10 @@ def get_basic_statistics(seg: np.ndarray, ct: np.ndarray, spacing,
             if count[k] == 0:
                 entry["intensity"] = 0.0
             elif metric == "mean":
-                entry["intensity"] = float(np.round(hu_sum[k] / count[k], 5))
+                entry["intensity"] = float(np.round(
+                    (hu_sum[k] / count[k] - cmin) / cscale, 5))
             else:
-                entry["intensity"] = float(np.round(med[k], 5))
+                entry["intensity"] = float(np.round(
+                    (med[k] - cmin) / cscale, 5))
         stats[name] = entry
     return stats

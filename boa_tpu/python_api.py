@@ -231,10 +231,14 @@ def totalsegmentator(
             mask_file.parent.mkdir(parents=True, exist_ok=True)
             nifti.save(crop_mask, mask_file)
 
+    # fast runs compute statistics on the (coarse) model grid — the
+    # reference's statistics_fast split (`python_api.py:637-641`); non-fast
+    # runs compute them on the original grid at the end (`:778-795`)
+    stats_on_model_grid = statistics and (fast or fastest)
     res = predict_image(
         img, task if not fastest else f"{task}_fastest", store,
         fast=fast, crop_mask=crop_mask, crop_addon_mm=crop_addon_mm,
-        statistics=statistics, fake_predict=fake_predict,
+        statistics=stats_on_model_grid, fake_predict=fake_predict,
         nnunet_resampling=higher_order_resampling,
         remove_small_blobs=remove_small_blobs,
         save_probabilities=save_probabilities,
@@ -263,6 +267,16 @@ def totalsegmentator(
     if nora_tag != "None" and nora_tag is not None:
         logger.info("nora_tag=%s accepted but no nora node is available "
                     "in this runtime", nora_tag)
+
+    if statistics and not stats_on_model_grid:
+        from boa_tpu.measure.statistics import get_basic_statistics
+
+        stats = get_basic_statistics(
+            np.asarray(seg_img.data), np.asarray(img.data), img.zooms,
+            label_map,
+            exclude_masks_at_border=statistics_exclude_masks_at_border,
+            metric=stats_aggregation, roi_subset=roi_subset,
+            normalized_intensities=statistics_normalized_intensities)
 
     if output is not None:
         output = Path(output)

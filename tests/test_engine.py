@@ -305,3 +305,59 @@ def test_resenc_presets():
     l_conf = plans_l["configurations"]["3d_fullres"]
     assert np.prod(l_conf["patch_size"]) * l_conf["batch_size"] >= \
         np.prod(m_conf["patch_size"]) * m_conf["batch_size"]
+
+
+def test_predict_folder_cli(tmp_path):
+    """nnUNetv2_predict-equivalent CLI: folder in -> predictions out, with
+    part sharding, resume, and probability export."""
+    import numpy as np
+
+    from boa_tpu.engine import predict as ep
+    from boa_tpu.io import nifti
+    from boa_tpu.weights.store import ModelStore, create_synthetic_model
+
+    store_dir = tmp_path / "w"
+    create_synthetic_model(store_dir, 901, "Toy", num_classes=3,
+                           patch_size=(16, 16, 16), spacing=(3.0, 3.0, 3.0),
+                           features=(4, 8))
+    in_dir = tmp_path / "cases"
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i, name in enumerate(["caseA_0000.nii.gz", "caseB.nii.gz",
+                              "caseC_0000.nii.gz"]):
+        data = rng.normal(0, 200, size=(20, 18, 16)).astype(np.int16)
+        nifti.save(nifti.NiftiImage(data=data,
+                                    affine=np.diag([3.0, 3.0, 3.0, 1.0])),
+                   in_dir / name)
+
+    out_dir = tmp_path / "preds"
+    store = ModelStore(store_dir)
+    # part 0 of 2 takes cases [caseA, caseC]; part 1 takes [caseB]
+    w0 = ep.predict_folder(in_dir, out_dir, task_id=901, folds=[0],
+                           num_parts=2, part_id=0, store=store,
+                           disable_tta=True)
+    assert [p.name for p in w0] == ["caseA.nii.gz", "caseC.nii.gz"]
+    w1 = ep.predict_folder(in_dir, out_dir, task_id=901, folds=[0],
+                           num_parts=2, part_id=1, store=store,
+                           disable_tta=True, save_probabilities=True)
+    assert [p.name for p in w1] == ["caseB.nii.gz"]
+    assert (out_dir / "caseB.npz").exists()
+    assert (out_dir / "caseB.pkl").exists()
+    probs = np.load(out_dir / "caseB.npz")["probabilities"]
+    seg = np.asarray(nifti.load(out_dir / "caseB.nii.gz").data)
+    assert probs.shape == (3, 20, 18, 16)
+    np.testing.assert_array_equal(np.argmax(probs, 0), seg)
+
+    # resume skips everything already written
+    again = ep.predict_folder(in_dir, out_dir, task_id=901, folds=[0],
+                              store=store, continue_prediction=True,
+                              disable_tta=True)
+    assert again == []
+
+    # explicit model-folder form (-m) matches the store form
+    mdir = store.model_dir(901)
+    w_m = ep.predict_folder(in_dir, tmp_path / "preds_m", model_dir=mdir,
+                            folds=[0], disable_tta=True)
+    segA = np.asarray(nifti.load(out_dir / "caseA.nii.gz").data)
+    segA_m = np.asarray(nifti.load(tmp_path / "preds_m/caseA.nii.gz").data)
+    np.testing.assert_array_equal(segA, segA_m)

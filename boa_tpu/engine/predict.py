@@ -29,9 +29,9 @@ from boa_tpu.plans.plans import ModelPlans
 logger = logging.getLogger(__name__)
 
 
-def list_cases(in_dir: Path) -> list[tuple[str, Path]]:
-    """(case_id, file) pairs; accepts nnU-Net `{case}_0000.nii.gz` channel
-    naming (single channel) and plain `{case}.nii.gz`."""
+def list_cases(in_dir: Path) -> list[tuple[str, list[Path]]]:
+    """(case_id, channel files) pairs; accepts nnU-Net `{case}_0000.nii.gz`
+    channel naming (sorted by channel index) and plain `{case}.nii.gz`."""
     cases: dict[str, list[Path]] = {}
     for p in sorted(in_dir.iterdir()):
         name = p.name
@@ -42,15 +42,7 @@ def list_cases(in_dir: Path) -> list[tuple[str, Path]]:
             cases.setdefault(stem[:-5], []).append(p)
         else:
             cases.setdefault(stem, []).append(p)
-    out = []
-    for cid, files in sorted(cases.items()):
-        if len(files) > 1:
-            raise NotImplementedError(
-                f"case {cid} has {len(files)} input channels; this CLI "
-                "currently predicts single-channel (CT/MR) datasets — "
-                "every TotalSegmentator/BCA model is single-channel")
-        out.append((cid, files[0]))
-    return out
+    return sorted(cases.items())
 
 
 def load_model_folder(mdir: Path, folds, chk: str = "checkpoint_final",
@@ -131,18 +123,19 @@ def predict_folder(
                 num_parts)
     out_dir.mkdir(parents=True, exist_ok=True)
     written = []
-    for cid, f in cases:
+    for cid, files in cases:
         out_f = out_dir / f"{cid}.nii.gz"
         if continue_prediction and out_f.exists():
             logger.info("%s exists, skipping (continue_prediction)", cid)
             continue
-        img = nifti.load(f)
+        img = nifti.load(files[0])
         data = np.asarray(img.data)
         if data.ndim == 4:
-            if data.shape[-1] != 1:
-                raise NotImplementedError("multi-channel 4D volumes are not "
-                                          "supported by this CLI yet")
-            data = data[..., 0]
+            data = data[..., 0] if data.shape[-1] == 1 else \
+                np.moveaxis(data, -1, 0)
+        if len(files) > 1:  # multi-modal case: stack channels (C, X, Y, Z)
+            data = np.stack([data] + [np.asarray(nifti.load(f).data)
+                                      for f in files[1:]])
         if save_probabilities:
             seg, probs = predictor.predict(data, img.zooms,
                                            return_probabilities=True)

@@ -79,16 +79,24 @@ def _argmax_resampled(logits: jax.Array, target_shape: tuple[int, ...],
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("pads", "scheme"))
-def _normalize_pad(vol, props4, *, pads, scheme):
-    """CT normalization + pad-to-patch prologue of the fused path."""
-    v = vol.astype(jnp.float32)
-    if scheme == "CTNormalization":
-        v = jnp.clip(v, props4[0], props4[1])
-        v = (v - props4[2]) / props4[3]
-    else:
-        v = (v - jnp.mean(v)) / jnp.maximum(jnp.std(v), 1e-8)
-    v = v[None]
+@partial(jax.jit, static_argnames=("pads", "schemes"))
+def _normalize_pad(vol, props4, *, pads, schemes):
+    """Per-channel normalization + pad-to-patch prologue of the fused path.
+
+    vol: (C, X, Y, Z); props4: (C, 4) [clip_lo, clip_hi, mean, std] rows
+    (ignored for ZScore channels); schemes: one name per channel
+    (`default_preprocessor.py:85-99` normalizes each channel separately).
+    """
+    chans = []
+    for c, scheme in enumerate(schemes):
+        v = vol[c].astype(jnp.float32)
+        if scheme == "CTNormalization":
+            v = jnp.clip(v, props4[c, 0], props4[c, 1])
+            v = (v - props4[c, 2]) / props4[c, 3]
+        else:
+            v = (v - jnp.mean(v)) / jnp.maximum(jnp.std(v), 1e-8)
+        chans.append(v)
+    v = jnp.stack(chans)
     if any(p != (0, 0) for p in pads):
         v = jnp.pad(v, ((0, 0),) + tuple(pads))
     return v
@@ -243,10 +251,11 @@ class Predictor:
         return logits
 
     # ------------------------------------------------------------------
-    def _predict_seg_fused(self, dev: jax.Array, scheme: str) -> jax.Array:
-        """Fused no-resample path: (X,Y,Z) raw volume → uint label seg."""
+    def _predict_seg_fused(self, dev: jax.Array,
+                           schemes: tuple[str, ...]) -> jax.Array:
+        """Fused no-resample path: (C,X,Y,Z) raw volume → uint label seg."""
         patch = self.plans.patch_size_xyz
-        spatial = dev.shape
+        spatial = dev.shape[-3:]
         pads = []
         for n, p in zip(spatial, patch):
             target = max(p, n)
@@ -264,15 +273,18 @@ class Predictor:
         else:
             acc = {"float16": jnp.float16, "float32": jnp.float32,
                    "bfloat16": jnp.bfloat16}[self.accum_dtype]
-        props = self.plans.intensity_properties if \
-            scheme == "CTNormalization" else {}
-        props4 = jnp.asarray([
-            float(props.get("percentile_00_5", 0.0)),
-            float(props.get("percentile_99_5", 0.0)),
-            float(props.get("mean", 0.0)),
-            max(float(props.get("std", 1.0)), 1e-8)], jnp.float32)
+        rows = []
+        for c, scheme in enumerate(schemes):
+            props = self.plans.channel_intensity_properties(c) if \
+                scheme == "CTNormalization" else {}
+            rows.append([
+                float(props.get("percentile_00_5", 0.0)),
+                float(props.get("percentile_99_5", 0.0)),
+                float(props.get("mean", 0.0)),
+                max(float(props.get("std", 1.0)), 1e-8)])
+        props4 = jnp.asarray(rows, jnp.float32)
         seg_dtype = jnp.uint8 if self.cfg.num_classes <= 255 else jnp.uint16
-        v = _normalize_pad(dev, props4, pads=tuple(pads), scheme=scheme)
+        v = _normalize_pad(dev, props4, pads=tuple(pads), schemes=schemes)
         revert = tuple((b, b + n) for (b, _), n in zip(pads, spatial))
         return sliding_window_seg_chunked(
             self._stacked, v, starts, gauss, self.cfg,
@@ -304,18 +316,24 @@ class Predictor:
         dev = jnp.asarray(vol_xyz)
         if dev.dtype != jnp.float32:
             dev = dev.astype(jnp.float32)
-        orig_shape = dev.shape
+        if dev.ndim == 3:  # single channel; engine paths may pass (C,X,Y,Z)
+            dev = dev[None]
+        n_ch = dev.shape[0]
+        orig_shape = dev.shape[-3:]
 
-        # 1. crop to nonzero (cropping.py:19-39); one host sync for the bbox
+        # 1. crop to nonzero over ALL channels (cropping.py:19-39 builds the
+        #    nonzero mask from every channel); one host sync for the bbox
         bbox = np.asarray(pp.bbox_array(dev))
         full_extent = bool((bbox[:, 0] == 0).all()
                            and (bbox[:, 1] == np.array(orig_shape)).all())
         if not full_extent:
-            dev = jax.lax.slice(dev, bbox[:, 0].tolist(), bbox[:, 1].tolist())
-        shape_before_resample = dev.shape
+            dev = jax.lax.slice(dev, [0] + bbox[:, 0].tolist(),
+                                [n_ch] + bbox[:, 1].tolist())
+        shape_before_resample = dev.shape[-3:]
 
-        # 2. normalize BEFORE resampling (default_preprocessor.py:85-88)
-        scheme = self.plans.normalization_schemes[0]
+        # 2. normalize BEFORE resampling (default_preprocessor.py:85-88),
+        #    one scheme per channel
+        schemes = tuple((self.plans.normalization_schemes * n_ch)[:n_ch])
 
         # fast path: already on the model grid (the TS pipeline pre-resamples)
         # and plain softmax labels → one fused device program
@@ -326,11 +344,11 @@ class Predictor:
         if tuple(new_shape0) == tuple(shape_before_resample) \
                 and not self.plans.has_regions \
                 and not return_probabilities \
-                and scheme in ("CTNormalization", "ZScoreNormalization",
-                               "ZScore"):
+                and all(s in ("CTNormalization", "ZScoreNormalization",
+                              "ZScore") for s in schemes):
             old_accum = self.accum_dtype
             try:
-                seg_cropped = self._predict_seg_fused(dev, scheme)
+                seg_cropped = self._predict_seg_fused(dev, schemes)
                 # the chunked path allocates + fills the accumulator across
                 # several async dispatches, so an HBM OOM surfaces at the
                 # NEXT blocking readback, not at dispatch — force a 1-voxel
@@ -341,7 +359,7 @@ class Predictor:
                     raise
                 try:
                     self.accum_dtype = "float16"
-                    seg_cropped = self._predict_seg_fused(dev, scheme)
+                    seg_cropped = self._predict_seg_fused(dev, schemes)
                 finally:
                     self.accum_dtype = old_accum
             np_dt = np.uint8 if self.cfg.num_classes <= 255 else np.uint16
@@ -355,12 +373,16 @@ class Predictor:
                 return seg
             return np.asarray(seg).astype(np_dt)
 
-        if scheme == "CTNormalization":
-            dev = pp.ct_normalize(dev, self.plans.intensity_properties)
-        elif scheme in ("ZScoreNormalization", "ZScore"):
-            dev = pp.zscore_normalize(dev)
-        else:
-            raise NotImplementedError(f"normalization scheme {scheme}")
+        chans = []
+        for c, scheme in enumerate(schemes):
+            if scheme == "CTNormalization":
+                chans.append(pp.ct_normalize(
+                    dev[c], self.plans.channel_intensity_properties(c)))
+            elif scheme in ("ZScoreNormalization", "ZScore"):
+                chans.append(pp.zscore_normalize(dev[c]))
+            else:
+                raise NotImplementedError(f"normalization scheme {scheme}")
+        dev = jnp.stack(chans) if n_ch > 1 else chans[0][None]
 
         # 3. resample to plan spacing (skimage/'resize' convention, order 3,
         #    separate-z order 0 when anisotropic)
@@ -374,7 +396,7 @@ class Predictor:
                                      convention="resize", separate_z_order=sep_z)
 
         # 4. sliding window
-        logits = self.predict_logits(dev[None])
+        logits = self.predict_logits(dev)
 
         # 5. resample logits back to pre-resample shape (order 1), argmax.
         #    Done class-chunked with a running max so the full-resolution

@@ -89,6 +89,13 @@ class ModelPlans:
         props = self.plans.get("foreground_intensity_properties_per_channel", {})
         return props.get("0", props.get(0, {}))
 
+    def channel_intensity_properties(self, c: int) -> dict:
+        """Per-channel fingerprint stats (multi-modal datasets normalize
+        each channel with its own scheme + properties,
+        `default_preprocessor.py:85-99`)."""
+        props = self.plans.get("foreground_intensity_properties_per_channel", {})
+        return props.get(str(c), props.get(c, {}))
+
     # --- labels (dataset.json; LabelManager equivalent for the plain case) ---
     @property
     def labels(self) -> dict[str, int]:
@@ -186,8 +193,14 @@ def synthetic_plans(
     clip_hi: float = 1500.0,
     old_format: bool = False,
     label_names: list[str] | None = None,
+    channels: int = 1,
+    normalization: str = "CTNormalization",
 ) -> ModelPlans:
-    """Build a small in-memory plans set (tests / synthetic model zoo)."""
+    """Build a small in-memory plans set (tests / synthetic model zoo).
+
+    channels > 1 emits an nnU-Net multi-modal dataset: one channel name,
+    normalization scheme, and fingerprint-stats entry per channel (the arch
+    input_channels follows from len(channel_names))."""
     n_stages = len(features)
     strides = [[1, 1, 1]] + [[2, 2, 2]] * (n_stages - 1)
     if old_format:
@@ -222,8 +235,8 @@ def synthetic_plans(
         {
             "patch_size": list(patch_size),
             "spacing": list(spacing),
-            "normalization_schemes": ["CTNormalization"],
-            "use_mask_for_norm": [False],
+            "normalization_schemes": [normalization] * channels,
+            "use_mask_for_norm": [False] * channels,
             "resampling_fn_data": "resample_data_or_seg_to_shape",
             "resampling_fn_data_kwargs": {
                 "is_seg": False, "order": 3, "order_z": 0, "force_separate_z": None},
@@ -244,17 +257,19 @@ def synthetic_plans(
         "transpose_backward": [0, 1, 2],
         "configurations": {"3d_fullres": conf},
         "foreground_intensity_properties_per_channel": {
-            "0": {
-                "mean": intensity_mean,
+            str(c): {
+                "mean": intensity_mean + 10.0 * c,
                 "std": intensity_std,
                 "percentile_00_5": clip_lo,
                 "percentile_99_5": clip_hi,
                 "min": clip_lo - 100,
                 "max": clip_hi + 100,
                 "median": intensity_mean,
-            }
+            } for c in range(channels)
         },
     }
-    dataset = {"labels": labels, "channel_names": {"0": "CT"},
+    dataset = {"labels": labels,
+               "channel_names": {str(c): ("CT" if c == 0 else f"MR{c}")
+                                 for c in range(channels)},
                "file_ending": ".nii.gz"}
     return ModelPlans(plans=plans, dataset=dataset)

@@ -373,3 +373,53 @@ def test_zscore_normalization_path(rng):
     assert set(np.unique(seg)) <= set(range(NUM_CLASSES))
     seg2 = pred.predict(vol, (2.0, 2.0, 2.0))     # off-grid: general path
     assert seg2.shape == vol.shape
+
+
+def test_multichannel_predict_parity(rng):
+    """Multi-modal (2-channel) prediction: per-channel ZScore normalization
+    + fused sliding window match the torch mirror fold ensemble
+    (`default_preprocessor.py:85-99` normalizes each channel separately)."""
+    plans2 = synthetic_plans(num_classes=NUM_CLASSES, patch_size=PATCH,
+                             spacing=(3.0, 3.0, 3.0), features=(8, 16, 32),
+                             channels=2,
+                             normalization="ZScoreNormalization")
+    assert plans2.num_input_channels == 2
+    net, params = _make_model(plans2)
+    vol = rng.normal(50, 300, size=(2, 20, 18, 16)).astype(np.float32)
+
+    norm = np.stack([(c - c.mean()) / max(c.std(), 1e-8) for c in vol])
+    ref_logits = _ref_sliding_window([net], norm, PATCH, 0.5)
+    ref_seg = np.argmax(ref_logits, axis=0)
+
+    pred = Predictor(plans=plans2, fold_params=[params],
+                     compute_dtype="float32", accum_dtype="float32")
+    seg = pred.predict(vol, (3.0, 3.0, 3.0))
+    assert (seg == ref_seg).mean() > 0.999
+
+    # general (resampling) path accepts channels too
+    seg_rs = pred.predict(vol, (3.0, 3.0, 6.0))
+    assert seg_rs.shape == vol.shape[1:]
+
+
+def test_multichannel_mixed_schemes(rng):
+    """Channel 0 CTNormalization + channel 1 ZScore both apply (the plans
+    list one scheme per channel)."""
+    plans2 = synthetic_plans(num_classes=NUM_CLASSES, patch_size=PATCH,
+                             spacing=(3.0, 3.0, 3.0), features=(8, 16, 32),
+                             channels=2)
+    plans2.conf["normalization_schemes"] = ["CTNormalization",
+                                            "ZScoreNormalization"]
+    net, params = _make_model(plans2)
+    vol = rng.normal(50, 400, size=(2, 20, 18, 16)).astype(np.float32)
+
+    props = plans2.channel_intensity_properties(0)
+    c0 = np.clip(vol[0], props["percentile_00_5"], props["percentile_99_5"])
+    c0 = (c0 - props["mean"]) / props["std"]
+    c1 = (vol[1] - vol[1].mean()) / max(vol[1].std(), 1e-8)
+    ref_seg = np.argmax(_ref_sliding_window([net], np.stack([c0, c1]),
+                                            PATCH, 0.5), axis=0)
+
+    pred = Predictor(plans=plans2, fold_params=[params],
+                     compute_dtype="float32", accum_dtype="float32")
+    seg = pred.predict(vol, (3.0, 3.0, 3.0))
+    assert (seg == ref_seg).mean() > 0.999

@@ -34,6 +34,8 @@ EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
 UNCOMPRESSED = {IMPLICIT_VR_LE, EXPLICIT_VR_LE}
 # encapsulated syntaxes with in-repo codecs (io/dicom_codecs.py):
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
@@ -41,7 +43,8 @@ JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
 JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
 JPEG_2000 = "1.2.840.10008.1.2.4.91"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
-SUPPORTED_COMPRESSED = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
+SUPPORTED_COMPRESSED = {JPEG_BASELINE, JPEG_EXTENDED,
+                        JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
                         JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS,
                         JPEG_2000_LOSSLESS, JPEG_2000,
                         RLE_LOSSLESS}
@@ -170,6 +173,7 @@ DICT: dict[str, tuple[int, int, str]] = {
     "RescaleIntercept": (0x0028, 0x1052, "DS"),
     "RescaleSlope": (0x0028, 0x1053, "DS"),
     "LossyImageCompression": (0x0028, 0x2110, "CS"),
+    "LossyImageCompressionMethod": (0x0028, 0x2114, "CS"),
     "SegmentSequence": (0x0062, 0x0002, "SQ"),
     "SegmentedPropertyCategoryCodeSequence": (0x0062, 0x0003, "SQ"),
     "SegmentLabel": (0x0062, 0x0005, "LO"),
@@ -476,7 +480,8 @@ def dcmread(path: str | Path | bytes, stop_before_pixels: bool = False) -> Datas
     if ts not in UNCOMPRESSED and ts not in SUPPORTED_COMPRESSED:
         raise ValueError(
             f"Unsupported transfer syntax {ts}: supported are uncompressed "
-            f"little endian, JPEG Lossless ({JPEG_LOSSLESS_SV1}/"
+            f"little endian, JPEG Baseline/Extended ({JPEG_BASELINE}/"
+            f"{JPEG_EXTENDED}), JPEG Lossless ({JPEG_LOSSLESS_SV1}/"
             f"{JPEG_LOSSLESS_P14}), JPEG-LS ({JPEG_LS_LOSSLESS}/"
             f"{JPEG_LS_NEAR_LOSSLESS}), JPEG 2000 ({JPEG_2000_LOSSLESS}/"
             f"{JPEG_2000}) and RLE ({RLE_LOSSLESS}); transcode "
@@ -542,6 +547,11 @@ def _decode_encapsulated(enc: EncapsulatedFrames, ts: str, rows: int,
         elif ts in (JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14):
             arr = dicom_codecs.decode_jpeg_lossless(frame)
             if arr.shape != (rows, cols):
+                raise ValueError(f"frame decoded to {arr.shape}, "
+                                 f"expected {(rows, cols)}")
+        elif ts in (JPEG_BASELINE, JPEG_EXTENDED):
+            arr = dicom_codecs.decode_jpeg_dct(frame)
+            if arr.shape[:2] != (rows, cols):
                 raise ValueError(f"frame decoded to {arr.shape}, "
                                  f"expected {(rows, cols)}")
         elif ts in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):

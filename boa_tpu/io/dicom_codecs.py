@@ -1025,3 +1025,250 @@ def encode_jpeg2000(img: np.ndarray) -> bytes:
     Image.fromarray(img).save(buf, format="JPEG2000", irreversible=False,
                               no_jp2=True)
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# JPEG DCT (lossy): baseline SOF0 (…4.50) and extended 12-bit SOF1 (…4.51)
+# ---------------------------------------------------------------------------
+
+_JDCT_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64)
+
+# Annex K.1 luminance quantization table (natural order via zigzag below)
+_JDCT_STD_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    np.int64)  # natural (row-major) order
+
+
+def _jdct_basis() -> np.ndarray:
+    u = np.arange(8.0)[:, None]
+    x = np.arange(8.0)[None, :]
+    b = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    b[0] *= np.sqrt(0.5)
+    return b  # B[u, x]; spatial = B.T @ F @ B, F = B @ spatial @ B.T
+
+
+def _bind_jpegdct(lib) -> bool:
+    import ctypes
+
+    if not hasattr(lib, "boa_jpegdct_decode"):
+        return False
+    if not getattr(lib, "_jpegdct_bound", False):
+        lib.boa_jpegdct_decode.restype = ctypes.c_int32
+        lib.boa_jpegdct_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64] + [ctypes.POINTER(ctypes.c_int32)] * 4
+        lib._jpegdct_bound = True
+    return True
+
+
+def decode_jpeg_dct(frame: bytes) -> np.ndarray:
+    """Decode a lossy (sequential-Huffman DCT) JPEG frame to uint16
+    samples, (rows, cols) or (rows, cols, ncomp).
+
+    Native decoder first (`native/jpegdct.cpp`, handles 8- and 12-bit);
+    falls back to Pillow for 8-bit streams when the toolchain is absent.
+    """
+    import ctypes
+
+    lib = _native_lib()
+    if lib is not None and _bind_jpegdct(lib):
+        rows = ctypes.c_int32()
+        cols = ctypes.c_int32()
+        ncomp = ctypes.c_int32()
+        prec = ctypes.c_int32()
+        rc = lib.boa_jpegdct_decode(frame, len(frame), None, 0,
+                                    ctypes.byref(rows), ctypes.byref(cols),
+                                    ctypes.byref(ncomp), ctypes.byref(prec))
+        if rc == 0:
+            out = np.empty(rows.value * cols.value * ncomp.value, np.uint16)
+            rc = lib.boa_jpegdct_decode(
+                frame, len(frame), out.ctypes.data_as(ctypes.c_void_p),
+                out.size, ctypes.byref(rows), ctypes.byref(cols),
+                ctypes.byref(ncomp), ctypes.byref(prec))
+            if rc != 0:
+                raise ValueError(f"JPEG DCT decode failed (rc={rc})")
+            out = out.reshape(rows.value, cols.value, ncomp.value)
+            return out[:, :, 0] if ncomp.value == 1 else out
+        raise ValueError(f"JPEG DCT geometry parse failed (rc={rc})")
+    try:  # Pillow fallback: 8-bit baseline only
+        import io as _io
+
+        from PIL import Image
+
+        img = Image.open(_io.BytesIO(frame))
+        arr = np.asarray(img)
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[..., 0]
+        return arr.astype(np.uint16)
+    except Exception as exc:
+        raise ValueError(
+            "no decoder available for lossy JPEG (native toolchain and "
+            f"Pillow both unavailable: {exc})") from exc
+
+
+def _jdct_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+class _JdctHuff:
+    """Canonical Huffman writer table built from fixed code lengths."""
+
+    def __init__(self, lengths_values: list[tuple[int, int]]):
+        # lengths_values: (bit length, symbol) sorted by (length, order)
+        self.codes: dict[int, tuple[int, int]] = {}
+        code = 0
+        last_len = 0
+        counts = [0] * 17
+        values = []
+        for ln, sym in lengths_values:
+            code <<= (ln - last_len)
+            self.codes[sym] = (code, ln)
+            code += 1
+            last_len = ln
+            counts[ln] += 1
+            values.append(sym)
+        self.counts = counts[1:]
+        self.values = values
+
+    def dht_payload(self, tc: int, th: int) -> bytes:
+        return bytes([tc << 4 | th] + self.counts + self.values)
+
+
+class _JdctBitWriter:
+    """MSB-first writer with T.81 byte stuffing (0x00 after each 0xFF)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.cur)
+                if self.cur == 0xFF:
+                    self.out.append(0x00)
+                self.cur = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            byte = (self.cur << pad) | ((1 << pad) - 1)  # pad with 1 bits
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def encode_jpeg_dct(img: np.ndarray, precision: int | None = None,
+                    quant_table: np.ndarray | None = None,
+                    quality: int = 90) -> bytes:
+    """Sequential-Huffman DCT JPEG encoder (single component, 1x1).
+
+    The encoder mirror of decode_jpeg_dct for the writer and the
+    round-trip tests: SOF0 for 8-bit, SOF1 for 12-bit (the DICOM
+    JPEG-Extended 1.2.840.10008.1.2.4.51 process). `quant_table` is a
+    64-entry natural-order table; default is the Annex K.1 table scaled
+    by libjpeg quality semantics."""
+    img = np.ascontiguousarray(img)
+    if img.ndim != 2:
+        raise ValueError("encoder handles single-component frames")
+    rows, cols = img.shape
+    if precision is None:
+        precision = 8 if int(img.max()) < 256 else 12
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if quant_table is None:
+        s = 5000 // max(quality, 1) if quality < 50 else 200 - 2 * quality
+        quant_table = np.clip((_JDCT_STD_QT * s + 50) // 100, 1, 255)
+        if precision == 12:  # scale roughly with the wider dynamic range
+            quant_table = np.clip(quant_table * 4, 1, 32767)
+    qt = np.asarray(quant_table, np.int64).reshape(64)
+
+    # forward DCT of level-shifted blocks (edge-replicated to 8x8 grid)
+    shift = 1 << (precision - 1)
+    ph, pw = -(-rows // 8) * 8, -(-cols // 8) * 8
+    padded = np.pad(img.astype(np.float64) - shift,
+                    ((0, ph - rows), (0, pw - cols)), mode="edge")
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    b = _jdct_basis()
+    coefs = np.einsum("ux,ijxy,vy->ijuv", b, blocks, b)
+    q = np.round(coefs / qt.reshape(8, 8)).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, _JDCT_ZIGZAG]  # (nblocks, 64) zigzag order
+
+    # gather symbols: DC categories + AC (run, size) pairs
+    dc_diffs = np.diff(zz[:, 0], prepend=0)
+    ac_syms: set[int] = {0x00}  # EOB always present in the table
+    blocks_rle = []
+    for row in zz:
+        rle = []
+        run = 0
+        for k in range(1, 64):
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                rle.append((0xF0, 0))
+                ac_syms.add(0xF0)
+                run -= 16
+            sz = _jdct_category(v)
+            sym = (run << 4) | sz
+            rle.append((sym, v))
+            ac_syms.add(sym)
+            run = 0
+        if run:
+            rle.append((0x00, 0))  # EOB
+        blocks_rle.append(rle)
+
+    # fixed-length canonical tables: DC 16 syms @5 bits, AC all @9 bits
+    dc_huff = _JdctHuff([(5, t) for t in range(16)])
+    ac_huff = _JdctHuff([(9, sym) for sym in sorted(ac_syms)])
+
+    w = _JdctBitWriter()
+    for i, rle in enumerate(blocks_rle):
+        diff = int(dc_diffs[i])
+        t = _jdct_category(diff)
+        code, ln = dc_huff.codes[t]
+        w.put(code, ln)
+        if t:
+            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        for sym, v in rle:
+            code, ln = ac_huff.codes[sym]
+            w.put(code, ln)
+            sz = sym & 15
+            if sz:
+                w.put(v if v >= 0 else v + (1 << sz) - 1, sz)
+    scan = w.flush()
+
+    pq = 1 if qt.max() > 255 else 0
+    qt_zig = qt[_JDCT_ZIGZAG]
+    dqt_body = bytes([pq << 4]) + (
+        b"".join(struct.pack(">H", int(v)) for v in qt_zig) if pq
+        else bytes(int(v) for v in qt_zig))
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt_body)) + dqt_body
+    sof = bytes([precision]) + struct.pack(">HH", rows, cols) + \
+        bytes([1, 1, 0x11, 0])
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, huff in ((0, dc_huff), (1, ac_huff)):
+        payload = huff.dht_payload(tc, 0)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)

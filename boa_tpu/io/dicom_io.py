@@ -228,9 +228,14 @@ def write_ct_series(img: nifti.NiftiImage, out_dir: Path, *,
         dicom.JPEG_LOSSLESS_SV1: dicom_codecs.encode_jpeg_lossless_sv1,
         dicom.JPEG_LS_LOSSLESS: dicom_codecs.encode_jpeg_ls,
         dicom.JPEG_2000_LOSSLESS: dicom_codecs.encode_jpeg2000,
+        # lossy 12-bit (JPEG Extended process 2&4): HU biased to unsigned
+        # 12 bits with RescaleIntercept -1024, the usual CT convention
+        dicom.JPEG_EXTENDED: lambda sl: dicom_codecs.encode_jpeg_dct(
+            sl, precision=12),
     }
     if ts != dicom.EXPLICIT_VR_LE and ts not in encoders:
         raise ValueError(f"unsupported write transfer syntax {ts}")
+    lossy12 = ts == dicom.JPEG_EXTENDED
     files = []
     for z in range(nz):
         ds = dicom.Dataset()
@@ -268,16 +273,23 @@ def write_ct_series(img: nifti.NiftiImage, out_dir: Path, *,
         ds.SamplesPerPixel = 1
         ds.PhotometricInterpretation = "MONOCHROME2"
         ds.BitsAllocated = 16
-        ds.BitsStored = 16
-        ds.HighBit = 15
-        ds.PixelRepresentation = 1
-        ds.RescaleIntercept = 0.0
+        ds.BitsStored = 12 if lossy12 else 16
+        ds.HighBit = 11 if lossy12 else 15
+        ds.PixelRepresentation = 0 if lossy12 else 1
+        ds.RescaleIntercept = -1024.0 if lossy12 else 0.0
         ds.RescaleSlope = 1.0
+        if lossy12:
+            ds.LossyImageCompression = "01"
+            ds.LossyImageCompressionMethod = "ISO_10918_1"
         for k, v in (extra or {}).items():
             setattr(ds, k, v)
         sl = np.ascontiguousarray(data[:, :, z].T.astype(np.int16))
         if ts == dicom.EXPLICIT_VR_LE:
             ds.set_raw(dicom.DICT["PixelData"][:2], "OW", sl.tobytes())
+        elif lossy12:
+            biased = np.clip(sl.astype(np.int32) + 1024, 0, 4095
+                             ).astype(np.uint16)
+            ds.PixelData = dicom.encapsulate([encoders[ts](biased)])
         else:
             frame = encoders[ts](sl.view(np.uint16))
             ds.PixelData = dicom.encapsulate([frame])

@@ -398,7 +398,7 @@ def test_unsupported_syntax_clear_error(tmp_path, rng):
     ds.SOPClassUID = dicom.CT_IMAGE_STORAGE
     ds.SOPInstanceUID = dicom.generate_uid()
     meta = dicom.Dataset()
-    meta.TransferSyntaxUID = "1.2.840.10008.1.2.4.50"  # lossy JPEG baseline
+    meta.TransferSyntaxUID = dicom.EXPLICIT_VR_BE  # big endian: unsupported
     ds.file_meta = meta
     p = tmp_path / "bad.dcm"
     dicom.dcmwrite(p, ds)
@@ -406,7 +406,122 @@ def test_unsupported_syntax_clear_error(tmp_path, rng):
     raw = bytearray(p.read_bytes())
     idx = raw.find(b"1.2.840.10008.1.2.1\x00")
     if idx >= 0:
-        raw[idx:idx + 20] = b"1.2.840.10008.1.2.4.50"[:20].ljust(20, b"\x00")
+        raw[idx:idx + 20] = b"1.2.840.10008.1.2.2"[:20].ljust(20, b"\x00")
     p.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="transfer syntax"):
         dicom.dcmread(p)
+
+
+def test_jpeg_dct_decode_matches_quantized_reconstruction(rng):
+    """Lossy JPEG (baseline 8-bit and extended 12-bit): the native decoder
+    reproduces round(IDCT(dequantized coefficients)) exactly, and with a
+    unit quant table the round trip is within DCT rounding (±1)."""
+    from boa_tpu.io import dicom_codecs as dc
+
+    def oracle(img, precision, qt):
+        shift = 1 << (precision - 1)
+        rows, cols = img.shape
+        ph, pw = -(-rows // 8) * 8, -(-cols // 8) * 8
+        padded = np.pad(img.astype(np.float64) - shift,
+                        ((0, ph - rows), (0, pw - cols)), mode="edge")
+        b = dc._jdct_basis()
+        blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("ux,ijxy,vy->ijuv", b, blocks, b)
+        q = np.round(f / qt.reshape(8, 8)) * qt.reshape(8, 8)
+        sp = np.einsum("ux,ijuv,vy->ijxy", b, q, b)
+        rec = np.clip(np.round(sp) + shift, 0, (1 << precision) - 1)
+        return rec.transpose(0, 2, 1, 3).reshape(ph, pw)[:rows, :cols
+                                                         ].astype(np.uint16)
+
+    qt1 = np.ones(64, np.int64)
+    x = np.linspace(0, 255, 37)[None, :] * np.ones((29, 1))
+    img8 = (x + rng.normal(0, 10, (29, 37))).clip(0, 255).astype(np.uint16)
+    frame8 = dc.encode_jpeg_dct(img8, precision=8, quant_table=qt1)
+    dec8 = dc.decode_jpeg_dct(frame8)
+    np.testing.assert_array_equal(dec8, oracle(img8, 8, qt1))
+    assert np.abs(dec8.astype(int) - img8.astype(int)).max() <= 1
+
+    img12 = rng.normal(2048, 400, (45, 52)).clip(0, 4095).astype(np.uint16)
+    frame12 = dc.encode_jpeg_dct(img12, precision=12, quant_table=qt1)
+    dec12 = dc.decode_jpeg_dct(frame12)
+    np.testing.assert_array_equal(dec12, oracle(img12, 12, qt1))
+    assert np.abs(dec12.astype(int) - img12.astype(int)).max() <= 1
+
+    # genuinely lossy table still reconstructs the quantized coefficients
+    qtq = np.clip(dc._JDCT_STD_QT * 2, 1, 255)
+    frame_q = dc.encode_jpeg_dct(img8, precision=8, quant_table=qtq)
+    np.testing.assert_array_equal(dc.decode_jpeg_dct(frame_q),
+                                  oracle(img8, 8, qtq))
+
+
+def test_jpeg_dct_pil_cross_validation(rng):
+    """Independent oracle: libjpeg (via Pillow) decodes our baseline
+    streams within ±1 of the native decoder, and our decoder reads
+    PIL-ENCODED monochrome and 4:4:4 color JPEGs."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from boa_tpu.io import dicom_codecs as dc
+
+    img = rng.integers(0, 256, (40, 33)).astype(np.uint16)
+    ours = dc.encode_jpeg_dct(img, precision=8,
+                              quant_table=np.ones(64, np.int64))
+    pil = np.asarray(PIL.open(_io.BytesIO(ours)))
+    native = dc.decode_jpeg_dct(ours)
+    assert np.abs(pil.astype(int) - native.astype(int)).max() <= 1
+
+    # PIL-encoded grayscale
+    buf = _io.BytesIO()
+    PIL.fromarray(img.astype(np.uint8), "L").save(buf, "JPEG", quality=90)
+    dec = dc.decode_jpeg_dct(buf.getvalue())
+    ref = np.asarray(PIL.open(_io.BytesIO(buf.getvalue())))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 1
+
+    # PIL-encoded color 4:4:4 (3-component interleaved scan)
+    rgb = rng.integers(0, 256, (24, 31, 3)).astype(np.uint8)
+    buf = _io.BytesIO()
+    PIL.fromarray(rgb, "RGB").save(buf, "JPEG", quality=95, subsampling=0)
+    dec3 = dc.decode_jpeg_dct(buf.getvalue())
+    assert dec3.shape == (24, 31, 3)
+    # PIL's convert("YCbCr") round-trips through clipped RGB, so allow a
+    # few counts of slack on top of the decoders' own rounding
+    ycc = np.asarray(PIL.open(_io.BytesIO(buf.getvalue())).convert("YCbCr"))
+    assert np.abs(dec3[..., 0].astype(int) - ycc[..., 0].astype(int)
+                  ).max() <= 5
+
+    # 4:2:0 subsampled stream decodes; the full-res luma plane agrees
+    buf = _io.BytesIO()
+    smooth = np.clip(np.add.outer(np.linspace(0, 200, 26),
+                                  np.linspace(0, 40, 34)), 0, 255)
+    rgb2 = np.stack([smooth, smooth * 0.8, smooth * 0.5],
+                    -1).astype(np.uint8)
+    PIL.fromarray(rgb2, "RGB").save(buf, "JPEG", quality=95, subsampling=2)
+    dec420 = dc.decode_jpeg_dct(buf.getvalue())
+    assert dec420.shape == (26, 34, 3)
+    ycc2 = np.asarray(PIL.open(_io.BytesIO(buf.getvalue())).convert("YCbCr"))
+    assert np.abs(dec420[..., 0].astype(int) - ycc2[..., 0].astype(int)
+                  ).max() <= 5
+
+
+def test_jpeg_extended_ct_series_roundtrip(tmp_path, rng):
+    """A CT series written as JPEG Extended 12-bit (…4.51) reads back with
+    small lossy error and correct HU rescaling (the CT convention: unsigned
+    12-bit stored values, RescaleIntercept -1024)."""
+    from boa_tpu.io import dicom, dicom_io, nifti
+
+    smooth = np.add.outer(np.linspace(-500, 500, 24),
+                          np.linspace(0, 200, 20))
+    data = np.repeat(smooth[:, :, None], 6, axis=2).astype(np.int16)
+    data += rng.integers(-5, 5, data.shape).astype(np.int16)
+    img = nifti.NiftiImage(data=data, affine=np.diag([1.0, 1.0, 3.0, 1.0]))
+    out = tmp_path / "dcm"
+    out.mkdir()
+    files = dicom_io.write_ct_series(img, out,
+                                     transfer_syntax=dicom.JPEG_EXTENDED)
+    ds = dicom.dcmread(files[0])
+    assert ds.BitsStored == 12 and ds.LossyImageCompression == "01"
+    back, _, _ = dicom_io.read_series(out)
+    err = np.abs(np.asarray(back.data).astype(int) - data.astype(int))
+    assert err.mean() < 8 and err.max() < 80
+    assert back.shape == img.shape

@@ -11,10 +11,13 @@ cross-validation Dice).
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import Callable, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from boa_tpu.engine.evaluation import evaluate_folder_arrays
 from boa_tpu.ops.connected_components import largest_component
@@ -134,3 +137,79 @@ def find_best_configuration(
     pp = determine_postprocessing(refs, seg_sources[best], labels)
     return {"best_configuration": best, "scores": scores,
             "postprocessing": pp}
+
+
+def ensemble_folders(folders, out_dir, save_probabilities: bool = False,
+                     pp_file=None) -> list:
+    """Average per-case `.npz` probabilities across prediction folders and
+    write argmax segmentations — the `nnUNetv2_ensemble` entry
+    (`nnunetv2/ensembling/ensemble.py:16-127`). Cases must have been
+    predicted with `--save_probabilities`. `pp_file` optionally applies a
+    postprocessing plan json (`nnUNetv2_apply_postprocessing`)."""
+    import pickle
+
+    from boa_tpu.io import nifti
+
+    folders = [Path(f) for f in folders]
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pp_fns = json.loads(Path(pp_file).read_text()) if pp_file else None
+    case_sets = [{p.name[:-4] for p in f.glob("*.npz")} for f in folders]
+    cases = sorted(set.intersection(*case_sets)) if case_sets else []
+    missing = sorted(set.union(*case_sets) - set(cases)) if case_sets else []
+    if missing:
+        logger.warning("skipping %d cases missing from some folders: %s",
+                       len(missing), missing[:5])
+    written = []
+    for cid in cases:
+        probs = [np.load(f / f"{cid}.npz")["probabilities"].astype(np.float32)
+                 for f in folders]
+        ens = ensemble_probabilities(probs)
+        seg = np.argmax(ens, axis=0).astype(
+            np.uint8 if ens.shape[0] <= 256 else np.uint16)
+        if pp_fns:
+            seg = apply_postprocessing(seg, pp_fns)
+        affine = None
+        for f in folders:  # reuse the prediction's geometry when present
+            cand = f / f"{cid}.nii.gz"
+            if cand.exists():
+                affine = nifti.load(cand).affine.copy()
+                break
+        if affine is None:
+            with open(folders[0] / f"{cid}.pkl", "rb") as fh:
+                props = pickle.load(fh)
+            sp = list(props.get("spacing", (1.0, 1.0, 1.0)))[::-1]
+            affine = np.diag(list(sp) + [1.0])
+        out_f = out_dir / f"{cid}.nii.gz"
+        nifti.save(nifti.NiftiImage(data=seg, affine=affine), out_f)
+        if save_probabilities:
+            np.savez_compressed(out_dir / f"{cid}.npz",
+                                probabilities=ens.astype(np.float16))
+        written.append(out_f)
+    return written
+
+
+def main(argv=None) -> None:
+    """CLI: `python -m boa_tpu.engine.ensembling -i f1 f2 -o out`."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Ensemble prediction folders (nnUNetv2_ensemble "
+                    "equivalent); requires .npz probability exports.")
+    p.add_argument("-i", dest="folders", nargs="+", required=True)
+    p.add_argument("-o", dest="output", required=True)
+    p.add_argument("--save_npz", action="store_true", default=False,
+                   help="also save the ensembled probabilities")
+    p.add_argument("-pp", dest="pp_file", default=None,
+                   help="postprocessing plan json (from "
+                        "determine_postprocessing) to apply "
+                        "(nnUNetv2_apply_postprocessing equivalent)")
+    args = p.parse_args(argv)
+    written = ensemble_folders(args.folders, args.output,
+                               save_probabilities=args.save_npz,
+                               pp_file=args.pp_file)
+    print(f"ensembled {len(written)} cases -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,3 +79,56 @@ def evaluate_folder_arrays(refs: dict[str, np.ndarray],
     if out_file:
         Path(out_file).write_text(json.dumps(result, indent=2))
     return result
+
+
+def evaluate_folders(ref_dir, pred_dir, labels=None, out_file=None,
+                     ignore_label=None) -> dict:
+    """Evaluate `{case}.nii.gz` predictions against references — the
+    `nnUNetv2_evaluate_folder` entry (`evaluation/evaluate_predictions.py`).
+    Labels default to the union of nonzero labels in the references."""
+    from boa_tpu.io import nifti
+
+    ref_dir, pred_dir = Path(ref_dir), Path(pred_dir)
+    refs, preds = {}, {}
+    for rp in sorted(ref_dir.glob("*.nii.gz")):
+        cid = rp.name[:-7]
+        pp = pred_dir / rp.name
+        if not pp.exists():
+            continue
+        refs[cid] = np.asarray(nifti.load(rp).data)
+        preds[cid] = np.asarray(nifti.load(pp).data)
+    if not refs:
+        raise FileNotFoundError(f"no matching case pairs between {ref_dir} "
+                                f"and {pred_dir}")
+    if labels is None:
+        labels = sorted({int(v) for seg in refs.values()
+                         for v in np.unique(seg) if v != 0})
+    return evaluate_folder_arrays(refs, preds, labels,
+                                  ignore_label=ignore_label,
+                                  out_file=out_file)
+
+
+def main(argv=None) -> None:
+    """CLI: `python -m boa_tpu.engine.evaluation ref/ pred/ -o summary.json`."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Evaluate predictions against reference segmentations "
+                    "(nnUNetv2_evaluate_folder equivalent).")
+    p.add_argument("ref_dir")
+    p.add_argument("pred_dir")
+    p.add_argument("-o", dest="out_file", default=None,
+                   help="write the full summary json here")
+    p.add_argument("-l", dest="labels", nargs="+", type=int, default=None)
+    p.add_argument("--ignore_label", type=int, default=None)
+    args = p.parse_args(argv)
+    res = evaluate_folders(args.ref_dir, args.pred_dir, labels=args.labels,
+                           out_file=args.out_file,
+                           ignore_label=args.ignore_label)
+    fg = res.get("foreground_mean", {}).get("Dice")
+    print(f"cases: {len(res['metric_per_case'])}  "
+          f"foreground mean Dice: {fg}")
+
+
+if __name__ == "__main__":
+    main()

@@ -361,3 +361,60 @@ def test_predict_folder_cli(tmp_path):
     segA = np.asarray(nifti.load(out_dir / "caseA.nii.gz").data)
     segA_m = np.asarray(nifti.load(tmp_path / "preds_m/caseA.nii.gz").data)
     np.testing.assert_array_equal(segA, segA_m)
+
+
+def test_ensemble_and_evaluate_cli(tmp_path):
+    """Predict with probabilities from two 'configurations', ensemble the
+    folders, apply a postprocessing plan, and evaluate against references
+    (nnUNetv2_ensemble / _apply_postprocessing / _evaluate_folder)."""
+    import json
+
+    import numpy as np
+
+    from boa_tpu.engine import ensembling, evaluation
+    from boa_tpu.io import nifti
+
+    rng = np.random.default_rng(1)
+    ref_dir = tmp_path / "refs"
+    cfg_a = tmp_path / "cfgA"
+    cfg_b = tmp_path / "cfgB"
+    for d in (ref_dir, cfg_a, cfg_b):
+        d.mkdir()
+    affine = np.diag([1.5, 1.5, 3.0, 1.0])
+    for cid in ("c1", "c2"):
+        ref = np.zeros((16, 14, 10), np.uint8)
+        ref[4:10, 4:10, 2:8] = 1
+        nifti.save(nifti.NiftiImage(data=ref, affine=affine),
+                   ref_dir / f"{cid}.nii.gz")
+        for d, flip in ((cfg_a, 0.9), (cfg_b, 0.8)):
+            probs = np.zeros((2, 16, 14, 10), np.float16)
+            probs[0] = 1.0
+            probs[1, 4:10, 4:10, 2:8] = flip
+            probs[0, 4:10, 4:10, 2:8] = 1.0 - flip
+            # a stray speckle only in config A: the ensemble keeps it
+            # (mean prob 0.45 < 0.5 -> actually dropped), so add to both
+            probs[1, 0, 0, 0] = 0.95
+            probs[0, 0, 0, 0] = 0.05
+            np.savez_compressed(d / f"{cid}.npz", probabilities=probs)
+            import pickle
+
+            with open(d / f"{cid}.pkl", "wb") as fh:
+                pickle.dump({"spacing": (3.0, 1.5, 1.5)}, fh)
+
+    pp_plan = tmp_path / "pp.json"
+    pp_plan.write_text(json.dumps(
+        [{"fn": "remove_all_but_largest_component",
+          "kwargs": {"labels_or_regions": [1]}}]))
+
+    out = tmp_path / "ens"
+    ensembling.main(["-i", str(cfg_a), str(cfg_b), "-o", str(out),
+                     "--save_npz", "-pp", str(pp_plan)])
+    seg = np.asarray(nifti.load(out / "c1.nii.gz").data)
+    assert seg[6, 6, 4] == 1
+    assert seg[0, 0, 0] == 0          # speckle removed by postprocessing
+    assert (out / "c1.npz").exists()  # ensembled probabilities saved
+
+    summary = tmp_path / "summary.json"
+    evaluation.main([str(ref_dir), str(out), "-o", str(summary)])
+    res = json.loads(summary.read_text())
+    assert res["foreground_mean"]["Dice"] > 0.99

@@ -412,11 +412,13 @@ def test_unsupported_syntax_clear_error(tmp_path, rng):
         dicom.dcmread(p)
 
 
-def test_jpeg_dct_decode_matches_quantized_reconstruction(rng):
+def test_jpeg_dct_decode_matches_quantized_reconstruction():
     """Lossy JPEG (baseline 8-bit and extended 12-bit): the native decoder
     reproduces round(IDCT(dequantized coefficients)) exactly, and with a
     unit quant table the round trip is within DCT rounding (±1)."""
     from boa_tpu.io import dicom_codecs as dc
+
+    rng = np.random.default_rng(7)  # self-seeded: session rng is stateful
 
     def oracle(img, precision, qt):
         shift = 1 << (precision - 1)
@@ -454,7 +456,7 @@ def test_jpeg_dct_decode_matches_quantized_reconstruction(rng):
                                   oracle(img8, 8, qtq))
 
 
-def test_jpeg_dct_pil_cross_validation(rng):
+def test_jpeg_dct_pil_cross_validation():
     """Independent oracle: libjpeg (via Pillow) decodes our baseline
     streams within ±1 of the native decoder, and our decoder reads
     PIL-ENCODED monochrome and 4:4:4 color JPEGs."""
@@ -463,6 +465,7 @@ def test_jpeg_dct_pil_cross_validation(rng):
 
     from boa_tpu.io import dicom_codecs as dc
 
+    rng = np.random.default_rng(7)  # self-seeded: session rng is stateful
     img = rng.integers(0, 256, (40, 33)).astype(np.uint16)
     ours = dc.encode_jpeg_dct(img, precision=8,
                               quant_table=np.ones(64, np.int64))
@@ -504,12 +507,13 @@ def test_jpeg_dct_pil_cross_validation(rng):
                   ).max() <= 5
 
 
-def test_jpeg_extended_ct_series_roundtrip(tmp_path, rng):
+def test_jpeg_extended_ct_series_roundtrip(tmp_path):
     """A CT series written as JPEG Extended 12-bit (…4.51) reads back with
     small lossy error and correct HU rescaling (the CT convention: unsigned
     12-bit stored values, RescaleIntercept -1024)."""
     from boa_tpu.io import dicom, dicom_io, nifti
 
+    rng = np.random.default_rng(7)
     smooth = np.add.outer(np.linspace(-500, 500, 24),
                           np.linspace(0, 200, 20))
     data = np.repeat(smooth[:, :, None], 6, axis=2).astype(np.int16)

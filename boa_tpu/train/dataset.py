@@ -87,3 +87,39 @@ class CaseStore:
             (self.root / f"{case_id}_props.json").read_text())
         return Case(data=data, seg=seg, class_locations=locs,
                     properties=props)
+
+
+def generate_splits(case_ids, n_splits: int = 5, seed: int = 12345) -> list:
+    """Deterministic K-fold split over sorted case ids.
+
+    Parity: `nnUNetTrainer.do_split` — sklearn
+    ``KFold(n_splits=5, shuffle=True, random_state=12345)`` over the
+    sorted keys, written to splits_final.json. Reproduced here without
+    sklearn: the legacy RandomState shuffle + consecutive test chunks is
+    exactly what KFold does, so splits match nnU-Net's byte for byte.
+    """
+    keys = np.sort(np.asarray(list(case_ids)))
+    n = len(keys)
+    idx = np.arange(n)
+    np.random.RandomState(seed).shuffle(idx)
+    fold_sizes = np.full(n_splits, n // n_splits, np.int64)
+    fold_sizes[: n % n_splits] += 1
+    splits, cur = [], 0
+    for fs in fold_sizes:
+        # KFold yields indices through a boolean mask, i.e. ascending
+        test = np.sort(idx[cur:cur + int(fs)])
+        cur += int(fs)
+        train = np.setdiff1d(idx, test)
+        splits.append({"train": [str(k) for k in keys[train]],
+                       "val": [str(k) for k in keys[test]]})
+    return splits
+
+
+def load_or_create_splits(store: CaseStore, n_splits: int = 5) -> list:
+    """splits_final.json beside the cases: read it, or create + persist."""
+    path = store.root / "splits_final.json"
+    if path.exists():
+        return json.loads(path.read_text())
+    splits = generate_splits(store.case_ids(), n_splits)
+    path.write_text(json.dumps(splits, indent=2))
+    return splits

@@ -69,16 +69,28 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
                  num_classes: int | None = None, epochs: int = 1000,
                  iters: int = 250, resume: bool = False,
                  mesh_shape=None, augment: bool = True,
-                 mirror_axes: tuple[int, ...] = (), seed: int = 0) -> dict:
+                 mirror_axes: tuple[int, ...] = (), seed: int = 0,
+                 fold: "int | str" = "all",
+                 validate: bool = False) -> dict:
+    """`fold` selects the nnU-Net 5-fold split (splits_final.json beside the
+    cases, created on first use); "all" trains on everything. `validate`
+    runs the final-weights validation pass over the fold's val split after
+    training (nnUNetTrainer.perform_actual_validation:1212)."""
     from boa_tpu.train.augment import augment_batch
     from boa_tpu.train.dataloader import DataLoader
-    from boa_tpu.train.dataset import CaseStore
+    from boa_tpu.train.dataset import CaseStore, load_or_create_splits
 
     cases_dir, out_dir = Path(cases_dir), Path(out_dir)
     store = CaseStore(cases_dir)
     if num_classes is None:
         seg = store.load_case(store.case_ids()[0]).seg
         num_classes = int(np.max(np.asarray(seg))) + 1
+    split = None
+    if fold != "all":
+        splits = load_or_create_splits(store)
+        split = splits[int(fold)]
+        logger.info("fold %s: %d train / %d val cases", fold,
+                    len(split["train"]), len(split["val"]))
     trainer, mesh = build_trainer(cases_dir, out_dir, patch, batch_size,
                                   num_classes, epochs=epochs, iters=iters,
                                   mesh_shape=mesh_shape)
@@ -97,7 +109,8 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
         trainer.load_checkpoint(ckpt)
         logger.info("Resumed from epoch %d", trainer.state.epoch)
 
-    loader = DataLoader(store, patch, batch_size, seed=seed)
+    loader = DataLoader(store, patch, batch_size, seed=seed,
+                        case_ids=split["train"] if split else None)
     key = jax.random.PRNGKey(seed)
 
     def batches():
@@ -122,7 +135,60 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
                         last["epoch"], last["loss"], last["dice"],
                         last["ema_dice"], last["epoch_time"])
     trainer.final_checkpoint()
+    if validate and split:
+        last["validation"] = perform_actual_validation(
+            trainer, store, split["val"], out_dir, patch)
     return last
+
+
+def perform_actual_validation(trainer, store, val_ids, out_dir: Path,
+                              patch) -> dict:
+    """Predict every validation case with the final weights and evaluate.
+
+    Parity: `nnUNetTrainer.perform_actual_validation` (`:1212`) — full
+    Gaussian-fused sliding-window prediction of the fold's val split,
+    segmentations written to `validation/{case}.nii.gz`, metrics (per-case
+    and mean Dice/IoU) to `validation/summary.json`. Cases are already
+    preprocessed (normalized, plan spacing), so the network runs directly
+    on the stored arrays like the reference does.
+    """
+    import jax.numpy as jnp
+
+    from boa_tpu.engine.evaluation import evaluate_folder_arrays
+    from boa_tpu.inference.sliding_window import (sliding_window_logits,
+                                                  stack_fold_params)
+    from boa_tpu.io import nifti
+    from boa_tpu.ops import preprocess as pp
+
+    val_dir = Path(out_dir) / "validation"
+    val_dir.mkdir(parents=True, exist_ok=True)
+    stacked = stack_fold_params([trainer.state.params])
+    cfg = trainer.cfg.arch
+    gauss = pp.gaussian_importance_map(tuple(patch))
+    refs, preds = {}, {}
+    for cid in val_ids:
+        case = store.load_case(cid, memmap=False)
+        data = np.asarray(case.data, np.float32)
+        padded, revert = pp.pad_to_patch(data, tuple(patch))
+        starts = pp.tile_starts(padded.shape[-3:], tuple(patch), 0.5)
+        logits = sliding_window_logits(
+            stacked, jax.numpy.asarray(padded), jnp.asarray(starts),
+            jnp.asarray(gauss), cfg, accum_dtype=jnp.float32)
+        seg = np.asarray(jnp.argmax(logits, axis=0))[revert].astype(np.uint8)
+        sp = list(case.properties.get("spacing", (1.0, 1.0, 1.0)))[:3]
+        nifti.save(nifti.NiftiImage(data=seg,
+                                    affine=np.diag(list(sp) + [1.0])),
+                   val_dir / f"{cid}.nii.gz")
+        refs[cid] = np.asarray(case.seg)
+        preds[cid] = seg
+    labels = sorted({int(v) for s in refs.values()
+                     for v in np.unique(s) if v > 0})
+    summary = evaluate_folder_arrays(refs, preds, labels,
+                                     out_file=val_dir / "summary.json")
+    logger.info("validation: %d cases, foreground mean Dice %.4f",
+                len(refs), summary.get("foreground_mean", {}).get(
+                    "Dice", float("nan")))
+    return summary
 
 
 class _nullcontext:
@@ -143,6 +209,11 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=250)
     ap.add_argument("--num-classes", type=int, default=None)
     ap.add_argument("--resume", "--c", action="store_true")
+    ap.add_argument("--fold", default="all",
+                    help="nnU-Net 5-fold split index, or 'all' (default)")
+    ap.add_argument("--validate", action="store_true", default=False,
+                    help="run the final validation pass over the fold's "
+                         "val split after training")
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--sp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
@@ -154,7 +225,8 @@ def main(argv=None) -> None:
         mesh_shape = (args.dp, args.sp, args.tp)
     run_training(args.cases_dir, args.out_dir, tuple(args.patch), args.batch,
                  args.num_classes, args.epochs, args.iters, args.resume,
-                 mesh_shape, augment=not args.no_augment)
+                 mesh_shape, augment=not args.no_augment,
+                 fold=args.fold, validate=args.validate)
 
 
 if __name__ == "__main__":

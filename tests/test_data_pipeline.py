@@ -116,3 +116,55 @@ def test_run_training_smoke(store, tmp_path):
                          patch=(8, 8, 8), batch_size=2, epochs=3, iters=3,
                          resume=True, augment=False, seed=0)
     assert last2["epoch"] == 2
+
+
+def test_generate_splits_kfold_semantics():
+    """splits are deterministic, disjoint, covering, and match sklearn
+    KFold(shuffle=True, random_state=12345) over sorted keys
+    (nnUNetTrainer.do_split)."""
+    from boa_tpu.train.dataset import generate_splits
+
+    ids = [f"case_{i:02d}" for i in range(11)]
+    s1 = generate_splits(ids)
+    s2 = generate_splits(list(reversed(ids)))  # input order must not matter
+    assert s1 == s2
+    assert len(s1) == 5
+    all_val = [c for sp in s1 for c in sp["val"]]
+    assert sorted(all_val) == sorted(ids)          # each case in exactly
+    assert len(set(all_val)) == len(ids)           # one val fold
+    for sp in s1:
+        assert sorted(sp["train"] + sp["val"]) == sorted(ids)
+        assert not set(sp["train"]) & set(sp["val"])
+    # first 11 % 5 = 1 fold gets the extra case (KFold fold sizing)
+    assert [len(sp["val"]) for sp in s1] == [3, 2, 2, 2, 2]
+    try:
+        from sklearn.model_selection import KFold
+    except ImportError:
+        return
+    keys = np.sort(np.asarray(ids))
+    for sp, (tr, te) in zip(s1, KFold(n_splits=5, shuffle=True,
+                                      random_state=12345).split(keys)):
+        assert sp["val"] == [str(k) for k in keys[te]]
+        assert sp["train"] == [str(k) for k in keys[tr]]
+
+
+def test_fold_training_and_validation(store, tmp_path):
+    """fold-restricted training + the final validation pass
+    (nnUNetTrainer.perform_actual_validation): per-case segs + summary."""
+    import json
+
+    from boa_tpu.train.run_training import run_training
+
+    out = tmp_path / "fold_out"
+    last = run_training(store.root, out, patch=(8, 8, 8), batch_size=2,
+                        epochs=1, iters=2, augment=False, seed=0,
+                        fold=0, validate=True)
+    splits = json.loads((store.root / "splits_final.json").read_text())
+    val_ids = splits[0]["val"]
+    assert val_ids  # the split was created and persisted
+    for cid in val_ids:
+        assert (out / "validation" / f"{cid}.nii.gz").exists()
+    summary = json.loads((out / "validation" / "summary.json").read_text())
+    assert set(summary["metric_per_case"]) == set(val_ids)
+    assert "foreground_mean" in summary
+    assert last["validation"]["metric_per_case"]

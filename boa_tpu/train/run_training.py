@@ -71,7 +71,8 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
                  mesh_shape=None, augment: bool = True,
                  mirror_axes: tuple[int, ...] = (), seed: int = 0,
                  fold: "int | str" = "all",
-                 validate: bool = False) -> dict:
+                 validate: bool = False,
+                 pretrained_weights: "str | Path | None" = None) -> dict:
     """`fold` selects the nnU-Net 5-fold split (splits_final.json beside the
     cases, created on first use); "all" trains on everything. `validate`
     runs the final-weights validation pass over the fold's val split after
@@ -108,6 +109,9 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
     if resume and ckpt.exists():
         trainer.load_checkpoint(ckpt)
         logger.info("Resumed from epoch %d", trainer.state.epoch)
+    elif pretrained_weights is not None:
+        trainer.state.params = load_pretrained_weights(
+            trainer.state.params, pretrained_weights, verbose=True)
 
     loader = DataLoader(store, patch, batch_size, seed=seed,
                         case_ids=split["train"] if split else None)
@@ -139,6 +143,47 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
         last["validation"] = perform_actual_validation(
             trainer, store, split["val"], out_dir, patch)
     return last
+
+
+def load_pretrained_weights(params: dict, fname: str | Path,
+                            verbose: bool = False) -> dict:
+    """Transfer-learning init: copy encoder+decoder weights, keep the new
+    model's segmentation heads.
+
+    Parity: `nnunetv2/run/load_pretrained_weights.py:7-62` — every
+    non-seg-head key must exist in the pretrained checkpoint with the same
+    shape (incompatible architectures fail loudly); keys ending in
+    seg_layers (our `seg_heads`) are never transferred.
+    """
+    import pickle
+
+    with open(fname, "rb") as f:
+        blob = pickle.load(f)
+    pre = blob["params"] if isinstance(blob, dict) and "params" in blob \
+        else blob
+
+    def _check(dst, src):
+        if tuple(dst.shape) != tuple(np.asarray(src).shape):
+            raise ValueError(
+                f"pretrained parameter shape {np.asarray(src).shape} does "
+                f"not match the network's {tuple(dst.shape)}; the "
+                f"pretrained model is not compatible with this network")
+        return jax.numpy.asarray(src, dst.dtype)
+
+    out = dict(params)
+    for key in ("encoder", "decoder"):
+        if key not in pre:
+            raise KeyError(f"pretrained checkpoint has no '{key}' weights")
+        try:
+            out[key] = jax.tree.map(_check, params[key], pre[key])
+        except ValueError as exc:
+            raise ValueError(f"incompatible '{key}' weights: {exc}") from exc
+    if verbose:
+        n = sum(x.size for x in jax.tree.leaves(
+            {k: out[k] for k in ("encoder", "decoder")}))
+        logger.info("transferred %d pretrained parameters "
+                    "(segmentation heads kept fresh)", n)
+    return out
 
 
 def perform_actual_validation(trainer, store, val_ids, out_dir: Path,
@@ -214,6 +259,9 @@ def main(argv=None) -> None:
     ap.add_argument("--validate", action="store_true", default=False,
                     help="run the final validation pass over the fold's "
                          "val split after training")
+    ap.add_argument("--pretrained_weights", type=Path, default=None,
+                    help="checkpoint to transfer encoder/decoder weights "
+                         "from (segmentation heads stay fresh)")
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--sp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
@@ -226,7 +274,8 @@ def main(argv=None) -> None:
     run_training(args.cases_dir, args.out_dir, tuple(args.patch), args.batch,
                  args.num_classes, args.epochs, args.iters, args.resume,
                  mesh_shape, augment=not args.no_augment,
-                 fold=args.fold, validate=args.validate)
+                 fold=args.fold, validate=args.validate,
+                 pretrained_weights=args.pretrained_weights)
 
 
 if __name__ == "__main__":

@@ -168,3 +168,42 @@ def test_fold_training_and_validation(store, tmp_path):
     assert set(summary["metric_per_case"]) == set(val_ids)
     assert "foreground_mean" in summary
     assert last["validation"]["metric_per_case"]
+
+
+def test_pretrained_weight_transfer(store, tmp_path):
+    """--pretrained_weights copies encoder/decoder, keeps fresh seg heads,
+    and rejects incompatible architectures
+    (nnunetv2/run/load_pretrained_weights.py:7-62)."""
+    import pickle
+
+    import jax
+
+    from boa_tpu.train.run_training import (build_trainer,
+                                            load_pretrained_weights,
+                                            run_training)
+
+    src_out = tmp_path / "src"
+    run_training(store.root, src_out, patch=(8, 8, 8), batch_size=2,
+                 epochs=1, iters=2, augment=False, seed=0)
+    ckpt = src_out / "checkpoint_final.pkl"
+    with open(ckpt, "rb") as f:
+        src_params = pickle.load(f)["params"]
+
+    # new model with MORE classes: encoder/decoder transfer, heads differ
+    trainer, _ = build_trainer(store.root, tmp_path / "dst", (8, 8, 8), 2,
+                               num_classes=5, epochs=1, iters=1)
+    fresh_heads = jax.tree.map(np.asarray, trainer.state.params["seg_heads"])
+    loaded = load_pretrained_weights(trainer.state.params, ckpt)
+    for a, b in zip(jax.tree.leaves(loaded["encoder"]),
+                    jax.tree.leaves(src_params["encoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(loaded["seg_heads"]),
+                    jax.tree.leaves(fresh_heads)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # incompatible width -> loud failure
+    bad, _ = build_trainer(store.root, tmp_path / "bad", (8, 8, 8), 2,
+                           num_classes=3, features=(6, 12, 24), epochs=1,
+                           iters=1)
+    with pytest.raises(ValueError, match="not compatible|incompatible"):
+        load_pretrained_weights(bad.state.params, ckpt)

@@ -136,7 +136,15 @@ def _watchdog() -> int:
     import threading
 
     env = dict(os.environ, BOA_BENCH_CHILD="1")
-    for attempt in range(3):
+    # 4 TPU attempts, then one CPU-forced smoke run: during a full tunnel
+    # OUTAGE (observed: every client wedges on op 1 for hours) the smoke
+    # line still gives the driver a structurally valid artifact, clearly
+    # labeled sec_cpu_smoke_study rather than the TPU metric.
+    for attempt in range(5):
+        if attempt == 4:
+            print("bench: TPU unreachable after 4 attempts; falling back "
+                  "to the CPU smoke metric", file=sys.stderr)
+            env = dict(env, JAX_PLATFORMS="cpu")
         proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                                 env=env, stdout=subprocess.PIPE,
                                 stderr=subprocess.PIPE, text=True)
@@ -158,7 +166,7 @@ def _watchdog() -> int:
                   file=sys.stderr)
             proc.kill()
             proc.wait()
-            time.sleep(20)  # let the tunnel shed the dead client
+            time.sleep(30)  # let the tunnel shed the dead client
             continue
         out_text = proc.stdout.read()  # stderr is drained by the thread
         proc.wait()

@@ -249,3 +249,62 @@ def dice_bce_loss(logits: jax.Array, target_onehot: jax.Array,
     y = target_onehot.astype(jnp.float32)
     bce = jnp.mean(jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))
     return weight_ce * bce + weight_dice * dc
+
+
+def regions_to_multihot(target: jax.Array,
+                        regions: Sequence[Sequence[int]]) -> jax.Array:
+    """Integer label map -> (..., R) float multi-hot region targets.
+
+    Parity: `label_handling.py convert_labels_to_regions` — a voxel belongs
+    to every region whose label set contains its label (regions overlap).
+    """
+    chans = []
+    for region in regions:
+        labels = (region,) if isinstance(region, int) else tuple(region)
+        m = jnp.zeros(target.shape, jnp.bool_)
+        for lb in labels:
+            m = m | (target == lb)
+        chans.append(m)
+    return jnp.stack(chans, axis=-1).astype(jnp.float32)
+
+
+def deep_supervision_loss_regions(
+    outputs: Sequence[jax.Array],
+    target: jax.Array,
+    regions: Sequence[Sequence[int]],
+    *,
+    batch_dice: bool = True,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Weighted Dice+BCE over all DS heads for region-based training
+    (`nnUNetTrainer._build_loss:391-397` picks DC_and_BCE_loss when the
+    label manager has regions)."""
+    w = ds_weights(len(outputs))
+    total = jnp.float32(0.0)
+    for wi, out in zip(w, outputs):
+        if wi == 0.0:
+            continue
+        t = downsample_target(target, out.shape[1:-1])
+        total = total + wi * dice_bce_loss(
+            out, regions_to_multihot(t, regions), batch_dice=batch_dice,
+            axis_name=axis_name)
+    return total
+
+
+def pseudo_dice_regions(logits: jax.Array, target: jax.Array,
+                        regions: Sequence[Sequence[int]],
+                        axis_name: str | None = None) -> jax.Array:
+    """Online hard dice per region for sigmoid heads (the region-based
+    analogue of pseudo_dice: `nnUNetTrainer.py:1040-1086` thresholds the
+    sigmoid at 0.5 instead of argmaxing)."""
+    p = (logits.astype(jnp.float32) > 0.0).astype(jnp.float32)  # sigmoid>.5
+    y = regions_to_multihot(target, regions)
+    spatial = tuple(range(0, p.ndim - 1))
+    tp = jnp.sum(p * y, spatial)
+    fp = jnp.sum(p * (1 - y), spatial)
+    fn = jnp.sum((1 - p) * y, spatial)
+    if axis_name is not None:
+        tp = jax.lax.psum(tp, axis_name)
+        fp = jax.lax.psum(fp, axis_name)
+        fn = jax.lax.psum(fn, axis_name)
+    return 2 * tp / jnp.clip(2 * tp + fp + fn, 1e-8)

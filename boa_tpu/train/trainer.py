@@ -49,6 +49,11 @@ class TrainConfig:
     batch_dice: bool = True
     oversample_foreground_percent: float = 0.33
     compute_dtype: str = "bfloat16"
+    # region-based training (overlapping sigmoid targets): tuple of label
+    # tuples, one per network output channel; None = plain softmax labels.
+    # `nnUNetTrainer._build_loss:391-397` picks DC_and_BCE when the label
+    # manager has regions; arch.num_classes must equal len(regions).
+    regions: tuple | None = None
 
 
 @dataclass
@@ -81,7 +86,19 @@ def make_train_step(cfg: TrainConfig,
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
         outs = [o.astype(jnp.float32) for o in outs]
-        if len(outs) > 1:
+        if cfg.regions is not None:
+            from boa_tpu.train.losses import (dice_bce_loss,
+                                              deep_supervision_loss_regions,
+                                              regions_to_multihot)
+
+            if len(outs) > 1:
+                loss = deep_supervision_loss_regions(
+                    outs, y, cfg.regions, batch_dice=cfg.batch_dice)
+            else:
+                loss = dice_bce_loss(outs[0],
+                                     regions_to_multihot(y, cfg.regions),
+                                     batch_dice=cfg.batch_dice)
+        elif len(outs) > 1:
             loss = deep_supervision_loss(outs, y, batch_dice=cfg.batch_dice)
         else:
             loss = dice_ce_loss(outs[0], y, batch_dice=cfg.batch_dice)
@@ -120,6 +137,11 @@ def make_eval_step(cfg: TrainConfig) -> Callable:
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
         out = unet_forward(cast, x.astype(dtype),
                            dataclasses.replace(cfg.arch, deep_supervision=False))
+        if cfg.regions is not None:
+            from boa_tpu.train.losses import pseudo_dice_regions
+
+            return pseudo_dice_regions(out.astype(jnp.float32), y,
+                                       cfg.regions)
         return pseudo_dice(out.astype(jnp.float32), y)
 
     return step

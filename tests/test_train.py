@@ -289,3 +289,50 @@ def test_multihost_mesh_layout_and_step(rng):
                              jnp.asarray(x), jnp.asarray(y),
                              jnp.float32(1e-2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_region_based_training_step():
+    """Region-based training (overlapping sigmoid targets): DS Dice+BCE
+    loss + region pseudo-dice (`nnUNetTrainer._build_loss:391-397`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boa_tpu.models.unet import ArchConfig, init_unet
+    from boa_tpu.train.losses import (pseudo_dice_regions,
+                                      regions_to_multihot)
+    from boa_tpu.train.optim import init_sgd_state
+    from boa_tpu.train.trainer import TrainConfig, make_eval_step, \
+        make_train_step
+
+    regions = ((1, 2), (2,))  # region 0 = whole organ, region 1 = core
+    arch = ArchConfig(
+        n_stages=2, features_per_stage=(4, 8), kernel_sizes=((3, 3, 3),) * 2,
+        strides=((1, 1, 1), (2, 2, 2)), n_conv_per_stage=(2, 2),
+        n_conv_per_stage_decoder=(2,), num_classes=len(regions),
+        input_channels=1, deep_supervision=True)
+    cfg = TrainConfig(arch=arch, compute_dtype="float32", regions=regions)
+
+    params = init_unet(jax.random.PRNGKey(0), arch)
+    mom = init_sgd_state(params)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 8, 8, 1)).astype(np.float32)
+    y = rng.integers(0, 3, size=(2, 8, 8, 8)).astype(np.int32)
+
+    step = make_train_step(cfg, donate=False)
+    p2, m2, metrics = step(params, mom, jnp.asarray(x), jnp.asarray(y),
+                           jnp.float32(1e-2))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
+    assert moved
+
+    # eval step returns one dice per REGION; perfect logits give dice 1
+    ev = make_eval_step(cfg)
+    d = np.asarray(ev(p2, jnp.asarray(x), jnp.asarray(y)))
+    assert d.shape == (len(regions),)
+    mh = regions_to_multihot(jnp.asarray(y), regions)
+    perfect = (mh * 20.0 - 10.0)  # logits: +10 inside, -10 outside
+    np.testing.assert_allclose(
+        np.asarray(pseudo_dice_regions(perfect, jnp.asarray(y), regions)),
+        1.0, atol=1e-6)

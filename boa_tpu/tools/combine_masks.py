@@ -88,3 +88,33 @@ def combine_masks_to_multilabel_file(masks_dir: Path,
     res = nifti.NiftiImage(data=out, affine=ref_img.affine.copy())
     res.set_label_map(class_map)
     nifti.save(res, multilabel_file)
+
+
+def main(argv=None) -> None:
+    """CLI: combine binary masks into one mask / multilabel file
+    (`bin/totalseg_combine_masks.py`)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Combine masks.")
+    parser.add_argument("-i", metavar="directory", dest="mask_dir",
+                        type=Path, required=True,
+                        help="directory of per-class masks (or a "
+                             "multilabel file)")
+    parser.add_argument("-o", metavar="filepath", dest="output", type=Path,
+                        required=True, help="output mask file")
+    parser.add_argument("-m", "--masks", dest="class_type", required=True,
+                        help="group to combine (ribs, lung, lung_left, "
+                             "lung_right, pelvis, body, vertebrae, "
+                             "vertebrae_ribs) or 'multilabel' to merge "
+                             "every class into one total-labelled volume")
+    args = parser.parse_args(argv)
+    if args.class_type == "multilabel":
+        combine_masks_to_multilabel_file(args.mask_dir, args.output)
+    else:
+        nifti.save(combine_masks(args.mask_dir, args.class_type),
+                   args.output)
+    print(f"Saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,13 +44,14 @@ def is_valid_license(license_number: str | None) -> bool:
 
     The reference calls a remote licensing backend
     (`totalsegmentator/config.py:107-120`). This build has no egress, so
-    only the documented shape is checked (``aca_`` + 18 characters); an
-    invalid-but-well-formed key will surface later as a failed weight
-    download rather than here.
+    only the documented shape is checked (``aca_`` prefix, 18 characters
+    total — `bin/totalseg_set_license.py:31-34`); an invalid-but-well-
+    formed key will surface later as a failed weight download rather
+    than here.
     """
     if not license_number:
         return False
-    return license_number.startswith("aca_") and len(license_number) == 22
+    return license_number.startswith("aca_") and len(license_number) == 18
 
 
 def _expand_bca(models: set[str]) -> set[str]:

@@ -38,7 +38,8 @@ def test_invalid_lenient_dropped():
 
 def test_license_gating():
     assert "heartchambers_highres" not in resolve_models("all")
-    ok = resolve_models("all", license_number="aca_" + "x" * 18)
+    # aca_ prefix, 18 chars total (bin/totalseg_set_license.py:31-34)
+    ok = resolve_models("all", license_number="aca_" + "x" * 14)
     assert "heartchambers_highres" in ok
 
 

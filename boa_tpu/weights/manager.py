@@ -78,7 +78,7 @@ WEIGHT_URLS: dict[int, tuple[str, str]] = {
 
 def download_task_weights(task_id: int, root: Path | None = None) -> Path:
     """Download + unzip one task's weights, then pre-convert checkpoints."""
-    from boa_tpu.weights.store import import_torch_model_folder, weights_root
+    from boa_tpu.weights.store import weights_root
 
     root = Path(root) if root else weights_root()
     root.mkdir(parents=True, exist_ok=True)
@@ -97,12 +97,31 @@ def download_task_weights(task_id: int, root: Path | None = None) -> Path:
             shutil.copyfileobj(resp, f)
         with zipfile.ZipFile(zpath) as z:
             z.extractall(root)
-    try:
-        import_torch_model_folder(target)
-    except Exception:
-        logger.warning("Checkpoint pre-conversion failed; conversion will "
-                       "happen lazily at load time", exc_info=True)
+    _preconvert_checkpoints(target)
     return target
+
+
+def _preconvert_checkpoints(dataset_dir: Path) -> None:
+    """Convert every fold's torch checkpoint to npz in place, so first
+    serving does not pay the conversion; failures fall back to the lazy
+    conversion `ModelStore.load` does."""
+    from boa_tpu.plans.plans import ModelPlans
+    from boa_tpu.weights import convert as cv
+
+    for mdir in sorted(Path(dataset_dir).glob("*__*__*")):
+        try:
+            plans = ModelPlans.from_model_folder(
+                mdir, configuration=mdir.name.split("__")[-1])
+            cfg = plans.arch_config()
+            for fold_dir in sorted(mdir.glob("fold_*")):
+                pth = fold_dir / "checkpoint_final.pth"
+                npz = fold_dir / "checkpoint_final.npz"
+                if pth.exists() and not npz.exists():
+                    cv.save_params_npz(cv.convert_checkpoint(pth, cfg), npz)
+        except Exception:
+            logger.warning("Checkpoint pre-conversion failed for %s; "
+                           "conversion will happen lazily at load time",
+                           mdir, exc_info=True)
 
 
 def download_for_tasks(task_names: list[str],

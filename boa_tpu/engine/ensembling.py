@@ -213,3 +213,38 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def find_best_configuration_folders(ref_dir, config_dirs: dict,
+                                    out_file=None,
+                                    allow_ensembling: bool = True) -> dict:
+    """`nnUNetv2_find_best_configuration` over prediction folders: evaluate
+    each configuration's cross-validation predictions against the
+    references, try pairwise ensembles, pick by mean foreground Dice, and
+    attach the postprocessing decision (find_best_configuration.py)."""
+    from boa_tpu.io import nifti
+
+    ref_dir = Path(ref_dir)
+    refs = {p.name[:-7]: np.asarray(nifti.load(p).data)
+            for p in sorted(ref_dir.glob("*.nii.gz"))}
+    preds_per_config = {}
+    for name, d in config_dirs.items():
+        d = Path(d)
+        preds = {}
+        for cid in refs:
+            f = d / f"{cid}.nii.gz"
+            if f.exists():
+                preds[cid] = np.asarray(nifti.load(f).data)
+        if set(preds) != set(refs):
+            missing = sorted(set(refs) - set(preds))
+            raise FileNotFoundError(
+                f"configuration {name!r} is missing predictions for "
+                f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+        preds_per_config[name] = preds
+    labels = sorted({int(v) for s in refs.values()
+                     for v in np.unique(s) if v != 0})
+    result = find_best_configuration(refs, preds_per_config, [0] + labels,
+                                     allow_ensembling=allow_ensembling)
+    if out_file:
+        Path(out_file).write_text(json.dumps(result, indent=2, default=str))
+    return result

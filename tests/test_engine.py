@@ -418,3 +418,39 @@ def test_ensemble_and_evaluate_cli(tmp_path):
     evaluation.main([str(ref_dir), str(out), "-o", str(summary)])
     res = json.loads(summary.read_text())
     assert res["foreground_mean"]["Dice"] > 0.99
+
+
+def test_find_best_configuration_folders(tmp_path):
+    """Folder-level nnUNetv2_find_best_configuration: pick the better
+    config by CV Dice and attach the postprocessing decision."""
+    import numpy as np
+
+    from boa_tpu.engine.ensembling import find_best_configuration_folders
+    from boa_tpu.io import nifti
+
+    affine = np.eye(4)
+    ref_dir, good, bad = (tmp_path / d for d in ("refs", "good", "bad"))
+    for d in (ref_dir, good, bad):
+        d.mkdir()
+    for cid in ("c1", "c2"):
+        ref = np.zeros((12, 12, 8), np.uint8)
+        ref[3:9, 3:9, 2:6] = 1
+        nifti.save(nifti.NiftiImage(data=ref, affine=affine),
+                   ref_dir / f"{cid}.nii.gz")
+        g = ref.copy()
+        g[0, 0, 0] = 1  # stray speckle the postprocessing should remove
+        nifti.save(nifti.NiftiImage(data=g, affine=affine),
+                   good / f"{cid}.nii.gz")
+        b = np.zeros_like(ref)
+        b[3:6, 3:6, 2:4] = 1  # undersegmented
+        nifti.save(nifti.NiftiImage(data=b, affine=affine),
+                   bad / f"{cid}.nii.gz")
+
+    out = tmp_path / "best.json"
+    res = find_best_configuration_folders(
+        ref_dir, {"good": good, "bad": bad}, out_file=out)
+    assert res["best_configuration"] == "good"
+    assert res["scores"]["good"] > res["scores"]["bad"]
+    assert any(p["fn"] == "remove_all_but_largest_component"
+               for p in res["postprocessing"])
+    assert out.exists()

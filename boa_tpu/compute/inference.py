@@ -182,6 +182,7 @@ def compute_all_models(
             cnr_adjustment=cnr_adjustment,
             ct_image=ct_img,
             seg_images=seg_cache,
+            worker=worker,
         )
         with measurement_file.open("w") as ofile:
             json.dump(json_data, ofile, indent=2, default=np_json_default)

@@ -19,9 +19,11 @@ need additional (small, per-region) device passes.
 from __future__ import annotations
 
 import logging
+from functools import partial
 from pathlib import Path
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,28 +129,65 @@ def autochthon_reference(ct_dev, autochthon_mask) -> tuple[float | None, float |
     return mean, std
 
 
-def _eroded_metrics(ct_dev, mask_dev, ml_per_voxel, region_name: str,
-                    autochthon_mean, autochthon_std) -> dict[str, Any]:
-    """CNR-adjusted metrics: (fat-exclusion for autochthon) + 6^3 erosion.
+@partial(jax.jit, static_argnames=("labels", "fat_excl", "size"))
+def _adjusted_label_volume(seg, ct, labels: tuple[int, ...],
+                           fat_excl: tuple[bool, ...], size: int = 6):
+    """Disjoint CNR-adjusted region labels (1..n), each box-eroded, in ONE
+    fused pass.
 
-    Uses an exact device histogram of the eroded mask so percentiles match
-    the reference's np.percentile on the masked voxels.
+    The regions are distinct classes of the same label map, so their masks
+    are disjoint and per-class binary erosion (skimage border=True
+    semantics, identical to `erosion_box_border1` on each mask) reduces to
+    two windowed extrema over the small label volume: a voxel keeps label
+    c>0 iff every in-volume voxel of its size^3 window has label c. This
+    replaces one erosion + one 4096-bin histogram scatter PER region with
+    one erosion pair + one scatter for all of them (TPU scatter cost
+    scales with update count, i.e. with full volume passes).
     """
-    if "autochthon" in region_name:
-        mask_dev = mask_dev & ((ct_dev < ADIPOSE_TISSUE[0])
-                               | (ct_dev > ADIPOSE_TISSUE[1]))
-    eroded = erosion_box_border1(mask_dev.astype(jnp.uint8), 6) > 0
-    # histogram of eroded region: segmented_stats with seg = eroded mask
-    res = segmented_stats(eroded.astype(jnp.int32), ct_dev, 2, with_histogram=True)
-    hist = np.asarray(res["hist"])[1]
-    m = _metrics_from_hist(hist, ml_per_voxel)
-    if not m.get("present"):
-        return m
-    if region_name.partition("_")[0] == "autochthon":
-        m["cnr"] = None
-    else:
-        _add_cnr(m, autochthon_mean, autochthon_std)
-    return m
+    k = jnp.zeros(seg.shape, jnp.int32)
+    nonfat = (ct < ADIPOSE_TISSUE[0]) | (ct > ADIPOSE_TISSUE[1])
+    for i, (lb, fx) in enumerate(zip(labels, fat_excl), start=1):
+        m = seg == lb
+        if fx:
+            m = m & nonfat
+        k = jnp.where(m, i, k)
+    kf = k.astype(jnp.float32)
+    lo = size // 2
+    hi = size - 1 - lo
+    big = jnp.float32(1e9)
+    # padding excluded from both extrema == border treated as matching
+    kmin = -jax.lax.reduce_window(
+        -jnp.pad(kf, [(lo, hi)] * 3, constant_values=big), -jnp.inf,
+        jax.lax.max, (size,) * 3, (1,) * 3, [(0, 0)] * 3)
+    kmax = jax.lax.reduce_window(
+        jnp.pad(kf, [(lo, hi)] * 3, constant_values=-big), -jnp.inf,
+        jax.lax.max, (size,) * 3, (1,) * 3, [(0, 0)] * 3)
+    return jnp.where((kmin == kmax) & (k > 0), k, 0)
+
+
+def _cnr_adjusted_metrics(ct_dev, seg_dev, regions: dict[str, int],
+                          ml_per_voxel,
+                          autochthon_mean, autochthon_std) -> dict[str, Any]:
+    """CNR-adjusted metrics for all of a model's regions in one device
+    pass: (fat-exclusion for autochthon) + 6^3 erosion + exact device
+    histograms, so percentiles match the reference's np.percentile on the
+    masked voxels."""
+    names = sorted(regions)
+    labels = tuple(regions[n] for n in names)
+    fat_excl = tuple("autochthon" in n for n in names)
+    eroded = _adjusted_label_volume(seg_dev, ct_dev, labels, fat_excl)
+    res = segmented_stats(eroded, ct_dev, len(names) + 1, with_histogram=True)
+    hists = np.asarray(res["hist"])
+    out: dict[str, Any] = {}
+    for i, name in enumerate(names, start=1):
+        m = _metrics_from_hist(hists[i], ml_per_voxel)
+        if m.get("present"):
+            if name.partition("_")[0] == "autochthon":
+                m["cnr"] = None
+            else:
+                _add_cnr(m, autochthon_mean, autochthon_std)
+        out[name] = m
+    return out
 
 
 def compute_measurements_arrays(
@@ -237,15 +276,14 @@ def compute_measurements_arrays(
                     "Skipping CNR-adjusted measurements for %s: autochthon "
                     "reference unavailable.", model_name)
             else:
-                adjusted = {}
-                for region in CNR_ADJUSTED_REGIONS[model_name]:
-                    if region not in label_map:
-                        continue
-                    mask_dev = seg_dev == label_map[region]
-                    adjusted[region] = _eroded_metrics(
-                        ct_dev, mask_dev, ml_per_voxel, region,
-                        autochthon_mean, autochthon_std)
-                measurements.setdefault("cnr_adjusted", {}).update(adjusted)
+                regions = {r: label_map[r]
+                           for r in CNR_ADJUSTED_REGIONS[model_name]
+                           if r in label_map}
+                if regions:
+                    measurements.setdefault("cnr_adjusted", {}).update(
+                        _cnr_adjusted_metrics(
+                            ct_dev, seg_dev, regions, ml_per_voxel,
+                            autochthon_mean, autochthon_std))
 
     measurements["info"]["autochthon_mean"] = autochthon_mean
     measurements["info"]["autochthon_std"] = autochthon_std
@@ -261,15 +299,17 @@ def compute_pfav_mask(ct_data: np.ndarray, total_seg: np.ndarray) -> np.ndarray:
 
 
 def _pfav_mask_device(ct_dev, seg_dev) -> np.ndarray:
-    """Device pfav: reuses the resident CT/seg; only the (mostly-zero,
-    well-compressed) uint8 mask crosses the link."""
+    """Device pfav: reuses the resident CT/seg; only the 1-bit-packed mask
+    crosses the link (ops/packing.py — 8x less tunnel payload)."""
+    from boa_tpu.ops.packing import download_mask
+
     label_map = _class_map_for_model("total")
     lut = np.zeros(max(label_map.values()) + 1, bool)
     for name in LUNG_MASKS:
         lut[label_map[name]] = True
     lungs = jnp.take(jnp.asarray(lut), seg_dev.astype(jnp.int32))
     fat = (ct_dev >= ADIPOSE_TISSUE[0]) & (ct_dev <= ADIPOSE_TISSUE[1])
-    return np.asarray((lungs & fat).astype(jnp.uint8))
+    return download_mask(lungs & fat)
 
 
 def compute_measurements(
@@ -279,13 +319,14 @@ def compute_measurements(
     cnr_adjustment: bool,
     ct_image=None,
     seg_images: dict[str, Any] | None = None,
+    worker=None,
 ) -> dict[str, Any]:
     """File-level wrapper matching the reference signature (`:244-343`).
 
     Reads CT + per-model segmentations from `segmentation_folder` (or
     reuses instances from `seg_images`, sharing their cached device
     uploads with the preview), writes ct_pfav.nii.gz when total is
-    present.
+    present (gzip overlapped on `worker` when supplied).
     """
     from boa_tpu.io import nifti
 
@@ -324,5 +365,9 @@ def compute_measurements(
         else:
             pfav = compute_pfav_mask(ct_data, segmentations["total"])
         img = nifti.NiftiImage(data=pfav, affine=ct_img.affine)
-        nifti.save(img, Path(segmentation_folder) / "ct_pfav.nii.gz")
+        pfav_path = Path(segmentation_folder) / "ct_pfav.nii.gz"
+        if worker is not None:
+            worker.submit("save-ct_pfav.nii.gz", nifti.save, img, pfav_path)
+        else:
+            nifti.save(img, pfav_path)
     return out

@@ -64,3 +64,27 @@ def download_labels(dev: jax.Array, max_label: int) -> np.ndarray:
     if dev.dtype == jnp.uint8 and packable(dev.shape, max_label):
         return unpack_host(np.asarray(pack_device(dev)))
     return np.asarray(dev)
+
+
+def bit_packable(shape: tuple[int, ...]) -> bool:
+    return len(shape) >= 1 and shape[0] % 8 == 0
+
+
+@jax.jit
+def packbits_device(m: jax.Array) -> jax.Array:
+    """(x, ...) binary mask -> (x//8, ...) bytes in np.packbits(axis=0)
+    layout (MSB = first voxel of each group of 8 along the major dim)."""
+    r = (m > 0).astype(jnp.uint8).reshape(m.shape[0] // 8, 8, *m.shape[1:])
+    out = r[:, 0]
+    for i in range(1, 8):
+        out = (out << 1) | r[:, i]
+    return out
+
+
+def download_mask(dev: jax.Array) -> np.ndarray:
+    """Device->host download of a binary mask at 1 bit/voxel when the
+    major dim allows it (8x less tunnel payload than a uint8 volume)."""
+    if bit_packable(dev.shape):
+        return np.unpackbits(np.asarray(packbits_device(dev)), axis=0)
+    return np.asarray((dev > 0).astype(jnp.uint8) if dev.dtype != jnp.uint8
+                      else dev)

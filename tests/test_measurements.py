@@ -189,3 +189,41 @@ def test_convex_hull_matches_scipy():
     ours = convex_hull(pts)
     ref = pts[spatial.ConvexHull(pts.astype(float)).vertices]
     assert {tuple(p) for p in ours} == {tuple(p) for p in ref}
+
+
+def test_adjusted_label_volume_matches_per_mask_erosion(rng):
+    """The fused per-class erosion (one min/max window pair) must equal
+    erosion_box_border1 applied to each disjoint class mask."""
+    import jax.numpy as jnp
+
+    from boa_tpu.measure.measurements import _adjusted_label_volume
+    from boa_tpu.ops.morphology import erosion_box_border1
+
+    shape = (24, 20, 18)
+    ct = rng.integers(-500, 500, shape).astype(np.int16)
+    seg = rng.integers(0, 4, shape).astype(np.uint8)  # adjacent classes
+    labels, fat_excl = (1, 2, 3), (False, True, False)
+    got = np.asarray(_adjusted_label_volume(
+        jnp.asarray(seg), jnp.asarray(ct), labels, fat_excl))
+    nonfat = (ct < ADIPOSE_TISSUE[0]) | (ct > ADIPOSE_TISSUE[1])
+    want = np.zeros(shape, np.int32)
+    for i, (lb, fx) in enumerate(zip(labels, fat_excl), start=1):
+        m = seg == lb
+        if fx:
+            m = m & nonfat
+        er = np.asarray(erosion_box_border1(jnp.asarray(
+            m.astype(np.uint8)), 6)) > 0
+        assert not (want[er] != 0).any()  # eroded classes stay disjoint
+        want[er] = i
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pfav_mask_device_matches_host(volume):
+    import jax.numpy as jnp
+
+    from boa_tpu.measure.measurements import _pfav_mask_device
+
+    ct, seg = volume
+    want = compute_pfav_mask(ct, seg)
+    got = _pfav_mask_device(jnp.asarray(ct), jnp.asarray(seg))
+    np.testing.assert_array_equal(got, want)

@@ -58,3 +58,24 @@ def test_tissue_pass_uses_packing(rng):
                                                  return_device=True)
     np.testing.assert_array_equal(host, np.asarray(dev))
     np.testing.assert_array_equal(np.asarray(regions_dev), regions)
+
+
+def test_packbits_device_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    m = (rng.random((24, 7, 5)) > 0.5).astype(np.uint8)
+    packed = np.asarray(packing.packbits_device(jnp.asarray(m)))
+    np.testing.assert_array_equal(packed, np.packbits(m, axis=0))
+
+
+def test_download_mask_roundtrip_and_fallback(rng):
+    import jax.numpy as jnp
+
+    m = (rng.random((24, 6, 4)) > 0.7).astype(np.uint8)
+    np.testing.assert_array_equal(packing.download_mask(jnp.asarray(m)), m)
+    # bool input
+    np.testing.assert_array_equal(
+        packing.download_mask(jnp.asarray(m) > 0), m)
+    # major dim not a multiple of 8: plain download
+    odd = (rng.random((13, 6, 4)) > 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(packing.download_mask(jnp.asarray(odd)), odd)

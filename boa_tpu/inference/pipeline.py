@@ -29,6 +29,7 @@ from boa_tpu.io import nifti
 from boa_tpu.io.nifti import NiftiImage
 from boa_tpu.inference.predictor import Predictor
 from boa_tpu.ops import cropping
+from boa_tpu.ops import packing
 from boa_tpu.ops import resample as rs
 from boa_tpu.tasks import class_maps
 from boa_tpu.tasks.registry import BCA_TASKS, TASKS, TaskConfig, get_task
@@ -208,14 +209,38 @@ def predict_image(
                 lut[jdx] = inv[class_name]
             mapped = jnp.take(jnp.asarray(lut), seg_part.astype(jnp.int32))
             seg_combined = jnp.where(seg_part > 0, mapped, seg_combined)
-        seg_rsp = seg_combined
+        seg_host: np.ndarray | None = None
+        seg_dev = seg_combined
     else:
-        seg_rsp = _predict_one(data_rsp, rsp_spacing, task.task_ids[0], task,
+        seg_any = _predict_one(data_rsp, rsp_spacing, task.task_ids[0], task,
                                use_folds, step_size, store, compute_dtype,
                                fake_predict, bucket,
                                save_probabilities=save_probabilities)
-        seg_rsp = jnp.asarray(seg_rsp).astype(jnp.uint8)
-    spans.mark("predict", sync=seg_rsp)
+        # the seg stays wherever it was produced (device for the real
+        # predictor, host for the fake_predict test hook) and converts
+        # lazily below, at most once per direction, 4-bit packed over the
+        # tunnel when the label count allows (ops/packing.py)
+        if isinstance(seg_any, np.ndarray):
+            seg_host = seg_any.astype(np.uint8, copy=False)
+            seg_dev = None
+        else:
+            seg_host = None
+            seg_dev = seg_any.astype(jnp.uint8)
+    max_label = int(max(label_map))
+
+    def _seg_host() -> np.ndarray:
+        nonlocal seg_host
+        if seg_host is None:
+            seg_host = packing.download_labels(seg_dev, max_label)
+        return seg_host
+
+    def _seg_dev():
+        nonlocal seg_dev
+        if seg_dev is None:
+            seg_dev = packing.upload_labels(seg_host, max_label)
+        return seg_dev
+
+    spans.mark("predict", sync=seg_dev)
 
     # --- multilabel postprocessing on the model grid (host: native C++ CC;
     #     runs BEFORE statistics like the reference, nnunet.py:596-640)
@@ -223,27 +248,26 @@ def predict_image(
     if task.keep_largest_blob:
         from boa_tpu.ops import postprocessing as pped
 
-        seg_np = np.asarray(seg_rsp)
-        seg_np = pped.keep_largest_blob_multilabel(seg_np, label_map, ["body_trunc"])
+        seg_np = pped.keep_largest_blob_multilabel(
+            _seg_host(), label_map, ["body_trunc"])
         seg_np = pped.remove_small_blobs_multilabel(
             seg_np, label_map, ["body_extremities"],
             interval=(50000.0 / vox_vol, 1e10))
-        seg_rsp = jnp.asarray(seg_np)
+        seg_host, seg_dev = seg_np, None  # device copy (if any) is stale
         seg_model_grid = NiftiImage(data=seg_np, affine=rsp_affine)
     elif remove_small_blobs:
         seg_model_grid = None  # built below from the cleaned seg
     else:
-        seg_model_grid = NiftiImage(data=np.asarray(seg_rsp), affine=rsp_affine)
+        seg_model_grid = NiftiImage(data=_seg_host(), affine=rsp_affine)
     if remove_small_blobs:
         # general postprocessing: drop components < 200 mm³ from every
         # class (`nnunet.py` -rmb, size_thr_mm3 = 200)
         from boa_tpu.ops import postprocessing as pped
 
-        seg_np = np.asarray(seg_rsp)
         seg_np = pped.remove_small_blobs_multilabel(
-            seg_np, label_map, list(label_map.values()),
+            _seg_host(), label_map, list(label_map.values()),
             interval=(200.0 / vox_vol, 1e10))
-        seg_rsp = jnp.asarray(seg_np)
+        seg_host, seg_dev = seg_np, None
         seg_model_grid = NiftiImage(data=seg_np, affine=rsp_affine)
     spans.mark("postprocess+download")
 
@@ -253,7 +277,7 @@ def predict_image(
         from boa_tpu.measure.statistics import get_basic_statistics
 
         stats = get_basic_statistics(
-            seg_rsp, data_rsp, rsp_spacing, label_map,
+            _seg_dev(), data_rsp, rsp_spacing, label_map,
             exclude_masks_at_border=stats_exclude_border,
             metric=stats_aggregation,
             normalized_intensities=stats_normalized_intensities)
@@ -265,28 +289,26 @@ def predict_image(
     #     when it is finer (full-res total), downsample on device first so
     #     only the small canonical seg crosses the link.
     inv = nifti.inv_orientation(ornt)
+    rsp_shape = tuple(int(n) for n in data_rsp.shape)
     if nnunet_resampling and resample is not None \
-            and seg_rsp.shape != canon_shape:
+            and rsp_shape != tuple(canon_shape):
         # optional high-quality back-resample: one-hot order-1 per class +
         # argmax (`totalsegmentator/resample_nnunet.py`, the TS
         # `nnunet_resampling` flag) — costlier but smoother label borders
         n_cls = int(max(label_map) + 1)
         seg_canon_dev = rs.resample_seg_onehot(
-            seg_rsp, canon_shape, n_cls, order=1, convention="zoom")
+            _seg_dev(), canon_shape, n_cls, order=1, convention="zoom")
         seg_out_dev = nifti.apply_orientation_device(
             seg_canon_dev.astype(jnp.uint8), inv)
         seg_out_np = np.asarray(seg_out_dev)
-    elif resample is not None and seg_rsp.shape != canon_shape and \
-            np.prod(seg_rsp.shape) > np.prod(canon_shape):
-        seg_canon_dev = rs.resample_nearest(seg_rsp, canon_shape,
+    elif resample is not None and rsp_shape != tuple(canon_shape) and \
+            np.prod(rsp_shape) > np.prod(canon_shape):
+        seg_canon_dev = rs.resample_nearest(_seg_dev(), canon_shape,
                                             convention="zoom")
         seg_out_dev = nifti.apply_orientation_device(seg_canon_dev, inv)
         seg_out_np = np.asarray(seg_out_dev)
     else:
-        if seg_model_grid is not None:
-            seg_small = np.asarray(seg_model_grid.data)
-        else:
-            seg_small = np.asarray(seg_rsp)
+        seg_small = _seg_host()
         if resample is not None and seg_small.shape != canon_shape:
             seg_canon_np = rs.resample_nearest_host(seg_small, canon_shape,
                                                     convention="zoom")

@@ -142,12 +142,13 @@ def resample_nearest_host(vol: np.ndarray, new_shape: tuple[int, int, int],
     more than the gather (host↔device bandwidth is ~20-80 MB/s through the
     TPU tunnel)."""
     in_shape = vol.shape[-3:]
-    ix = axis_nearest_indices(in_shape[0], new_shape[0], convention)
-    iy = axis_nearest_indices(in_shape[1], new_shape[1], convention)
-    iz = axis_nearest_indices(in_shape[2], new_shape[2], convention)
-    out = np.take(vol, ix, axis=-3)
-    out = np.take(out, iy, axis=-2)
-    return np.take(out, iz, axis=-1)
+    out = vol
+    for axis, (n_in, n_out) in enumerate(zip(in_shape, new_shape)):
+        if n_in == n_out:
+            continue  # identity axis: np.take would still copy ~50 MB here
+        idx = axis_nearest_indices(n_in, n_out, convention)
+        out = np.take(out, idx, axis=axis - 3)
+    return out
 
 
 def resample_seg_onehot(seg: jax.Array | np.ndarray, new_shape: tuple[int, int, int],

@@ -98,30 +98,33 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
     """
     out = np.zeros(mask.shape, dtype=mask.dtype)
     # one native histogram pass lists the labels (np.unique sorts 78M
-    # voxels; np.bincount upcasts them to a 630 MB int64 temp)
+    # voxels; np.bincount upcasts them to a 630 MB int64 temp), and ONE
+    # find_objects pass yields every label's bbox — the per-label work
+    # below then never touches the full volume (a `mask == label` compare
+    # plus three axis-projections per label cost ~4 full passes each on
+    # this host)
     if mask.dtype == np.uint8:
         present = np.nonzero(cc.histogram_u8(mask))[0]
     else:
         present = np.nonzero(np.bincount(
             mask.ravel().astype(np.intp), minlength=1))[0]
+    from scipy import ndimage
+
+    boxes = ndimage.find_objects(mask, max_label=int(present.max(initial=0)))
     for label_value in present:
         if label_value == 0:
             continue
-        lm = mask == label_value
-        # all work happens inside the label's bbox padded by 1 voxel of
-        # background: contour fill is per-slice local, and the hole
-        # inversion stays exact because the pad ring keeps the outside
-        # background connected. One body part typically spans a fraction
-        # of the scan, so the 2x full-volume CC passes shrink accordingly.
-        # bbox via axis-projections (np.nonzero costs a 2 s index build)
-        proj = [lm.any(axis=(1, 2)), lm.any(axis=(0, 2)), lm.any(axis=(0, 1))]
-        if not proj[0].any():
+        raw = boxes[int(label_value) - 1]
+        if raw is None:
             continue
-        lo = [max(int(np.argmax(p)) - 1, 0) for p in proj]
-        hi = [min(int(len(p) - np.argmax(p[::-1])) + 1, s)
-              for p, s in zip(proj, lm.shape)]
+        # pad the bbox by 1 voxel of background: contour fill is per-slice
+        # local, and the hole inversion stays exact because the pad ring
+        # keeps the outside background connected. One body part typically
+        # spans a fraction of the scan, so the 2x CC passes shrink too.
+        lo = [max(s.start - 1, 0) for s in raw]
+        hi = [min(s.stop + 1, n) for s, n in zip(raw, mask.shape)]
         box = tuple(slice(a, b) for a, b in zip(lo, hi))
-        filled = _fill_2d_contours(lm[box])
+        filled = _fill_2d_contours(mask[box] == label_value)
         # remove small foreground objects (keep >= threshold)
         filled = cc.filter_components_by_size(
             filled, (threshold - 1, np.inf), connectivity=3).astype(bool)
@@ -140,15 +143,15 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
         ring_faces = []
         if lo[0] > 0:
             ring_faces.append(inv_labels[0])
-        if hi[0] < lm.shape[0]:
+        if hi[0] < mask.shape[0]:
             ring_faces.append(inv_labels[-1])
         if lo[1] > 0:
             ring_faces.append(inv_labels[:, 0])
-        if hi[1] < lm.shape[1]:
+        if hi[1] < mask.shape[1]:
             ring_faces.append(inv_labels[:, -1])
         if lo[2] > 0:
             ring_faces.append(inv_labels[..., 0])
-        if hi[2] < lm.shape[2]:
+        if hi[2] < mask.shape[2]:
             ring_faces.append(inv_labels[..., -1])
         for face in ring_faces:
             keep[np.unique(face)] = True

@@ -168,6 +168,10 @@ class Builder:
         self.spacing = tuple(float(s) for s in spacing)
         self.theme = theme
         self.examined_body_part = AggregatableBodyPart(0)
+        # NOTE: regions_dev may encode the 255-ignore fragments as 15
+        # (bca/tissues.py IGNORE_XFER, packable transfer form); everything
+        # here matches real region ids <= 11 by equality, so both forms
+        # behave identically.
         self._regions_dev = regions_dev
         self._region_zc: np.ndarray | None = None
 

@@ -22,6 +22,8 @@ from boa_tpu.ops.morphology import median_filter_inplane
 
 _RULES = tuple((int(t), float(lo), float(hi), int(r)) for t, (lo, hi), r in TISSUE_RULES)
 _MAX_TISSUE = max(int(t) for t in Tissue)
+IGNORE_VALUE = 255     # bca/postprocess.py removed-fragment marker
+IGNORE_XFER = 15       # its packable stand-in on the device copy
 
 
 @jax.jit
@@ -46,12 +48,24 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
     if median_filtering:
         ct = median_filter_inplane(ct.astype(jnp.float32), 3)
     # both label volumes cross the tunnel 4-bit packed when possible: the
-    # speckled tissue map especially compresses poorly as raw bytes.
-    # upload_labels MUST scan for the real max (a host pass): the region
-    # postprocess emits 255-ignore fragments (bca/postprocess.py
-    # IGNORE_VALUE), and packing a >15 label would corrupt its byte pair.
+    # speckled tissue map especially compresses poorly as raw bytes. The
+    # region postprocess emits 255-ignore fragments (bca/postprocess.py
+    # IGNORE_VALUE) which alone break the <16 packing bound, so the
+    # device copy encodes ignore as IGNORE_XFER=15 — every consumer
+    # (the rules here, the builder's region_z_counts) matches real region
+    # ids <= 11 by equality, so the encoding is transparent.
     body_regions = np.asarray(body_regions)
-    regions_dev = packing.upload_labels(body_regions)
+    xfer = body_regions
+    if body_regions.dtype == np.uint8:
+        from boa_tpu.ops.connected_components import histogram_u8
+
+        present = np.nonzero(histogram_u8(body_regions))[0]
+        if present.size and present[-1] > 15 \
+                and (present[:-1] < IGNORE_XFER).all() \
+                and present[-1] == IGNORE_VALUE:
+            xfer = np.where(body_regions == IGNORE_VALUE,
+                            np.uint8(IGNORE_XFER), body_regions)
+    regions_dev = packing.upload_labels(xfer)
     dev = _subclassify(ct, regions_dev)
     host = packing.download_labels(dev, _MAX_TISSUE)
     return (host, dev, regions_dev) if return_device else host

@@ -79,3 +79,21 @@ def test_download_mask_roundtrip_and_fallback(rng):
     # major dim not a multiple of 8: plain download
     odd = (rng.random((13, 6, 4)) > 0.5).astype(np.uint8)
     np.testing.assert_array_equal(packing.download_mask(jnp.asarray(odd)), odd)
+
+
+def test_tissue_pass_encodes_ignore_fragments(rng):
+    """255-ignore fragments (bca/postprocess.py) ride the tunnel as the
+    packable stand-in 15; the tissue map itself is unchanged."""
+    from boa_tpu.bca.tissues import IGNORE_XFER, subclassify_tissues
+
+    ct = rng.integers(-1000, 1500, (32, 16, 8)).astype(np.int16)
+    regions = rng.integers(0, 11, (32, 16, 8)).astype(np.uint8)
+    regions[:4, :4, :2] = 255
+    host, dev, regions_dev = subclassify_tissues(ct, regions,
+                                                 return_device=True)
+    ref = subclassify_tissues(ct, np.where(regions == 255, 0, regions))
+    # 255 matches no tissue rule, so remapping it cannot change the output
+    np.testing.assert_array_equal(host, ref)
+    rd = np.asarray(regions_dev)
+    np.testing.assert_array_equal(rd == IGNORE_XFER, regions == 255)
+    np.testing.assert_array_equal(rd[regions != 255], regions[regions != 255])

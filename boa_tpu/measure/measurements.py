@@ -59,7 +59,8 @@ def _class_map_for_model(model_name: str) -> dict[str, int]:
 
 def _metrics_from_hist(hist: np.ndarray, ml_per_voxel: float) -> dict[str, Any]:
     """Exact region metrics from an integer-HU histogram (float64 host math)."""
-    n = hist.sum()
+    hist = np.asarray(hist, np.float64)  # float32 scalars poison products
+    n = float(hist.sum())
     if n == 0:
         return {"present": False}
     m: dict[str, Any] = {"present": True}

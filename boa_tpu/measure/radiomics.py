@@ -55,10 +55,103 @@ def first_order_features(values: np.ndarray, ml_per_voxel: float) -> dict:
     }
 
 
+def _features_from_hist(hist: np.ndarray, values: np.ndarray,
+                        ml_per_voxel: float) -> dict:
+    """First-order features EXACTLY from an integer-value histogram.
+
+    Every feature of `first_order_features` is a functional of the value
+    counts: moments and MAD are histogram contractions, percentiles come
+    from the cumulative counts (numpy 'linear' method), and the 64-bin
+    entropy/uniformity rebin is exact because each integer value falls in
+    exactly one equal-width bin.
+    """
+    h = hist.astype(np.float64)
+    n = h.sum()  # float64: a float32 count would poison every product
+    if n == 0:
+        return {"present": False}
+    v = values.astype(np.float64)
+    mean = float((h * v).sum() / n)
+    centered = v - mean
+    var = float((h * centered ** 2).sum() / n)
+    std = np.sqrt(var)
+    nz = np.nonzero(hist)[0]
+    vmin, vmax = float(v[nz[0]]), float(v[nz[-1]])
+    # exact 64-equal-width-bin rebin over [vmin, vmax]: same linspace
+    # edges and half-open-bins-except-last rule as np.histogram
+    if vmax > vmin:
+        edges = np.linspace(vmin, vmax, 65)
+        bin_of = np.minimum(np.searchsorted(edges, v[nz], side="right") - 1,
+                            63)
+        p = np.bincount(bin_of, weights=h[nz], minlength=64) / n
+    else:
+        p = np.array([1.0])
+    p = p[p > 0]
+    cum = np.cumsum(h)
+
+    def q(frac: float) -> float:
+        pos = frac * (n - 1)
+        lo_idx = int(np.floor(pos))
+        hi_idx = min(lo_idx + 1, int(n) - 1)
+        lo_v = v[np.searchsorted(cum, lo_idx + 1)]
+        hi_v = v[np.searchsorted(cum, hi_idx + 1)]
+        return float(lo_v + (hi_v - lo_v) * (pos - lo_idx))
+
+    q25, q75 = q(0.25), q(0.75)
+    return {
+        "present": True,
+        "voxels": int(n),
+        "volume_ml": float(n * ml_per_voxel),
+        "energy": float((h * v ** 2).sum()),
+        "entropy": float(-(p * np.log2(p)).sum()),
+        "minimum": vmin,
+        "maximum": vmax,
+        "mean": mean,
+        "median": q(0.5),
+        "percentile_10": q(0.10),
+        "percentile_90": q(0.90),
+        "interquartile_range": float(q75 - q25),
+        "range": float(vmax - vmin),
+        "mean_absolute_deviation": float((h * np.abs(centered)).sum() / n),
+        "root_mean_squared": float(np.sqrt((h * v ** 2).sum() / n)),
+        "variance": var,
+        "skewness": float((h * centered ** 3).sum() / n / std ** 3)
+        if std > 0 else 0.0,
+        "kurtosis": float((h * centered ** 4).sum() / n / std ** 4)
+        if std > 0 else 0.0,
+        "uniformity": float((p ** 2).sum()),
+    }
+
+
 def get_radiomics_features(ct_data: np.ndarray, seg: np.ndarray,
                            spacing, label_map: dict[int, str]) -> dict:
+    """Per-class first-order features.
+
+    Integer CTs take the one-pass device path: a single per-class
+    integer-HU histogram (measure/statistics.py segmented_stats) replaces
+    one full-volume `ct[seg == label]` scan PER LABEL (117 scans for the
+    total map). HU values are clipped to [-1024, 3071] like every other
+    device statistic; non-integer CTs fall back to the direct math.
+    """
     ml_per_voxel = float(np.prod(spacing)) / 1000.0
     out = {}
+    if np.issubdtype(np.asarray(ct_data).dtype, np.integer):
+        import jax.numpy as jnp
+
+        from boa_tpu.measure.statistics import HU_MIN, N_BINS, segmented_stats
+
+        num_classes = max(label_map) + 1
+        res = segmented_stats(
+            seg if not isinstance(seg, np.ndarray) else jnp.asarray(seg),
+            ct_data if not isinstance(ct_data, np.ndarray)
+            else jnp.asarray(np.asarray(ct_data, np.int16)),
+            num_classes, with_histogram=True)
+        hists = np.asarray(res["hist"])
+        values = np.arange(HU_MIN, HU_MIN + N_BINS, dtype=np.float64)
+        for label, name in label_map.items():
+            if label == 0:
+                continue
+            out[name] = _features_from_hist(hists[label], values, ml_per_voxel)
+        return out
     for label, name in label_map.items():
         if label == 0:
             continue

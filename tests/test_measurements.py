@@ -227,3 +227,32 @@ def test_pfav_mask_device_matches_host(volume):
     want = compute_pfav_mask(ct, seg)
     got = _pfav_mask_device(jnp.asarray(ct), jnp.asarray(seg))
     np.testing.assert_array_equal(got, want)
+
+
+def test_radiomics_hist_path_matches_direct(rng):
+    """Integer CTs take the one-pass histogram path; its features must
+    equal the direct per-label numpy math (first_order_features)."""
+    from boa_tpu.measure.radiomics import (first_order_features,
+                                           get_radiomics_features)
+
+    shape = (20, 18, 16)
+    ct = rng.integers(-1000, 1500, shape).astype(np.int16)
+    seg = rng.integers(0, 4, shape).astype(np.uint8)
+    label_map = {1: "a", 2: "b", 3: "c"}
+    spacing = (1.0, 1.5, 2.0)
+    got = get_radiomics_features(ct, seg, spacing, label_map)
+    mlpv = float(np.prod(spacing)) / 1000.0
+    for lb, name in label_map.items():
+        want = first_order_features(ct[seg == lb], mlpv)
+        assert set(got[name]) == set(want)
+        for k, wv in want.items():
+            # entropy/uniformity: np.histogram's float fast-path may bin an
+            # exactly-on-edge value differently than the searchsorted edge
+            # rule (one voxel in an adjacent bin) — everything else is exact
+            rtol = 1e-6 if k in ("entropy", "uniformity") else 1e-12
+            np.testing.assert_allclose(got[name][k], wv, rtol=rtol,
+                                       err_msg=f"{name}.{k}")
+    # empty class
+    got_e = get_radiomics_features(ct, np.zeros(shape, np.uint8), spacing,
+                                   {1: "a"})
+    assert got_e["a"] == {"present": False}

@@ -31,13 +31,8 @@ from boa_tpu.weights.store import ModelStore
 logger = logging.getLogger(__name__)
 
 
-def _finish_bca_task(task_name: str, res, label_map,
-                     output_file: Path) -> nifti.NiftiImage:
-    """Pure-host tail of one BCA model: per-task postprocess + save.
-
-    No device calls — safe to run on the background HostWorker while the
-    calling thread dispatches the next model (`infer/infer.py:39-89`
-    runs this serially on the reference's multi-core host)."""
+def _postprocess_bca_task(task_name: str, res, label_map) -> nifti.NiftiImage:
+    """Per-task host postprocess of one BCA model's segmentation."""
     t0 = _time.perf_counter()
     seg = np.asarray(res.seg.data, dtype=np.uint8)
     if task_name == "body_parts":
@@ -48,6 +43,17 @@ def _finish_bca_task(task_name: str, res, label_map,
                 _time.perf_counter() - t0)
     out = nifti.NiftiImage(data=seg, affine=res.seg.affine)
     out.set_label_map(label_map)
+    return out
+
+
+def _finish_bca_task(task_name: str, res, label_map,
+                     output_file: Path) -> nifti.NiftiImage:
+    """Pure-host tail of one BCA model: per-task postprocess + save.
+
+    No device calls — safe to run on the background HostWorker while the
+    calling thread dispatches the next model (`infer/infer.py:39-89`
+    runs this serially on the reference's multi-core host)."""
+    out = _postprocess_bca_task(task_name, res, label_map)
     t0 = _time.perf_counter()
     nifti.save(out, output_file)
     logger.info("BCA %s saved in %.2fs", task_name,
@@ -65,16 +71,21 @@ def bca_inference(
     compute_dtype: str = "bfloat16",
     fake_predict: Callable | None = None,
     worker=None,
+    inline_postprocess: bool = False,
 ):
     """Run one BCA model incl. its postprocessing; cached on disk.
 
     Returns the finished NiftiImage — or, when `worker` is given, a
-    Future of it (postprocess+save deferred to the host thread)."""
+    Future of it (postprocess+save deferred to the host thread).
+    `inline_postprocess=True` keeps the postprocess on the calling thread
+    and defers only the gzip save, returning the NiftiImage directly —
+    for outputs a downstream stage consumes immediately (body_regions
+    feeds the tissue pass)."""
     output_file = Path(output_dir) / f"{task_name}.nii.gz"
     if not recompute and output_file.is_file():
         logger.info("Loading already computed %s...", task_name)
         img = nifti.load(output_file)
-        if worker is None:
+        if worker is None or inline_postprocess:
             return img
         fut: Future = Future()
         fut.set_result(img)
@@ -84,9 +95,14 @@ def bca_inference(
                         compute_dtype=compute_dtype, fake_predict=fake_predict)
     logger.info("BCA %s predicted in %.2fs", task_name,
                 _time.perf_counter() - t0)
-    if worker is not None:
+    if worker is not None and not inline_postprocess:
         return worker.submit(f"bca-{task_name}-finish", _finish_bca_task,
                              task_name, res, res.label_map, output_file)
+    if worker is not None:
+        out = _postprocess_bca_task(task_name, res, res.label_map)
+        worker.submit(f"save-{task_name}.nii.gz", nifti.save, out,
+                      output_file)
+        return out
     return _finish_bca_task(task_name, res, res.label_map, output_file)
 
 
@@ -131,33 +147,11 @@ def run_pipeline(
     # body_regions: its postprocessed labels feed the tissue pass NOW, so
     # postprocess stays on this thread (native keep-largest, fast) and
     # only the gzip save is deferred
-    regions_file = output_dir / "body_regions.nii.gz"
-    if not recompute and regions_file.is_file():
-        logger.info("Loading already computed body_regions...")
-        body_regions_img = nifti.load(regions_file)
-    else:
-        t0 = _time.perf_counter()
-        res = predict_image(ct_img, "body_regions", store, fast=fast_bca,
-                            compute_dtype=compute_dtype,
-                            fake_predict=fake_predict)
-        logger.info("BCA body_regions predicted in %.2fs",
-                    _time.perf_counter() - t0)
-        t0 = _time.perf_counter()
-        seg = bca_pp.postprocess_region_segmentation(
-            np.asarray(res.seg.data, dtype=np.uint8))
-        logger.info("BCA body_regions postprocessed in %.2fs",
-                    _time.perf_counter() - t0)
-        body_regions_img = nifti.NiftiImage(data=seg, affine=res.seg.affine)
-        body_regions_img.set_label_map(res.label_map)
-        if worker is not None:
-            save_futures.append(worker.submit(
-                "save-body_regions.nii.gz", nifti.save, body_regions_img,
-                regions_file))
-        else:
-            t0 = _time.perf_counter()
-            nifti.save(body_regions_img, regions_file)
-            logger.info("BCA body_regions saved in %.2fs",
-                        _time.perf_counter() - t0)
+    body_regions_img = bca_inference(ct_img, output_dir, "body_regions",
+                                     store, fast_bca, recompute=recompute,
+                                     compute_dtype=compute_dtype,
+                                     fake_predict=fake_predict, worker=worker,
+                                     inline_postprocess=True)
 
     t0 = _time.perf_counter()
     regions = np.asarray(body_regions_img.data)

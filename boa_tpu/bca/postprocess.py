@@ -76,7 +76,9 @@ def _fill_2d_contours(label_mask: np.ndarray) -> np.ndarray:
     """
     import cv2
 
-    zxy = np.moveaxis(label_mask, 2, 0).astype(np.uint8)  # contiguous copy
+    # order="C": plain astype keeps the transposed strides (order="K"),
+    # leaving every zxy[k] slice a stride-nz gather for cv2 to re-copy
+    zxy = np.moveaxis(label_mask, 2, 0).astype(np.uint8, order="C")
     out = np.zeros_like(zxy)
     canvas = np.zeros(zxy.shape[1:], np.uint8)
     for k in range(zxy.shape[0]):

@@ -196,8 +196,12 @@ class Builder:
             width = int(self._regions.max()) + 1
             nz = self._regions.shape[2]
             if self._regions_dev is not None:
+                # the device copy encodes ignore as 15 (IGNORE_XFER), so
+                # its labels are < 16 — without the cap a single 255-ignore
+                # fragment in the host seg would size the one-hot at 256
+                # columns (~16x the compute) for counts nothing reads
                 self._region_zc = np.asarray(_region_z_pass(
-                    self._regions_dev, width))
+                    self._regions_dev, min(width, 16)))
             else:
                 z = np.broadcast_to(
                     np.arange(nz, dtype=np.int32)[None, None, :],

@@ -93,20 +93,13 @@ def _group_fronts_from_depths(depths: np.ndarray, inv: dict[str, int]
     return out
 
 
-def _group_fronts_device(seg_dev, inv: dict[str, int], n_labels: int
-                         ) -> dict[str, tuple | None]:
-    """Per-group front-surface maps, reduced ON DEVICE: the (ny, nz,
-    width) label-depth stack never leaves the chip — only one int16
-    depth + uint8 argmin map per ROI group crosses the link (~0.5 MB a
-    group vs 72 MB for the full stack at 118 labels)."""
+def _fronts_jit():
+    """Module-level jit (one retrace per seg shape, not per call — a
+    per-call inner def would re-trace and remote-recompile every study)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    nx, ny, nz = seg_dev.shape
-    group_labels = {g: tuple(inv[r] for r in rois if r in inv)
-                    for g, rois in ROI_GROUPS.items()}
-    groups = tuple(v for v in group_labels.values() if v)
     BIG = np.int32(2 ** 24)  # "not in this group" encoding sentinel
 
     @partial(jax.jit, static_argnames=("groups",))
@@ -117,6 +110,7 @@ def _group_fronts_device(seg_dev, inv: dict[str, int], n_labels: int
         into one volume pass — no scatter-min over ny*nz*width segments
         (TPU scatters serialize) and no gather. Outputs stack into one
         int16 + one uint8 download."""
+        nx = seg.shape[0]
         segi = seg.astype(jnp.int32)
         x_enc = (jnp.arange(nx, dtype=jnp.int32) * 256)[:, None, None]
         fr, wh = [], []
@@ -130,7 +124,26 @@ def _group_fronts_device(seg_dev, inv: dict[str, int], n_labels: int
             wh.append((front_enc & 255).astype(jnp.uint8))
         return jnp.stack(fr), jnp.stack(wh)
 
-    fr_dev, wh_dev = fronts(seg_dev, groups)
+    return fronts
+
+
+_FRONTS = None
+
+
+def _group_fronts_device(seg_dev, inv: dict[str, int], n_labels: int
+                         ) -> dict[str, tuple | None]:
+    """Per-group front-surface maps, reduced ON DEVICE: the (ny, nz,
+    width) label-depth stack never leaves the chip — only one int16
+    depth + uint8 argmin map per ROI group crosses the link (~0.5 MB a
+    group vs 72 MB for the full stack at 118 labels)."""
+    global _FRONTS
+    if _FRONTS is None:
+        _FRONTS = _fronts_jit()
+
+    group_labels = {g: tuple(inv[r] for r in rois if r in inv)
+                    for g, rois in ROI_GROUPS.items()}
+    groups = tuple(v for v in group_labels.values() if v)
+    fr_dev, wh_dev = _FRONTS(seg_dev, groups)
     fr_all = np.asarray(fr_dev).astype(np.float32)
     wh_all = np.asarray(wh_dev)
     out: dict[str, tuple | None] = {}

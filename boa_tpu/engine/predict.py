@@ -55,9 +55,14 @@ def load_model_folder(mdir: Path, folds, chk: str = "checkpoint_final",
 
     mdir = Path(mdir)
     known = json.loads((mdir / "plans.json").read_text())["configurations"]
-    plans = ModelPlans.from_model_folder(
-        mdir, configuration=configuration if configuration in known
-        else "3d_fullres")
+    if configuration not in known:
+        # nnUNetv2_predict errors on an unknown configuration; silently
+        # predicting with 3d_fullres plans under the requested name would
+        # produce wrong segmentations that look like a successful run
+        raise ValueError(
+            f"configuration {configuration!r} not in plans.json "
+            f"(available: {sorted(known)})")
+    plans = ModelPlans.from_model_folder(mdir, configuration=configuration)
     cfg = plans.arch_config()
     if folds is None:
         folds = sorted(int(p.name.split("_")[1]) for p in mdir.glob("fold_*"))

@@ -121,6 +121,14 @@ def _decode_jpegll_python(frame: bytes) -> np.ndarray:
             continue
         seg = struct.unpack(">H", frame[pos:pos + 2])[0]
         body = frame[pos + 2:pos + seg]
+        if marker == 0xDD and struct.unpack(">H", body[:2])[0] != 0:
+            # restart intervals: _Bits treats every 0xFF as stuffing, so a
+            # RST marker would silently desync the Huffman stream — refuse
+            # rather than return corrupt pixels (the native decoder
+            # handles DRI; this fallback only runs without the toolchain)
+            raise ValueError(
+                "JPEG-lossless restart intervals (DRI) are unsupported by "
+                "the python fallback decoder; build native/jpegll.cpp")
         if marker in (0xC3, 0xC7, 0xCB, 0xCF):  # SOF3 family
             precision = body[0]
             rows, cols = struct.unpack(">HH", body[1:5])
@@ -173,6 +181,10 @@ def _jpegll_scan(data, rows, cols, ncomp, scan, comp_dc, tables, precision,
             code = (code << 1) | br.read(1)
         raise ValueError("bad huffman code")
 
+    # prediction runs in the UNSHIFTED (precision - pt bit) domain; the
+    # point-transform shift applies only to the final output (T.81 H.2.1 —
+    # storing shifted values back into the neighborhood would corrupt
+    # every later prediction and overflow the uint16 store)
     out = np.zeros((rows, cols, ncomp), np.uint16)
     default = 1 << (precision - pt - 1)
     for y in range(rows):
@@ -199,7 +211,9 @@ def _jpegll_scan(data, rows, cols, ncomp, scan, comp_dc, tables, precision,
                             5: ra + ((rb - rc_) >> 1),
                             6: rb + ((ra - rc_) >> 1),
                             7: (ra + rb) >> 1}[predictor]
-                out[y, x, c] = ((pred + diff) & 0xFFFF) << pt
+                out[y, x, c] = (pred + diff) & 0xFFFF
+    if pt:
+        out <<= pt
     return out[:, :, 0] if ncomp == 1 else out
 
 

@@ -126,15 +126,20 @@ def get_radiomics_features(ct_data: np.ndarray, seg: np.ndarray,
                            spacing, label_map: dict[int, str]) -> dict:
     """Per-class first-order features.
 
-    Integer CTs take the one-pass device path: a single per-class
-    integer-HU histogram (measure/statistics.py segmented_stats) replaces
-    one full-volume `ct[seg == label]` scan PER LABEL (117 scans for the
-    total map). HU values are clipped to [-1024, 3071] like every other
-    device statistic; non-integer CTs fall back to the direct math.
+    Integer CTs within the HU histogram range [-1024, 3071] take the
+    one-pass device path: a single per-class integer-HU histogram
+    (measure/statistics.py segmented_stats) replaces one full-volume
+    `ct[seg == label]` scan PER LABEL (117 scans for the total map).
+    Out-of-range values (e.g. metal implants above 3071) would be clipped
+    by the histogram and distort min/max/energy, so those volumes — and
+    non-integer CTs — fall back to the exact direct math.
     """
     ml_per_voxel = float(np.prod(spacing)) / 1000.0
     out = {}
-    if np.issubdtype(np.asarray(ct_data).dtype, np.integer):
+    ct_np = np.asarray(ct_data)
+    in_hu_range = (np.issubdtype(ct_np.dtype, np.integer)
+                   and int(ct_np.min()) >= -1024 and int(ct_np.max()) <= 3071)
+    if in_hu_range:
         import jax.numpy as jnp
 
         from boa_tpu.measure.statistics import HU_MIN, N_BINS, segmented_stats

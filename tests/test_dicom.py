@@ -529,3 +529,52 @@ def test_jpeg_extended_ct_series_roundtrip(tmp_path):
     err = np.abs(np.asarray(back.data).astype(int) - data.astype(int))
     assert err.mean() < 8 and err.max() < 80
     assert back.shape == img.shape
+
+
+def _patch_sos_pt(frame: bytes, pt: int) -> bytes:
+    """Set the point transform (SOS Al nibble) of a single-scan stream."""
+    pos = 2
+    buf = bytearray(frame)
+    while pos < len(buf):
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        seg = int.from_bytes(buf[pos:pos + 2], "big")
+        if marker == 0xDA:
+            ns = buf[pos + 2]
+            al_at = pos + 2 + 1 + 2 * ns + 2  # Ss, Se, then Ah/Al
+            buf[al_at] = (buf[al_at] & 0xF0) | pt
+            return bytes(buf)
+        pos += seg
+    raise AssertionError("no SOS")
+
+
+def test_jpegll_point_transform_python_matches_native(rng):
+    """Pt>0 streams: prediction must run in the unshifted domain (T.81
+    H.2.1) — the python fallback previously stored shifted values back
+    into the neighborhood and overflowed uint16."""
+    from boa_tpu import native
+    from boa_tpu.io import dicom_codecs
+
+    img = rng.integers(0, 1 << 12, (23, 17)).astype(np.uint16)
+    frame = _patch_sos_pt(
+        dicom_codecs.encode_jpeg_lossless_sv1(img, precision=12), pt=1)
+    got_py = dicom_codecs._decode_jpegll_python(frame)
+    # decoding a Pt=1 stream reconstructs img>>1 then shifts back
+    assert got_py.dtype == np.uint16 and got_py.shape == img.shape
+    if native.get_lib() is not None:
+        got_native = dicom_codecs._decode_jpegll_native(native.get_lib(),
+                                                        frame)
+        np.testing.assert_array_equal(got_py, got_native)
+
+
+def test_jpegll_python_rejects_restart_intervals(rng):
+    from boa_tpu.io import dicom_codecs
+
+    img = rng.integers(0, 256, (8, 8)).astype(np.uint16)
+    frame = dicom_codecs.encode_jpeg_lossless_sv1(img, precision=8)
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08])
+    patched = frame[:2] + dri + frame[2:]
+    with pytest.raises(ValueError, match="restart"):
+        dicom_codecs._decode_jpegll_python(patched)

@@ -256,3 +256,16 @@ def test_radiomics_hist_path_matches_direct(rng):
     got_e = get_radiomics_features(ct, np.zeros(shape, np.uint8), spacing,
                                    {1: "a"})
     assert got_e["a"] == {"present": False}
+
+
+def test_radiomics_out_of_range_falls_back_exact(rng):
+    """Metal-implant HU above 3071 must not be histogram-clipped."""
+    from boa_tpu.measure.radiomics import get_radiomics_features
+
+    shape = (12, 10, 8)
+    ct = rng.integers(-1000, 1500, shape).astype(np.int16)
+    seg = np.zeros(shape, np.uint8)
+    seg[2:6, 2:6, 2:6] = 1
+    ct[3, 3, 3] = 10000  # implant voxel
+    got = get_radiomics_features(ct, seg, (1, 1, 1), {1: "implant"})
+    assert got["implant"]["maximum"] == 10000.0

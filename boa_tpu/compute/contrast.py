@@ -142,7 +142,9 @@ def _phase_from_pi_time(measurements: dict[str, Any] | None
     them in `resources/contrast_phase_classifiers_2024_07_19.pkl`; see
     `bin/totalseg_get_phase.py:57-120`). Organ median HUs come from the
     measurements JSON; returns None when either the vendored artifact or
-    the measurements are unavailable."""
+    the measurements are unavailable. The four head/neck vessel features
+    stay zero here (the regressor's brain-absent convention) — BOA runs
+    no headneck model; `tools/get_phase.py main()` feeds the real ones."""
     from boa_tpu.tools.get_phase import (_VENDORED_PHASE_PKL, PHASE_ORGANS,
                                          get_ct_contrast_phase)
 

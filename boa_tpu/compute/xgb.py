@@ -52,7 +52,10 @@ class TreeEnsemble:
         if booster.get("name", "gbtree") != "gbtree":
             raise ValueError(f"unsupported booster {booster.get('name')!r}")
         param = learner["learner_model_param"]
-        if int(param.get("num_class", "0") or 0) > 2:
+        # num_class >= 2 means multi:* with per-class interleaved trees —
+        # summing them into one margin silently mis-scores even 2 classes
+        if int(param.get("num_class", "0") or 0) >= 2 or \
+                learner["objective"]["name"].startswith("multi:"):
             raise ValueError("multiclass models are not supported")
         return cls(
             trees=booster["model"]["trees"],

@@ -68,21 +68,38 @@ def determine_postprocessing(
 
     joint = {k: remove_all_but_largest_component_from_segmentation(
         v, [list(fg_labels)]) for k, v in cur.items()}
-    after = evaluate_folder_arrays(refs, joint, fg_labels)["foreground_mean"]
-    if after.get("Dice", 0) >= base.get("Dice", 0):
+    res = evaluate_folder_arrays(refs, joint, fg_labels)
+    if res["foreground_mean"].get("Dice", 0) >= base.get("Dice", 0):
         cur = joint
-        base = after
         chosen.append({"fn": "remove_all_but_largest_component",
                        "kwargs": {"labels_or_regions": [list(fg_labels)]}})
+    else:
+        res = evaluate_folder_arrays(refs, cur, fg_labels)
 
+    # per-label filters only alter their own label's mask (removed voxels
+    # become background), so only that label's per-case Dice column needs
+    # re-evaluating — O(L) full-volume work instead of O(L^2)
+    col_mean = {lb: float(np.nanmean(
+        [res["metric_per_case"][c][str(lb)]["Dice"] for c in cur]))
+        for lb in fg_labels}
     for lb in fg_labels:
-        cand = {k: remove_all_but_largest_component_from_segmentation(v, lb)
-                for k, v in cur.items()}
-        after = evaluate_folder_arrays(refs, cand, fg_labels)[
-            "foreground_mean"]
-        if after.get("Dice", 0) > base.get("Dice", 0):
-            cur = cand
-            base = after
+        new_dice = []
+        new_masks = {}
+        for c, v in cur.items():
+            mask = v == lb
+            keep = largest_component(mask).astype(bool) if mask.any() else mask
+            new_masks[c] = (mask, keep)
+            mr = refs[c] == lb
+            tp = int(np.sum(mr & keep))
+            denom = 2 * tp + int(np.sum(~mr & keep)) + int(np.sum(mr & ~keep))
+            new_dice.append(2 * tp / denom if denom else float("nan"))
+        old_fg = float(np.nanmean(list(col_mean.values())))
+        cand_cols = dict(col_mean)
+        cand_cols[lb] = float(np.nanmean(new_dice))
+        if float(np.nanmean(list(cand_cols.values()))) > old_fg:
+            for c, (mask, keep) in new_masks.items():
+                cur[c][mask & ~keep] = 0
+            col_mean[lb] = cand_cols[lb]
             chosen.append({"fn": "remove_all_but_largest_component",
                            "kwargs": {"labels_or_regions": lb}})
     if out_file:
@@ -102,14 +119,20 @@ def find_best_configuration(
         refs: dict[str, np.ndarray],
         preds_per_config: dict[str, dict[str, np.ndarray]],
         labels: Sequence[int],
-        allow_ensembling: bool = True) -> dict:
+        allow_ensembling: bool = True,
+        probs_per_config: dict[str, dict[str, np.ndarray]] | None = None
+        ) -> dict:
     """Pick the best single configuration or 2-config ensemble by CV Dice,
     then determine postprocessing for the winner.
 
     Parity: `nnunetv2/evaluation/find_best_configuration.py` — evaluates
     each configuration (and pairwise probability ensembles when enabled)
     on cross-validation predictions, selects by mean foreground Dice, and
-    attaches the postprocessing decision.
+    attaches the postprocessing decision. Like nnU-Net, ensembling needs
+    the predicted PROBABILITIES (`probs_per_config[name][case] ->
+    (C, x, y, z)`); with hard labels only, two members cannot outvote
+    each other, so ensemble candidates are skipped with a log line
+    rather than scored as a fake copy of one member.
     """
     fg = [lb for lb in labels if lb != 0]
     scores: dict[str, float] = {}
@@ -120,15 +143,24 @@ def find_best_configuration(
         seg_sources[name] = preds
     if allow_ensembling and len(preds_per_config) > 1:
         names = sorted(preds_per_config)
+        have_probs = {n for n in names
+                      if probs_per_config and set(probs_per_config.get(n, {}))
+                      >= set(refs)}
         for i in range(len(names)):
             for j in range(i + 1, len(names)):
                 a, b = names[i], names[j]
+                if a not in have_probs or b not in have_probs:
+                    logger.info(
+                        "skipping ensemble %s+%s: probabilities unavailable "
+                        "(predict with --save_probabilities)", a, b)
+                    continue
                 merged = {}
                 for cid in refs:
-                    sa = preds_per_config[a][cid]
-                    sb = preds_per_config[b][cid]
-                    # hard-label ensemble fallback: prefer agreement, else a
-                    merged[cid] = np.where(sa == sb, sa, sa)
+                    ens = ensemble_probabilities(
+                        [probs_per_config[a][cid].astype(np.float32),
+                         probs_per_config[b][cid].astype(np.float32)])
+                    merged[cid] = np.argmax(ens, axis=0).astype(
+                        np.uint8 if ens.shape[0] <= 256 else np.uint16)
                 key = f"ensemble___{a}___{b}"
                 scores[key] = evaluate_folder_arrays(refs, merged, fg)[
                     "foreground_mean"]["Dice"]
@@ -228,23 +260,30 @@ def find_best_configuration_folders(ref_dir, config_dirs: dict,
     refs = {p.name[:-7]: np.asarray(nifti.load(p).data)
             for p in sorted(ref_dir.glob("*.nii.gz"))}
     preds_per_config = {}
+    probs_per_config: dict[str, dict[str, np.ndarray]] = {}
     for name, d in config_dirs.items():
         d = Path(d)
         preds = {}
+        probs = {}
         for cid in refs:
             f = d / f"{cid}.nii.gz"
             if f.exists():
                 preds[cid] = np.asarray(nifti.load(f).data)
+            npz = d / f"{cid}.npz"
+            if npz.exists():  # --save_probabilities output: enables ensembles
+                probs[cid] = np.load(npz)["probabilities"]
         if set(preds) != set(refs):
             missing = sorted(set(refs) - set(preds))
             raise FileNotFoundError(
                 f"configuration {name!r} is missing predictions for "
                 f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
         preds_per_config[name] = preds
+        probs_per_config[name] = probs
     labels = sorted({int(v) for s in refs.values()
                      for v in np.unique(s) if v != 0})
     result = find_best_configuration(refs, preds_per_config, [0] + labels,
-                                     allow_ensembling=allow_ensembling)
+                                     allow_ensembling=allow_ensembling,
+                                     probs_per_config=probs_per_config)
     if out_file:
         Path(out_file).write_text(json.dumps(result, indent=2, default=str))
     return result

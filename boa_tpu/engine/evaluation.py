@@ -90,13 +90,21 @@ def evaluate_folders(ref_dir, pred_dir, labels=None, out_file=None,
 
     ref_dir, pred_dir = Path(ref_dir), Path(pred_dir)
     refs, preds = {}, {}
+    missing = []
     for rp in sorted(ref_dir.glob("*.nii.gz")):
         cid = rp.name[:-7]
         pp = pred_dir / rp.name
         if not pp.exists():
+            missing.append(cid)
             continue
         refs[cid] = np.asarray(nifti.load(rp).data)
         preds[cid] = np.asarray(nifti.load(pp).data)
+    if missing:
+        # nnUNetv2_evaluate_folder errors here too — silently scoring the
+        # surviving subset makes a half-crashed prediction run look good
+        raise FileNotFoundError(
+            f"{pred_dir} is missing predictions for {len(missing)} reference "
+            f"cases: {missing[:5]}{'...' if len(missing) > 5 else ''}")
     if not refs:
         raise FileNotFoundError(f"no matching case pairs between {ref_dir} "
                                 f"and {pred_dir}")

@@ -31,17 +31,31 @@ logger = logging.getLogger(__name__)
 
 def list_cases(in_dir: Path) -> list[tuple[str, list[Path]]]:
     """(case_id, channel files) pairs; accepts nnU-Net `{case}_0000.nii.gz`
-    channel naming (sorted by channel index) and plain `{case}.nii.gz`."""
-    cases: dict[str, list[Path]] = {}
+    channel naming (sorted by channel index) and plain `{case}.nii.gz`.
+
+    A `_NNNN` suffix only counts as a channel index when the group starts
+    at `_0000` with consecutive indices (the nnU-Net convention) —
+    otherwise plain series numbered `study_0001..study_0020` would
+    silently collapse into one 20-channel case."""
+    groups: dict[str, list[tuple[int, Path]]] = {}
+    plain: dict[str, list[Path]] = {}
     for p in sorted(in_dir.iterdir()):
         name = p.name
         if not (name.endswith(".nii.gz") or name.endswith(".nii")):
             continue
         stem = name[:-7] if name.endswith(".nii.gz") else name[:-4]
         if len(stem) > 5 and stem[-5] == "_" and stem[-4:].isdigit():
-            cases.setdefault(stem[:-5], []).append(p)
+            groups.setdefault(stem[:-5], []).append((int(stem[-4:]), p))
         else:
-            cases.setdefault(stem, []).append(p)
+            plain.setdefault(stem, []).append(p)
+    cases: dict[str, list[Path]] = dict(plain)
+    for cid, chans in groups.items():
+        chans.sort()
+        if [c for c, _ in chans] == list(range(len(chans))):
+            cases.setdefault(cid, []).extend(p for _, p in chans)
+        else:  # not 0000..000k: separate plain-named cases
+            for idx, p in chans:
+                cases.setdefault(f"{cid}_{idx:04d}", []).append(p)
     return sorted(cases.items())
 
 
@@ -133,14 +147,27 @@ def predict_folder(
         if continue_prediction and out_f.exists():
             logger.info("%s exists, skipping (continue_prediction)", cid)
             continue
+        def _load_3d(path):
+            """One channel file as (X, Y, Z): squeeze trailing singleton,
+            reject true 4D when channels come as separate files."""
+            arr = np.asarray(nifti.load(path).data)
+            if arr.ndim == 4 and arr.shape[-1] == 1:
+                arr = arr[..., 0]
+            return arr
+
         img = nifti.load(files[0])
         data = np.asarray(img.data)
-        if data.ndim == 4:
+        if len(files) > 1:  # multi-modal case: stack channels (C, X, Y, Z)
+            chans = [_load_3d(f) for f in files]
+            bad = [f.name for f, a in zip(files, chans) if a.ndim != 3]
+            if bad:
+                raise ValueError(
+                    f"case {cid}: multi-file channels must be 3D volumes; "
+                    f"got 4D in {bad}")
+            data = np.stack(chans)
+        elif data.ndim == 4:
             data = data[..., 0] if data.shape[-1] == 1 else \
                 np.moveaxis(data, -1, 0)
-        if len(files) > 1:  # multi-modal case: stack channels (C, X, Y, Z)
-            data = np.stack([data] + [np.asarray(nifti.load(f).data)
-                                      for f in files[1:]])
         if save_probabilities:
             seg, probs = predictor.predict(data, img.zooms,
                                            return_probabilities=True)

@@ -25,6 +25,24 @@ logger = logging.getLogger(__name__)
 FRONTAL_HORN_LABELS = ("frontal_horn_left", "frontal_horn_right")
 
 
+def inner_skull_cavity(brain_mask: np.ndarray,
+                       skull_mask: np.ndarray | None) -> np.ndarray:
+    """Inner-skull cavity: brain dilated 2 iterations (to fill the
+    brain-CSF gap), skull voxels removed, largest blob
+    (`totalseg_evans_index.py:246-252`). Without a skull mask the raw
+    brain is returned — unconstrained dilation would overestimate the
+    transverse diameter."""
+    if skull_mask is None or not skull_mask.any():
+        return brain_mask
+    from scipy import ndimage
+
+    from boa_tpu.ops.connected_components import largest_component
+
+    cavity = ndimage.binary_dilation(brain_mask, iterations=2)
+    cavity[skull_mask > 0] = 0
+    return largest_component(cavity).astype(bool)
+
+
 def inplane_rotation_deg(brain_mask: np.ndarray,
                          spacing=(1.0, 1.0)) -> float:
     """In-plane head rotation from the brain mask's axial second moments.
@@ -145,7 +163,8 @@ def evans_index(ventricle_seg: np.ndarray,
                 ct: np.ndarray | None = None,
                 atlas_data: np.ndarray | None = None,
                 atlas_spacing: float = 1.0,
-                registration_steps: int = 150) -> dict:
+                registration_steps: int = 150,
+                skull_mask: np.ndarray | None = None) -> dict:
     inv = {v: k for k, v in ventricle_label_map.items()}
     horns = np.isin(ventricle_seg,
                     [inv[n] for n in FRONTAL_HORN_LABELS if n in inv])
@@ -153,19 +172,24 @@ def evans_index(ventricle_seg: np.ndarray,
         return {"success": False,
                 "reason": "empty ventricle or brain segmentation"}
     # volumes come from the UNROTATED masks (an order-0 in-place rotation
-    # clips off-center anatomy at the grid edge and jitters counts)
+    # clips off-center anatomy at the grid edge and jitters counts);
+    # brain volume = inner-skull cavity, like the reference (`:252-256`
+    # computes it after the dilate/skull-removal/largest-blob step)
     ml_per_voxel = float(np.prod(spacing)) / 1000.0
     vent_vol = float((ventricle_seg > 0).sum()) * ml_per_voxel
-    brain_vol = float(brain_mask.sum()) * ml_per_voxel
+    brain_vol = float(inner_skull_cavity(brain_mask, skull_mask).sum()) \
+        * ml_per_voxel
 
     # preferred path: full atlas registration (reference parity); the
     # in-plane moment alignment below is the CT-less fallback
     measure_spacing = float(spacing[0])
     rot_deg = 0.0
     atlas_info = None
+    warp_masks = [horns, brain_mask] + (
+        [skull_mask] if skull_mask is not None else [])
     if ct is not None:
         try:
-            aligned = align_to_atlas(ct, spacing, [horns, brain_mask],
+            aligned = align_to_atlas(ct, spacing, warp_masks,
                                      atlas_data=atlas_data,
                                      atlas_spacing=atlas_spacing,
                                      steps_per_level=registration_steps)
@@ -174,7 +198,10 @@ def evans_index(ventricle_seg: np.ndarray,
             aligned = None
         if aligned is not None and aligned[1]["ncc"] >= 0.5 \
                 and aligned[0][0].any() and aligned[0][1].any():
-            (horns, brain_mask), atlas_info = aligned
+            warped, atlas_info = aligned
+            horns, brain_mask = warped[0], warped[1]
+            if skull_mask is not None:
+                skull_mask = warped[2]
             measure_spacing = atlas_spacing
             rot_deg = float(atlas_info["rotation_deg"][2])
     if atlas_info is None:
@@ -186,12 +213,33 @@ def evans_index(ventricle_seg: np.ndarray,
         rot_deg = inplane_rotation_deg(brain_mask, spacing) \
             if iso_inplane else 0.0
         if abs(rot_deg) > 1.0:  # measure in the head-aligned frame
-            horns, brain_mask = _rotate_masks_inplane(-rot_deg, horns,
-                                                      brain_mask)
+            rotated = _rotate_masks_inplane(
+                -rot_deg, horns, brain_mask,
+                *([skull_mask] if skull_mask is not None else []))
+            horns, brain_mask = rotated[0], rotated[1]
+            if skull_mask is not None:
+                skull_mask = rotated[2]
+    # diameters measure the inner-skull cavity in the aligned frame
+    # (`:246-266`: dilate 2 → remove skull → largest blob → small-blob
+    # filters → max_diameter_x at the horn slice)
+    cavity = inner_skull_cavity(brain_mask, skull_mask)
+    from boa_tpu.ops.connected_components import filter_components_by_size
+
+    # reference removes blobs < 200 / < 10 voxels in its 1 mm atlas space
+    # (= mm^3); convert to this grid's voxel volume. interval is (lo, hi]
+    vox_mm3 = atlas_spacing ** 3 if atlas_info is not None \
+        else float(np.prod(spacing))
+    cavity = filter_components_by_size(
+        cavity, (200.0 / vox_mm3 - 1, 1e10)).astype(bool)
+    horns = filter_components_by_size(
+        horns, (10.0 / vox_mm3 - 1, 1e10)).astype(bool)
+    if not horns.any() or not cavity.any():
+        return {"success": False,
+                "reason": "empty masks after postprocessing"}
     d_v, (start_v, end_v) = max_diameter_x(horns)
     z = start_v[2]
     # brain diameter on the same slice (reference measures at horn slice)
-    d_b, (start_b, end_b) = max_diameter_x(brain_mask[:, :, z:z + 1])
+    d_b, (start_b, end_b) = max_diameter_x(cavity[:, :, z:z + 1])
     start_b[2] = end_b[2] = z
     if d_b == 0:
         return {"success": False, "reason": "no brain on horn slice"}
@@ -210,7 +258,7 @@ def evans_index(ventricle_seg: np.ndarray,
     if atlas_info is not None:
         result["atlas_registration"] = atlas_info
     if plot_file is not None:
-        _plot(brain_mask, start_b, end_b, start_v, end_v, result, plot_file)
+        _plot(cavity, start_b, end_b, start_v, end_v, result, plot_file)
     return result
 
 
@@ -256,9 +304,11 @@ def main(argv=None) -> None:
     total = predict_image(img, "total", store, fast=True)
     inv = {v: k for k, v in total.label_map.items()}
     brain = np.asarray(total.seg.data) == inv.get("brain", -1)
+    skull = np.asarray(total.seg.data) == inv.get("skull", -1)
     res = evans_index(np.asarray(vent.seg.data), vent.label_map, brain,
                       img.zooms, plot_file=args.plot,
-                      ct=np.asarray(img.data))
+                      ct=np.asarray(img.data),
+                      skull_mask=skull if skull.any() else None)
     print(json.dumps(res, indent=2))
     if args.output:
         args.output.write_text(json.dumps(res, indent=2))

@@ -43,6 +43,9 @@ def get_modality(data: np.ndarray,
                  model_file: str | Path | None = None) -> dict:
     features = get_features(np.asarray(data))
     model_file = model_file or os.environ.get("BOA_MODALITY_MODEL")
+    if model_file and not Path(model_file).exists():
+        # a typo'd model path must not silently degrade to the heuristic
+        raise FileNotFoundError(f"BOA_MODALITY_MODEL={model_file} not found")
     vendored = _vendored_ensemble() if not model_file else None
     if model_file and Path(model_file).exists():
         with open(model_file, "rb") as f:

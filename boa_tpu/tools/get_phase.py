@@ -117,7 +117,12 @@ def get_ct_contrast_phase(stats: dict[str, Any],
     import os
 
     model_file = model_file or os.environ.get("BOA_PHASE_MODEL")
-    if not model_file and _VENDORED_PHASE_PKL.exists():
+    if model_file == "heuristic":  # explicit opt-out of any trained model
+        model_file = None
+    elif model_file and not Path(model_file).exists():
+        # a typo'd model path must not silently degrade to the heuristic
+        raise FileNotFoundError(f"BOA_PHASE_MODEL={model_file} not found")
+    elif not model_file and _VENDORED_PHASE_PKL.exists():
         model_file = _VENDORED_PHASE_PKL
     if model_file and Path(model_file).exists():
         folds = _load_phase_ensemble(model_file)
@@ -151,9 +156,22 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     img = nifti.load(args.input)
-    res = predict_image(img, "total", ModelStore(), fast=True,
-                        statistics=True)
-    out = get_ct_contrast_phase(res.stats, model_file=args.model_file)
+    store = ModelStore()
+    # reference feature semantics (`totalseg_get_phase.py:57-120`): median
+    # HU, border masks included
+    res = predict_image(img, "total", store, fast=True, statistics=True,
+                        stats_aggregation="median",
+                        stats_exclude_border=False)
+    stats_hn = None
+    if res.stats.get("brain", {}).get("volume", 0) > 100:
+        # head present: the carotid/jugular features come from the
+        # headneck_bones_vessels model (`:82-93`); without it they are 0
+        res_hn = predict_image(img, "headneck_bones_vessels", store,
+                               statistics=True, stats_aggregation="median",
+                               stats_exclude_border=False)
+        stats_hn = res_hn.stats
+    out = get_ct_contrast_phase(res.stats, stats_hn,
+                                model_file=args.model_file)
     print(json.dumps(out, indent=2))
     if args.output:
         args.output.write_text(json.dumps(out, indent=2))

@@ -96,7 +96,23 @@ def download_task_weights(task_id: int, root: Path | None = None) -> Path:
                 open(zpath, "wb") as f:
             shutil.copyfileobj(resp, f)
         with zipfile.ZipFile(zpath) as z:
+            # zip-slip guard: every member must land inside `root`
+            rroot = root.resolve()
+            for m in z.namelist():
+                if not (rroot / m).resolve().is_relative_to(rroot):
+                    raise ValueError(f"unsafe path in weights zip: {m!r}")
             z.extractall(root)
+            tops = {m.split("/", 1)[0] for m in z.namelist() if m.strip("/")}
+    if not target.exists():
+        # release re-packaging can change the internal root folder name —
+        # point at (or rename) the actual extracted root instead of
+        # returning a nonexistent path that fails much later
+        if len(tops) == 1 and (root / next(iter(tops))).is_dir():
+            (root / next(iter(tops))).rename(target)
+        else:
+            raise FileNotFoundError(
+                f"weights zip for task {task_id} did not contain the "
+                f"expected folder {folder!r} (found: {sorted(tops)})")
     _preconvert_checkpoints(target)
     return target
 

@@ -30,14 +30,17 @@ def test_pi_time_to_phase_table():
 
 
 def test_get_phase_heuristic():
-    # heuristic fallback is forced by pointing at a missing model file
+    # "heuristic" explicitly opts out of the trained models; a MISSING
+    # model path must raise, never silently degrade
     stats = {"aorta": {"intensity": 300}, "portal_vein_and_splenic_vein":
              {"intensity": 120}, "liver": {"intensity": 60}}
-    res = get_ct_contrast_phase(stats, model_file="/nonexistent.pkl")
+    res = get_ct_contrast_phase(stats, model_file="heuristic")
     assert res["phase"] == "arterial_early"
     stats2 = {"aorta": {"intensity": 60}}
     assert get_ct_contrast_phase(
-        stats2, model_file="/nonexistent.pkl")["phase"] == "native"
+        stats2, model_file="heuristic")["phase"] == "native"
+    with pytest.raises(FileNotFoundError):
+        get_ct_contrast_phase(stats, model_file="/nonexistent.pkl")
     feats = features_from_stats(stats)
     assert feats["aorta"] == 300 and feats["brain"] == 0.0
 
@@ -256,3 +259,34 @@ def test_rotate_masks_inplane_never_clips():
     assert naive.sum() < 0.9 * mask.sum()  # the failure mode being fixed
     (padded,) = _rotate_masks_inplane(30.0, mask)
     assert padded.sum() >= 0.97 * mask.sum()  # only aliasing jitter left
+
+
+def test_evans_inner_skull_cavity():
+    """With a skull mask the denominator measures the inner-skull cavity
+    (brain dilated 2, skull removed, largest blob) — not the raw brain
+    (totalseg_evans_index.py:246-270)."""
+    from boa_tpu.tools.evans_index import evans_index, inner_skull_cavity
+
+    shape = (64, 64, 12)
+    brain = np.zeros(shape, bool)
+    brain[16:48, 16:48, 2:10] = True          # raw brain: 32 wide
+    skull = np.zeros(shape, bool)
+    skull[12:52, 12:52, 1:11] = True           # skull shell outside a
+    skull[13:51, 13:51, 1:11] = False          # 38-wide inner cavity
+    skull[13:51, 13:51, :1] = False
+    vent = np.zeros(shape, np.uint8)
+    vent[28:36, 28:36, 4:8] = 1                # horns: 8 wide
+    label_map = {1: "frontal_horn_left"}
+
+    cav = inner_skull_cavity(brain, skull)
+    assert cav.any() and not (cav & skull).any()
+    # dilation grows the brain toward the skull: cavity wider than brain
+    assert cav[:, 32, 5].sum() > brain[:, 32, 5].sum()
+
+    res = evans_index(vent, label_map, brain, (1.0, 1.0, 1.0),
+                      skull_mask=skull)
+    assert res["success"]
+    d_b = res["brain_diameter_mm"]
+    res_raw = evans_index(vent, label_map, brain, (1.0, 1.0, 1.0))
+    assert d_b > res_raw["brain_diameter_mm"]
+    assert res["evans_index"] < res_raw["evans_index"]

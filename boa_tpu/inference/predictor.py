@@ -231,6 +231,10 @@ class Predictor:
                 self._stacked, vol, jnp.asarray(starts),
                 jnp.asarray(gauss), self.cfg, self.mirror_axes, self._dtype,
                 acc)
+            # dispatch is async: force a 1-voxel readback so an HBM OOM
+            # surfaces HERE, inside the try, not at a later consumer
+            # (same probe as the fused path below)
+            np.asarray(logits[(0,) * logits.ndim])
         except Exception as exc:  # HBM OOM → halve the accumulator footprint
             # (engine-tier recovery, SURVEY §5: the reference retries the
             # sliding window with CPU result arrays on CUDA OOM,
@@ -355,11 +359,18 @@ class Predictor:
                 # readback here so the fp16 retry below still catches it
                 np.asarray(seg_cropped[:1, :1, :1])
             except Exception as exc:  # HBM OOM → force fp16 accumulators
-                if "RESOURCE_EXHAUSTED" not in str(exc):
-                    raise
+                auto_fp16 = (self.accum_dtype == "auto"
+                             and 4 * self.cfg.num_classes
+                             * int(np.prod(dev.shape[-3:])) > 2e9)
+                if "RESOURCE_EXHAUSTED" not in str(exc) \
+                        or self.accum_dtype == "float16" or auto_fp16:
+                    raise  # already fp16 (explicit or auto): retry is futile
                 try:
                     self.accum_dtype = "float16"
                     seg_cropped = self._predict_seg_fused(dev, schemes)
+                    # probe while the fp16 override is active: a second OOM
+                    # must surface here, not at a consumer after restore
+                    np.asarray(seg_cropped[:1, :1, :1])
                 finally:
                     self.accum_dtype = old_accum
             np_dt = np.uint8 if self.cfg.num_classes <= 255 else np.uint16

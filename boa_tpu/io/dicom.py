@@ -671,6 +671,11 @@ IMPLEMENTATION_CLASS_UID = PYDICOM_ROOT_UID + "1.84"
 
 def dcmwrite(path: str | Path, ds: Dataset) -> None:
     """Write as Part-10 file, explicit VR little endian."""
+    Path(path).write_bytes(dataset_bytes(ds))
+
+
+def dataset_bytes(ds: Dataset) -> bytes:
+    """Part-10 byte serialization (files and DICOMweb STOW uploads)."""
     sop_class = ds.get("SOPClassUID", SEGMENTATION_STORAGE)
     sop_uid = ds.get("SOPInstanceUID") or generate_uid()
     meta = ds.file_meta or Dataset()
@@ -693,21 +698,7 @@ def dcmwrite(path: str | Path, ds: Dataset) -> None:
     out += meta_body
     for tag, (vr, val) in ds.items():
         _write_element(out, tag, vr, val)
-    Path(path).write_bytes(bytes(out))
-
-
-def dataset_bytes(ds: Dataset) -> bytes:
-    """Part-10 byte serialization (for DICOMweb STOW uploads)."""
-    import io as _io
-    import tempfile
-
-    with tempfile.NamedTemporaryFile(suffix=".dcm", delete=False) as f:
-        tmp = f.name
-    try:
-        dcmwrite(tmp, ds)
-        return Path(tmp).read_bytes()
-    finally:
-        os.unlink(tmp)
+    return bytes(out)
 
 
 def code_item(value: str, designator: str, meaning: str) -> Dataset:

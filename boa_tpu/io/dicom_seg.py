@@ -218,11 +218,12 @@ def read_seg_labelmap(ds: Dataset) -> tuple[np.ndarray, dict[int, str]]:
     bits = np.unpackbits(np.frombuffer(ds.get("PixelData"), np.uint8),
                          bitorder="little")[: n_frames * rows * cols]
     frames = bits.reshape(n_frames, rows, cols)
-    pos_to_z: dict[tuple, int] = {}
+    seen: set[tuple] = set()
     zs = []
     for fg in ds.PerFrameFunctionalGroupsSequence:
         ipp = tuple(fg.PlanePositionSequence[0].ImagePositionPatient)
-        if ipp not in pos_to_z:
+        if ipp not in seen:  # segments sharing a slice reuse its z index
+            seen.add(ipp)
             zs.append(ipp)
     zs.sort(key=lambda p: p[2])
     pos_to_z = {p: i for i, p in enumerate(zs)}

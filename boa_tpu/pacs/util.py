@@ -41,6 +41,16 @@ def _replace_umlauts(text: str) -> str:
     return nfkd.encode("ascii", "ignore").decode("ascii")
 
 
+def _sanitize_segment(value: str) -> str:
+    """One safe path segment: ASCII-transliterated, everything outside
+    [A-Za-z0-9_.] replaced — and never empty or dots-only (a '..' segment
+    would escape the storage root)."""
+    out = re.sub(r"[^\w.]", "_", _replace_umlauts(value))
+    if not out.strip("."):
+        out = out.replace(".", "_") or "_"
+    return out
+
+
 def _process_info_element(dicom_tags: dict[str, Any],
                           infos_to_include: list[str]) -> str:
     """One path segment from a group of DICOM tags: values joined by
@@ -49,7 +59,7 @@ def _process_info_element(dicom_tags: dict[str, Any],
     is safe for every filesystem/SMB share it lands on."""
     parts = [str(dicom_tags[tag]) if tag in dicom_tags else f"Unknown{tag}"
              for tag in infos_to_include]
-    return re.sub(r"[^\w.]", "_", _replace_umlauts("_".join(parts)))
+    return _sanitize_segment("_".join(parts))
 
 
 #: tag groups forming the output directory layers, outermost first
@@ -65,7 +75,10 @@ def get_naming_scheme(dicom_tags: dict[str, str],
     if patient_info:
         layers.insert(0, _PATIENT_LAYER)
     segments = [_process_info_element(dicom_tags, layer) for layer in layers]
-    return "/" + "/".join([dicom_tags["CalledAET"], *segments]) + "/"
+    # the called AET is sender-controlled: sanitize it like every other
+    # segment (an AET of '..' would otherwise escape the storage root)
+    called = _sanitize_segment(str(dicom_tags["CalledAET"]))
+    return "/" + "/".join([called, *segments]) + "/"
 
 
 def collect_auth() -> tuple[str, str]:
@@ -185,6 +198,12 @@ def write_to_postgres(db_conn: Any, data: dict[str, Any]) -> None:
         db_conn.commit()
     except Exception:
         logger.exception("Failed to write monitoring information to postgres.")
+        try:
+            # without a rollback the connection stays in aborted-transaction
+            # state and every later write on it fails too
+            db_conn.rollback()
+        except Exception:
+            logger.exception("Rollback after failed monitoring write failed.")
 
 
 # ---------------------------------------------------------------------------

@@ -103,11 +103,18 @@ class LocalQueue:
 
 _local_queue = LocalQueue()
 _celery_app = None
+_celery_task = None
 
 
 def get_celery_app():
-    """Celery app with the reference's reliability conf, if available."""
-    global _celery_app
+    """Celery app with the reference's reliability conf, if available.
+
+    The task is registered on the app HERE (once), so both the publisher
+    (`analyze_stable_series.delay`) and a consumer started with
+    ``celery -A boa_tpu.pacs.worker worker`` speak the same registry —
+    a task object created only inside delay() would publish messages no
+    worker knows how to run."""
+    global _celery_app, _celery_task
     if _celery_app is not None:
         return _celery_app
     broker = os.environ.get("CELERY_BROKER")
@@ -128,8 +135,22 @@ def get_celery_app():
         task_publish_retry_policy={"max_retries": 5},
         worker_max_tasks_per_child=1,  # memory-leak containment
     )
+    _celery_task = app.task(run_analyze_stable_series,
+                            name="analyze_stable_series")
     _celery_app = app
     return app
+
+
+def __getattr__(name: str):
+    """`celery -A boa_tpu.pacs.worker worker` resolves the app lazily
+    (CELERY_BROKER is read at lookup time, not import time)."""
+    if name in ("celery", "celery_app"):
+        app = get_celery_app()
+        if app is None:
+            raise AttributeError(
+                "CELERY_BROKER is not configured; no celery app available")
+        return app
+    raise AttributeError(name)
 
 
 def _utcnow() -> str:
@@ -152,9 +173,14 @@ def run_analyze_stable_series(resource_id: str, *, __task_id: str | None = None,
 
     storage_root = Path(storage_root or "/storage_directory")
     if not storage_root.exists():
-        smb = os.environ.get("SMB_DIR_OUTPUT", "").upper() not in {"", "TODO"}
-        web = os.environ.get("SEGMENTATION_UPLOAD_URL", "").upper() \
-            not in {"", "TODO"}
+        # the actual sinks need the FULL credential triplets
+        # (util.py save_data_persistent) — a lone SMB_DIR_OUTPUT would
+        # pass this guard and then silently discard every output
+        from boa_tpu.pacs.util import _sink_env_set
+
+        smb = _sink_env_set("SMB_USER", "SMB_PWD", "SMB_DIR_OUTPUT")
+        web = _sink_env_set("UPLOAD_USER", "UPLOAD_PWD",
+                            "SEGMENTATION_UPLOAD_URL")
         if not smb and not web:
             raise ValueError(
                 "The local directory does not exist and the SMB storage and "
@@ -261,11 +287,8 @@ class _TaskHandle:
     """`analyze_stable_series.delay(resource_id=...)` — celery or local."""
 
     def delay(self, resource_id: str) -> _AsyncResult:
-        app = get_celery_app()
-        if app is not None:
-            task = app.task(run_analyze_stable_series,
-                            name="analyze_stable_series")
-            return task.delay(resource_id)
+        if get_celery_app() is not None:
+            return _celery_task.delay(resource_id)
         return _local_queue.submit(run_analyze_stable_series, resource_id)
 
 

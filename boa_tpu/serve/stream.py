@@ -85,22 +85,36 @@ class StreamRunner:
         t_start = time.perf_counter()
 
         def decoder() -> None:
-            for job in jobs:
-                img = job.image if job.image is not None else \
-                    nifti.load(job.input_path)
-                decoded.put((job, img))
-            decoded.put(None)
+            # the None sentinel goes out in a finally: a corrupt study must
+            # fail ITS job, not strand the main loop on decoded.get()
+            try:
+                for job in jobs:
+                    try:
+                        img = job.image if job.image is not None else \
+                            nifti.load(job.input_path)
+                    except Exception:
+                        logger.exception("study %s failed to decode",
+                                         job.study_id)
+                        continue
+                    decoded.put((job, img))
+            finally:
+                decoded.put(None)
 
         def writer() -> None:
+            # per-item try: a failing save must not kill the thread (the
+            # bounded results queue would then fill and deadlock run())
             while True:
                 item = results.get()
                 if item is None:
                     return
                 job, res = item
-                if self.write_outputs and job.output_dir is not None:
-                    out = Path(job.output_dir)
-                    out.mkdir(parents=True, exist_ok=True)
-                    nifti.save(res.seg, out / f"{self.task}.nii.gz")
+                try:
+                    if self.write_outputs and job.output_dir is not None:
+                        out = Path(job.output_dir)
+                        out.mkdir(parents=True, exist_ok=True)
+                        nifti.save(res.seg, out / f"{self.task}.nii.gz")
+                except Exception:
+                    logger.exception("study %s failed to save", job.study_id)
 
         td = threading.Thread(target=decoder, daemon=True)
         tw = threading.Thread(target=writer, daemon=True)

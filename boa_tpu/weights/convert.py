@@ -151,6 +151,14 @@ def convert_state_dict(state: Mapping[str, Any], cfg: ArchConfig,
 
     params: dict[str, Any] = {"encoder": [], "decoder": [], "seg_heads": []}
     if cfg.residual_encoder:
+        if len(stem) > 1:
+            # the JAX ResEnc stem is a single conv block; silently keeping
+            # only convs.0 would compute a different forward than the
+            # checkpoint (its keys were already counted as consumed, so
+            # strict mode cannot catch it downstream)
+            raise ValueError(
+                f"checkpoint stem has {len(stem)} convs; this architecture "
+                "supports exactly one stem conv block")
         if stem:
             params["stem"] = stem[0]
         for s in range(cfg.n_stages):

@@ -110,8 +110,10 @@ def test_seg_roundtrip(ct_image, series_dir, rng):
     img, files, hdr = dicom_io.read_series(series_dir)
     headers = [dicom.dcmread(f, stop_before_pixels=True) for f in files]
     seg = np.zeros(img.shape, np.uint8)
+    # z ranges overlap (slices 4-5 carry both labels): regression for the
+    # reader duplicating shared slice positions in its z index
     seg[4:12, 5:15, 2:6] = 1
-    seg[20:28, 10:20, 7:11] = 3
+    seg[20:28, 10:20, 4:11] = 3
     label_map = {1: "liver", 3: "spleen"}
     ds = dicom_seg.write_multiclass_seg(seg, label_map, headers,
                                         "Total Body Segmentation",

@@ -206,3 +206,15 @@ def test_worker_integration(tmp_path, monkeypatch, rng):
         assert _FakeOrthancHandler.deleted == ["/series/series-1"]
     finally:
         srv.shutdown()
+
+
+def test_naming_scheme_neutralizes_traversal():
+    """A sender-controlled AET (or dot-only tag) must not escape the
+    storage root."""
+    tags = {"CalledAET": "..", "StudyDate": "..", "AccessionNumber": "A1",
+            "StudyDescription": "desc", "SeriesNumber": "2",
+            "SeriesDescription": "ser"}
+    path = get_naming_scheme(tags)
+    assert ".." not in path.split("/")
+    tags["CalledAET"] = "BOA AET/evil"
+    assert "/evil" not in get_naming_scheme(tags)[1:].split("/", 1)[0]

@@ -423,3 +423,28 @@ def test_multichannel_mixed_schemes(rng):
                      compute_dtype="float32", accum_dtype="float32")
     seg = pred.predict(vol, (3.0, 3.0, 3.0))
     assert (seg == ref_seg).mean() > 0.999
+
+
+def test_convert_rejects_multi_conv_stem():
+    """A ResEnc checkpoint with a 2-conv stem cannot be represented by the
+    single-stem-block architecture — must raise, not silently drop."""
+    import numpy as np_
+    import pytest
+
+    from boa_tpu.models.unet import ArchConfig
+    from boa_tpu.weights import convert as cv
+
+    cfg = ArchConfig(n_stages=2, features_per_stage=(8, 16),
+                     kernel_sizes=((3, 3, 3), (3, 3, 3)),
+                     strides=((1, 1, 1), (2, 2, 2)),
+                     n_conv_per_stage=(1, 1), n_conv_per_stage_decoder=(1,),
+                     num_classes=2, input_channels=1, residual_encoder=True)
+    state = {}
+    for i in range(2):  # two stem convs: unrepresentable
+        state[f"encoder.stem.convs.{i}.conv.weight"] =             np_.zeros((8, 8 if i else 1, 3, 3, 3), np_.float32)
+        state[f"encoder.stem.convs.{i}.conv.bias"] = np_.zeros(8, np_.float32)
+        state[f"encoder.stem.convs.{i}.norm.weight"] = np_.ones(8, np_.float32)
+        state[f"encoder.stem.convs.{i}.norm.bias"] = np_.zeros(8, np_.float32)
+    with pytest.raises(ValueError, match="stem"):
+        cv.convert_state_dict(state, cfg)
+

@@ -242,6 +242,14 @@ def predict_image(
 
     spans.mark("predict", sync=seg_dev)
 
+    # --- strip training-only auxiliary labels (nnunet.py:592; currently
+    #     appendicular_bones / face_mr / kidney_cysts ship aux maps)
+    if (task.name + "_auxiliary") in class_maps.class_map:
+        from boa_tpu.ops.postprocessing import remove_auxiliary_labels
+
+        seg_host = remove_auxiliary_labels(_seg_host(), task.name)
+        seg_dev = None
+
     # --- multilabel postprocessing on the model grid (host: native C++ CC;
     #     runs BEFORE statistics like the reference, nnunet.py:596-640)
     vox_vol = float(np.prod(rsp_spacing))

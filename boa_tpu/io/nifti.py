@@ -277,10 +277,17 @@ def load(path: str | Path, *, dtype: np.dtype | None = None) -> NiftiImage:
     arr = arr.reshape(shape, order="F")
     if h["endian"] == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
-    slope, inter = h["scl_slope"], h["scl_inter"]
-    if slope not in (0.0, 1.0) or inter not in (0.0, float("nan")) and inter != 0.0:
-        if slope == 0.0:
-            slope = 1.0
+    slope, inter = float(h["scl_slope"]), float(h["scl_inter"])
+    # nibabel semantics: slope 0 or NaN means "no scaling, ignore inter"
+    # (writers routinely leave these fields NaN/garbage when unused — a
+    # naive check would multiply the whole CT by NaN); a NaN inter is
+    # likewise ignored
+    if slope == 0.0 or np.isnan(slope):
+        slope = 1.0
+        inter = 0.0
+    if np.isnan(inter):
+        inter = 0.0
+    if slope != 1.0 or inter != 0.0:
         arr = arr.astype(np.float32) * np.float32(slope) + np.float32(inter)
     if dtype is not None:
         arr = arr.astype(dtype)

@@ -75,17 +75,25 @@ def extract_skin(ct_data: np.ndarray, body_mask: np.ndarray) -> np.ndarray:
     inner = morphology.binary_erosion_cross(body, iterations=3)
     skin = outer.astype(np.int8) - inner.astype(np.int8)
     skin = (skin > 0).astype(np.uint8)
-    skin[ct_data < -200] = 0
-    skin[ct_data > 250] = 0
+    # reference keeps STRICTLY inside (-200, 250): boundary HUs excluded
+    skin[ct_data <= -200] = 0
+    skin[ct_data >= 250] = 0
     skin = remove_small_blobs(skin, interval=(5, 1e10))
     return skin.astype(np.uint8)
 
 
-def remove_auxiliary_labels(seg: np.ndarray, task_name: str,
-                            class_map: dict[int, str]) -> np.ndarray:
-    """Drop classes suffixed '_auxiliary' (appendicular_bones etc.)."""
-    out = seg.copy()
-    for idx, name in class_map.items():
-        if name.endswith("_auxiliary"):
-            out[out == idx] = 0
-    return out
+def remove_auxiliary_labels(seg: np.ndarray, task_name: str) -> np.ndarray:
+    """Zero the indices of the task's `{task}_auxiliary` class map, when
+    one exists (appendicular_bones, face_mr, kidney_cysts) — training-only
+    helper classes the reference strips before export
+    (`postprocessing.py:167-176`, called at `nnunet.py:592`)."""
+    from boa_tpu.tasks import class_maps
+
+    try:
+        aux = class_maps.get_class_map(task_name + "_auxiliary")
+    except KeyError:
+        return seg
+    lut = np.arange(max(int(seg.max()), max(aux)) + 1, dtype=seg.dtype)
+    for idx in aux:
+        lut[int(idx)] = 0
+    return lut[seg]

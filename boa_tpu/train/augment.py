@@ -127,11 +127,16 @@ def gaussian_blur(key, x, p: float = 0.2,
                   sigma_range: tuple[float, float] = (0.5, 1.0)):
     k1, k2 = jax.random.split(key)
     n = x.shape[0]
+    # scipy (batchgenerators' backend) truncates at 4*sigma; a fixed 3-tap
+    # radius under-blurs the larger sigmas of the DA5 preset. The kernel
+    # must stay smaller than the patch on every axis (tiny test patches).
+    radius = max(3, int(-(-4.0 * sigma_range[1] // 1)))
+    radius = min(radius, (min(x.shape[1:4]) - 1) // 2)
 
     def one(key, xi):
         sigma = jax.random.uniform(key, (), minval=sigma_range[0],
                                    maxval=sigma_range[1])
-        k = _gauss_kernel1d(sigma)
+        k = _gauss_kernel1d(sigma, radius)
         for ax in range(3):
             shape = [1, 1, 1]
             shape[ax] = k.shape[0]
@@ -179,7 +184,10 @@ def simulate_low_resolution(key, x, p: float = 0.25,
     n = x.shape[0]
     spatial = x.shape[1:4]
     lo, hi = zoom_range
-    levels = [lo + (hi - lo) * i / (n_levels - 1) for i in range(n_levels)]
+    # the reference samples zoom uniformly on [lo, hi) where exactly hi
+    # (identity) has measure zero — keep hi out of the level grid, else
+    # the effective apply probability drops to p * (n_levels-1) / n_levels
+    levels = [lo + (hi - lo) * i / n_levels for i in range(n_levels)]
 
     def one(key, xi):
         idx = jax.random.randint(key, (), 0, n_levels)

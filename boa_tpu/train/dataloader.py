@@ -102,7 +102,12 @@ class DataLoader:
             cid = self.case_ids[self.rng.randint(len(self.case_ids))]
             dp, sp = self._sample_patch(self._case(cid), self.oversample[i])
             x[i] = np.moveaxis(dp, 0, -1)
-            y[i] = sp
+            # out-of-bounds seg padding (-1) becomes background before the
+            # loss, like the reference's RemoveLabelTransform(-1, 0) first
+            # transform — a -1 target would gather the LAST class's log-prob
+            # in the CE term (negative indices wrap) and train padded
+            # voxels toward an arbitrary foreground class
+            y[i] = np.maximum(sp, 0)
         return x, y
 
     # ------------------------------------------------------------------
@@ -117,11 +122,17 @@ class DataLoader:
         stop = threading.Event()
 
         def producer() -> None:
+            # build each batch ONCE and retry putting the same object:
+            # re-sampling on queue.Full would burn the single host core at
+            # steady state and make the RNG stream consumer-timing-dependent
             while not stop.is_set():
-                try:
-                    q.put(self.next_batch(), timeout=1.0)
-                except queue.Full:
-                    continue
+                batch = self.next_batch()
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -33,8 +33,12 @@ def sample_class_locations(seg: np.ndarray, labels: list[int],
     out: dict[int, np.ndarray] = {}
     for lb in labels:
         coords = np.argwhere(seg == lb)
-        if len(coords) > max_per_class:
-            idx = rng.choice(len(coords), max_per_class, replace=False)
+        # min_percent_coverage rule: at least 1% of a big class's voxels
+        # (reference target = max(min(10000, n), ceil(n * 0.01)))
+        target = max(min(max_per_class, len(coords)),
+                     int(np.ceil(len(coords) * 0.01)))
+        if len(coords) > target:
+            idx = rng.choice(len(coords), target, replace=False)
             coords = coords[idx]
         out[int(lb)] = coords.astype(np.int32)
     return out

@@ -210,7 +210,11 @@ def pseudo_dice(logits: jax.Array, target: jax.Array,
     fn = jnp.sum((1 - p) * y, axes)
     if axis_name is not None:
         tp, fp, fn = (jax.lax.psum(v, axis_name) for v in (tp, fp, fn))
-    return 2 * tp / jnp.clip(2 * tp + fp + fn, 1e-8)
+    denom = 2 * tp + fp + fn
+    # absent-and-not-predicted classes are NaN like the reference
+    # (nnUNetTrainer averages with np.nanmean) — scoring them 0 would
+    # drown the mean dice in zeros for a 100+-class patch sample
+    return jnp.where(denom > 0, 2 * tp / jnp.clip(denom, 1e-8), jnp.nan)
 
 
 def soft_dice_loss_sigmoid(logits: jax.Array, target_onehot: jax.Array,

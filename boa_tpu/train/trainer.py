@@ -179,13 +179,19 @@ class Trainer:
             st.params, st.momentum_buf, m = self._step(
                 st.params, st.momentum_buf, xd, yd, jnp.float32(lr))
             losses.append(m)
-        losses = {k: float(np.mean([float(m[k]) for m in losses]))
-                  for k in losses[0]}
+        # one stacked readback per metric key (a float() per iter per key
+        # is a ~30 ms tunnel round-trip each — ~15 s/epoch at 250 iters)
+        losses = {k: float(np.mean(np.asarray(
+            jnp.stack([m[k] for m in losses]))))
+            for k in losses[0]}
         # pseudo-dice on the last batch with the updated params — a 1-batch
         # sample of the reference's 50-iteration validation pass
         # (`nnUNetTrainer.py:1040-1086`); the train step itself reports
-        # loss only, like the reference
-        losses["dice"] = float(jnp.mean(self._eval(st.params, xd, yd)))
+        # loss only, like the reference. Absent classes are NaN
+        # (nanmean, nnUNetTrainer.py:1060).
+        per_class = np.asarray(self._eval(st.params, xd, yd))
+        losses["dice"] = float(np.nanmean(per_class)) \
+            if not np.isnan(per_class).all() else 0.0
         losses.update(epoch=st.epoch, lr=float(lr),
                       epoch_time=time.time() - t0)
         # EMA pseudo-dice (nnUNetTrainer.py:1087-1095, alpha 0.9)

@@ -38,8 +38,15 @@ def test_case_store_roundtrip(store):
 
 def test_class_locations_cap(rng):
     seg = np.ones((40, 40, 40), np.int8)
+    # min_percent_coverage: 1% of 64000 voxels (640) beats the 500 cap
+    # (reference target = max(min(cap, n), ceil(n * 0.01)))
     locs = sample_class_locations(seg, [1], max_per_class=500)
-    assert len(locs[1]) == 500
+    assert len(locs[1]) == 640
+    # small classes still honor the flat cap
+    seg2 = np.zeros((40, 40, 40), np.int8)
+    seg2[:20, :20, :2] = 1  # 800 voxels; 1% = 8 < 500
+    locs2 = sample_class_locations(seg2, [1], max_per_class=500)
+    assert len(locs2[1]) == 500
 
 
 def test_oversample_flags():
@@ -66,7 +73,12 @@ def test_dataloader_patch_larger_than_case(store):
     dl = DataLoader(store, (32, 32, 32), batch_size=2, seed=0)
     x, y = dl.next_batch()
     assert x.shape == (2, 32, 32, 32, 1)
-    assert (y == -1).any()  # oob seg padded with -1 (reference semantics)
+    # oob seg is padded with -1 internally (reference semantics) but the
+    # batch remaps it to background like RemoveLabelTransform(-1, 0) —
+    # a -1 target would gather the LAST class's CE log-prob
+    assert (y >= 0).all()
+    dp, sp = dl._sample_patch(dl._case(dl.case_ids[0]), False)
+    assert (sp == -1).any()
 
 
 def test_augment_shapes_and_determinism(store):

@@ -342,10 +342,11 @@ class Builder:
                 continue
             cx = xsums[comp] / counts[comp]
             implants.append((cx, vol))
-        # sort along x like the reference's centroid sort
-        implants.sort(key=lambda t: t[0])
-        # RAS: +x is the patient's right... in RAS(+x=Right) a centroid with
-        # HIGH x lies on the patient's right; the reference (LPS) used low x.
+        if not implants:
+            return []  # only speckle below the 10 mL filter: no finding
+        # reference sorts by ascending LPS x = patient-RIGHT first; in RAS
+        # (+x = Right) that is DESCENDING x
+        implants.sort(key=lambda t: -t[0])
         named = [("right" if cx >= mid else "left", vol) for cx, vol in implants]
         if len(named) == 1:
             return [f"Patient has a single breast implant on the {named[0][0]} "

@@ -18,6 +18,7 @@ from pathlib import Path
 from time import time
 from typing import Any, Callable, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from boa_tpu.version import __version__
@@ -222,13 +223,21 @@ def analyze_ct(
                 # from its resident per-region z counts otherwise)
                 regions_path = seg_output / "body_regions.nii.gz"
                 if regions_path.is_file():
-                    regions = nifti.load(regions_path).data
+                    from boa_tpu.ops.connected_components import histogram_u8
+
+                    # one histogram pass answers all three presence bits
+                    # (three `== label` scans cost ~3 full-volume reads on
+                    # this host; CLAUDE.md host-glue rule)
+                    regions = np.asarray(nifti.load(regions_path).data)
+                    hist = histogram_u8(regions) if regions.dtype == np.uint8 \
+                        else np.bincount(regions.ravel().astype(np.intp),
+                                         minlength=256)
                     regions_flag = 0
-                    if (regions == int(BodyRegion.ABDOMINAL_CAVITY)).any():
+                    if hist[int(BodyRegion.ABDOMINAL_CAVITY)]:
                         regions_flag |= 1
-                    if (regions == int(BodyRegion.THORACIC_CAVITY)).any():
+                    if hist[int(BodyRegion.THORACIC_CAVITY)]:
                         regions_flag |= 2
-                    if (regions == int(BodyRegion.BRAIN)).any():
+                    if hist[int(BodyRegion.BRAIN)]:
                         regions_flag |= 4
                     stats["bca_regions"] = regions_flag
 

@@ -171,8 +171,6 @@ def predict_image(
         data_rsp = data_dev.astype(jnp.int32)
         rsp_affine = canon_affine
         rsp_spacing = canon_zooms
-        resample = None if np.allclose(canon_zooms, task.resample or canon_zooms) \
-            and task.resample is None else task.resample
 
     spans.mark("upload+orient+resample", sync=data_rsp)
 

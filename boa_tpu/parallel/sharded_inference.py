@@ -26,7 +26,8 @@ from boa_tpu.inference.sliding_window import tile_pred
 from boa_tpu.models.unet import ArchConfig
 
 
-def pad_starts_for_mesh(starts: np.ndarray, n_shards: int) -> np.ndarray:
+def pad_starts_for_mesh(starts: np.ndarray, n_shards: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
     """Pad the (T, 3) tile-start list so T divides the mesh: padding tiles
     repeat the first start — their contribution is identical weights added
     to the same voxels, which cancels in the weighted normalization only

@@ -185,6 +185,11 @@ def totalsegmentator(
     from boa_tpu.inference.pipeline import predict_image
 
     img, dicom_files = _load_input(input)
+    if np.asarray(img.data).ndim > 3:
+        # trim the component axis ONCE so original-grid statistics and the
+        # preview see the same 3D volume predict_image segments internally
+        img = NiftiImage(data=np.asarray(img.data)[..., 0],
+                         affine=img.affine.copy())
     if dicom_files is None and any(ot.startswith("dicom")
                                    for ot in output_types):
         raise ValueError("DICOM output is only supported for DICOM input "
@@ -199,8 +204,15 @@ def totalsegmentator(
     crop_addon_mm = None
     crop_path = Path(crop_path) if crop_path is not None else None
     mask_file = crop_path / "crop_mask.nii.gz" if crop_path else None
-    if mask_file is not None and mask_file.exists():
+    # crop_path is only a cache LOCATION: a stale mask there must never
+    # crop a run that would not have computed one itself (the reference
+    # applies crop_path exclusively when `crop` is set, nnunet.py:419-426)
+    wants_crop = bool(cfg.crop) or roi_subset is not None \
+        or (body_seg and not is_mr)
+    if mask_file is not None and mask_file.exists() and wants_crop:
         crop_mask = nifti.load(mask_file)
+        if roi_subset is not None and not cfg.crop:
+            crop_addon_mm = (20, 20, 20)  # python_api.py:728 roi_subset addon
     elif fake_predict is None:
         if cfg.crop and cfg.crop_model != "total":
             # crop organs come from another full task (e.g. teeth <-
@@ -232,11 +244,14 @@ def totalsegmentator(
             nifti.save(crop_mask, mask_file)
 
     # fast runs compute statistics on the (coarse) model grid — the
-    # reference's statistics_fast split (`python_api.py:637-641`); non-fast
+    # reference's statistics_fast split (`python_api.py:637-641`, which
+    # checks `fast` only; fastest stays on the original grid); non-fast
     # runs compute them on the original grid at the end (`:778-795`)
-    stats_on_model_grid = statistics and (fast or fastest)
+    stats_on_model_grid = statistics and fast
     res = predict_image(
-        img, task if not fastest else f"{task}_fastest", store,
+        img,
+        f"{task}_fastest" if fastest and f"{task}_fastest" in TASKS
+        else task, store,
         fast=fast, crop_mask=crop_mask, crop_addon_mm=crop_addon_mm,
         statistics=stats_on_model_grid, fake_predict=fake_predict,
         nnunet_resampling=higher_order_resampling,

@@ -50,6 +50,8 @@ def extract_fingerprint(cases: Iterable[tuple[np.ndarray, np.ndarray | None,
         shapes.append(fp["shape_after_crop"])
         intensities.append(fp["foreground_intensities"])
     allv = np.concatenate(intensities) if intensities else np.zeros(1)
+    if allv.size == 0:  # every case had zero foreground samples
+        allv = np.zeros(1)
     fingerprint = {
         "spacings": spacings,
         "shapes_after_crop": shapes,

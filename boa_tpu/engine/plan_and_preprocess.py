@@ -26,14 +26,21 @@ logger = logging.getLogger(__name__)
 
 
 def _case_ids(dataset_dir: Path) -> list[str]:
-    ids = set()
+    stems = []
     for p in (dataset_dir / "imagesTr").glob("*.nii*"):
         name = p.name
         for suffix in (".nii.gz", ".nii"):
             if name.endswith(suffix):
                 name = name[: -len(suffix)]
-        # nnU-Net channel suffix _0000
-        if name[-5:-4] == "_" and name[-4:].isdigit():
+        stems.append(name)
+    # an _NNNN tail is only the nnU-Net channel suffix when the case's
+    # _0000 channel exists — a plain id that happens to end in 4 digits
+    # (patient_0001.nii.gz without channels) must keep its full name
+    all_stems = set(stems)
+    ids = set()
+    for name in stems:
+        if name[-5:-4] == "_" and name[-4:].isdigit() \
+                and f"{name[:-5]}_0000" in all_stems:
             name = name[:-5]
         ids.add(name)
     return sorted(ids)

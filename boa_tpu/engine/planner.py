@@ -69,30 +69,40 @@ def pool_and_conv_props(spacing, patch_size,
     conv_kernels: list[list[int]] = []
     cur_spacing = spacing.copy()
     cur_size = patch.astype(np.float64)
+    # conv kernels start 1 per axis and are promoted (stickily) to 3 once
+    # the axis's spacing is within 2x of the finest
+    # (network_topology.py:75-83)
+    kernel = [1] * dim
     while True:
-        # axes eligible to pool: edge after pooling >= min_edge and spacing
-        # within 2x of the finest axis
-        min_sp = np.min(cur_spacing)
-        valid = [(cur_size[i] >= 2 * min_edge)
-                 and (cur_spacing[i] / min_sp < 2)
-                 for i in range(dim)]
-        if not any(valid):
+        # axes eligible to pool: edge after pooling >= min_edge, then
+        # spacing within 2x of the finest VALID axis
+        # (network_topology.py:53-62 — the min is over size-valid axes, so
+        # a size-exhausted fine axis cannot veto the others)
+        valid = [i for i in range(dim) if cur_size[i] >= 2 * min_edge]
+        if not valid:
             break
-        pool = [2 if valid[i] else 1 for i in range(dim)]
-        conv = [3 if cur_spacing[i] / min_sp < ANISO_THRESHOLD or
-                cur_size[i] >= min_edge else 1 for i in range(dim)]
+        min_sp_valid = min(cur_spacing[i] for i in valid)
+        valid = [i for i in valid if cur_spacing[i] / min_sp_valid < 2]
+        if not valid:
+            break
+        if len(valid) == 1 and cur_size[valid[0]] < 3 * min_edge:
+            break  # lone-axis rule (network_topology.py:67-71)
+        min_sp = float(np.min(cur_spacing))
+        for d in range(dim):
+            if kernel[d] == 1 and cur_spacing[d] / min_sp < 2:
+                kernel[d] = 3
+        pool = [1] * dim
+        for v in valid:
+            pool[v] = 2
+            num_pool_per_axis[v] += 1
+            cur_spacing[v] *= 2
+            cur_size[v] = np.ceil(cur_size[v] / 2)
         pool_kernels.append(pool)
-        conv_kernels.append(conv)
-        for i in range(dim):
-            if pool[i] == 2:
-                num_pool_per_axis[i] += 1
-                cur_spacing[i] *= 2
-                cur_size[i] = np.ceil(cur_size[i] / 2)
-    conv_kernels.append([3] * dim)
-    # patch must be divisible by the total pooling per axis
+        conv_kernels.append(list(kernel))
+    conv_kernels.append([3] * dim)  # bottleneck always 3^dim
+    # patch pads UP to pooling divisibility (pad_shape semantics)
     must_div = 2 ** num_pool_per_axis
-    patch = (np.round(patch / must_div) * must_div).astype(np.int64)
-    patch = np.maximum(patch, must_div * min_edge)
+    patch = (np.ceil(patch / must_div) * must_div).astype(np.int64)
     n_stages = len(pool_kernels) + 1
     strides = [[1] * dim] + pool_kernels
     kernels = conv_kernels[:n_stages]
@@ -148,15 +158,19 @@ def plan_configuration(fingerprint: dict, num_classes: int,
                                            num_classes)
         if est / REFERENCE_CORRESP_BS * 2 <= reference:
             break
-        # shrink the axis largest relative to median shape
+        # shrink the largest-relative axis that can still shrink; the loop
+        # re-plans and re-estimates (a break on the clamped axis would
+        # return a stale over-budget estimate without trying other axes)
         ratios = [p / m for p, m in zip(patch_adj, median_shape)]
-        axis = int(np.argsort(ratios)[-1])
-        must_div = 2 ** npool[axis]
         patch = np.asarray(patch_adj, np.int64)
-        patch[axis] -= must_div
-        if patch[axis] < FEATUREMAP_MIN_EDGE:
-            patch[axis] = FEATUREMAP_MIN_EDGE
-            break
+        for axis in np.argsort(ratios)[::-1]:
+            axis = int(axis)
+            must_div = 2 ** npool[axis]
+            if patch[axis] - must_div >= FEATUREMAP_MIN_EDGE:
+                patch[axis] -= must_div
+                break
+        else:
+            break  # every axis at the topology minimum: best effort
 
     batch_size = max(REFERENCE_CORRESP_BS,
                      int(np.floor(reference / est * REFERENCE_CORRESP_BS)))
@@ -240,9 +254,11 @@ def plan_configuration_2d(fingerprint: dict, num_classes: int,
     full_target = np.asarray(target_spacing, np.float64) \
         if target_spacing is not None else \
         determine_target_spacing(spacings, shapes)
-    # 2d keeps the native through-plane spacing; plan in-plane only
-    inplane = full_target[1:] if len(full_target) == 3 else full_target
-    new_shapes = np.round(shapes[:, 1:] * spacings[:, 1:] / inplane[None]
+    # 2d keeps the native through-plane spacing; plan in-plane only.
+    # This repo's volumes are (x, y, z) with through-plane z LAST (nnU-Net
+    # stores (z, y, x) and takes [1:]), so the in-plane axes are [:2].
+    inplane = full_target[:2] if len(full_target) == 3 else full_target
+    new_shapes = np.round(shapes[:, :2] * spacings[:, :2] / inplane[None]
                           ).astype(np.int64)
     median_shape = np.median(new_shapes, 0)
     patch = np.maximum(median_shape.astype(np.int64), FEATUREMAP_MIN_EDGE)
@@ -261,13 +277,15 @@ def plan_configuration_2d(fingerprint: dict, num_classes: int,
         if est <= reference:
             break
         ratios = [p / m for p, m in zip(patch_adj, median_shape)]
-        axis = int(np.argsort(ratios)[-1])
-        must_div = 2 ** npool[axis]
         patch = np.asarray(patch_adj, np.int64)
-        patch[axis] -= must_div
-        if patch[axis] < FEATUREMAP_MIN_EDGE:
-            patch[axis] = FEATUREMAP_MIN_EDGE
-            break
+        for axis in np.argsort(ratios)[::-1]:
+            axis = int(axis)
+            must_div = 2 ** npool[axis]
+            if patch[axis] - must_div >= FEATUREMAP_MIN_EDGE:
+                patch[axis] -= must_div
+                break
+        else:
+            break  # every axis at the topology minimum: best effort
 
     batch_size = max(REFERENCE_BS_2D,
                      int(np.floor(reference / est * REFERENCE_BS_2D)))

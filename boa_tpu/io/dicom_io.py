@@ -83,14 +83,13 @@ def validate_dicom(dcm: dicom.Dataset, num_dicoms: int, *,
     return None
 
 
-def read_series(input_folder: Path) -> tuple[nifti.NiftiImage, list[Path],
-                                             dicom.Dataset]:
-    """Read the (largest) series in a folder into a NiftiImage.
+def sorted_series_headers(input_folder: Path
+                          ) -> tuple[list[Path], list[dicom.Dataset]]:
+    """Largest series in a folder: (position-sorted files, their headers).
 
-    Returns (image, sorted file list, header of first instance). Voxel order
-    is (x, y, z) with a NIfTI RAS affine, matching what SimpleITK's
-    WriteImage produces for the reference.
-    """
+    Header-only pass (no pixel decode) — consumers that only need geometry
+    or metadata (the SEG writer) must not pay a full series decode on this
+    host."""
     input_folder = Path(input_folder)
     candidates = [p for p in sorted(input_folder.iterdir())
                   if p.is_file() and not p.name.startswith(".")]
@@ -111,8 +110,20 @@ def read_series(input_folder: Path) -> tuple[nifti.NiftiImage, list[Path],
         raise ValueError(f"No DICOM series found in {input_folder}")
     uid, slices = max(by_series.items(), key=lambda kv: len(kv[1]))
     slices.sort(key=lambda t: t[0])
-    files = [p for _, p, _ in slices]
-    first = slices[0][2]
+    return [p for _, p, _ in slices], [h for _, _, h in slices]
+
+
+def read_series(input_folder: Path) -> tuple[nifti.NiftiImage, list[Path],
+                                             dicom.Dataset]:
+    """Read the (largest) series in a folder into a NiftiImage.
+
+    Returns (image, sorted file list, header of first instance). Voxel order
+    is (x, y, z) with a NIfTI RAS affine, matching what SimpleITK's
+    WriteImage produces for the reference.
+    """
+    files, headers = sorted_series_headers(input_folder)
+    slices = list(zip([0.0] * len(files), files, headers))
+    first = headers[0]
 
     rows = int(first.get("Rows"))
     cols = int(first.get("Columns"))

@@ -51,12 +51,14 @@ dicom.TAG_TO_VR.update(
 
 
 def _slice_contours(mask2d: np.ndarray) -> list[np.ndarray]:
-    """External contours of a 2D (x, y) mask in pixel coordinates."""
+    """Contours of a 2D (x, y) mask in pixel coordinates — outer AND hole
+    boundaries (rt_utils emits hole contours via the hierarchy; dropping
+    them would rasterize a ring back as a solid disk)."""
     import cv2
 
     # cv2 works on (rows=y, cols=x)
     found, _ = cv2.findContours(mask2d.T.astype(np.uint8),
-                                cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+                                cv2.RETR_CCOMP, cv2.CHAIN_APPROX_SIMPLE)
     out = []
     for c in found:
         pts = c[:, 0, :]  # (n, 2) as (x=col, y=row)... cv2 gives (x, y)

@@ -89,9 +89,12 @@ def build_output_dicoms(input_folder: Path, segmentation_folder: Path
                         ) -> tuple[list[dicom.Dataset], list[dict[str, Any]]]:
     """Generate SEG + PDF datasets for every produced artifact."""
     segmentation_folder = Path(segmentation_folder)
-    img, files, _first = dicom_io.read_series(Path(input_folder))
-    headers = [dicom.dcmread(f, stop_before_pixels=True) for f in files]
+    # header-only series scan: only the geometry is needed here, and a
+    # full pixel decode costs seconds per study on this host
+    files, headers = dicom_io.sorted_series_headers(Path(input_folder))
     img_dcm = headers[0]
+    img_shape = (int(img_dcm.get("Columns")), int(img_dcm.get("Rows")),
+                 len(files))
     timestamp = datetime.now()
     generated: list[dicom.Dataset] = []
     info: list[dict[str, Any]] = []
@@ -102,10 +105,10 @@ def build_output_dicoms(input_folder: Path, segmentation_folder: Path
             logger.warning("The segmentation %s does not exist.", kind)
             continue
         seg_img = nifti.load(seg_file)
-        if seg_img.shape != img.shape:
+        if tuple(seg_img.shape) != img_shape:
             raise ValueError(
                 f"Image and segmentation {kind} do not have the same size: "
-                f"{img.shape} vs. {seg_img.shape}")
+                f"{img_shape} vs. {seg_img.shape}")
         seg_arr = np.asarray(seg_img.data)
         if not seg_arr.sum():
             logger.warning("The segmentation %s does not have any values.",

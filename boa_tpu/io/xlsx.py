@@ -116,7 +116,10 @@ class Workbook:
                 for c, (v, fmt) in enumerate(row):
                     ref = f"{_col_name(c)}{r + 1}"
                     style = f' s="{fmt}"' if fmt else ""
-                    if v is None or (isinstance(v, float) and np.isnan(v)):
+                    if v is None or (isinstance(v, (float, np.floating))
+                                     and not np.isfinite(v)):
+                        # NaN AND ±inf (np.floating included): a literal
+                        # <v>inf</v> makes Excel call the workbook corrupt
                         if fmt:
                             cells.append(f'<c r="{ref}"{style}/>')
                         continue

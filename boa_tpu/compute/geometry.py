@@ -58,27 +58,29 @@ def widest_pair(points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return points[i], points[j]
 
 
-def _outermost_on_ray(mask: np.ndarray, origin: np.ndarray,
-                      direction: np.ndarray) -> np.ndarray | None:
-    """Outermost mask pixel along origin + t*direction (t >= 0), or None.
+def _minor_point_on_ray(boundary: np.ndarray, origin: np.ndarray,
+                        direction: np.ndarray) -> np.ndarray | None:
+    """Scan-order-first OUTLINE pixel on origin + t*direction (t >= 0).
 
-    Sampled at half-pixel steps out to a length that always exits the
-    slice; the farthest in-mask sample is where the ray last crosses the
-    body outline — the reference's line∩contour pixel, up to raster
-    thickness.
+    The reference rasterizes the contour (thickness 2) and the ray, then
+    takes `nonzero()[...][0]` of their intersection — the smallest-(y, x)
+    pixel in row-major order, NOT the crossing nearest/farthest along the
+    ray (geometry.py:20-46). Results diverge whenever the perpendicular
+    crosses the outline more than once (concavities, arms), so the
+    selection rule must match.
     """
-    h, w = mask.shape  # mask indexed [row=y, col=x]
+    h, w = boundary.shape  # indexed [row=y, col=x]
     reach = float(h + w)
     ts = np.arange(0.0, reach, 0.5)
     xs = np.rint(origin[0] + ts * direction[0]).astype(np.int64)
     ys = np.rint(origin[1] + ts * direction[1]).astype(np.int64)
     inside = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
-    hit = np.zeros(len(ts), bool)
-    hit[inside] = mask[ys[inside], xs[inside]]
-    idx = np.nonzero(hit)[0]
-    if len(idx) == 0:
+    xs, ys = xs[inside], ys[inside]
+    hit = boundary[ys, xs]
+    if not hit.any():
         return None
-    k = idx[-1]
+    xs, ys = xs[hit], ys[hit]
+    k = int(np.argmin(ys * w + xs))
     return np.array([xs[k], ys[k]], np.float64)
 
 
@@ -112,6 +114,12 @@ def find_axes(middle_slice: np.ndarray):
         return None, None, None, None
     # unit perpendicular (x, y) -> (-y, x)
     perp = np.array([-axis_vec[1], axis_vec[0]]) / norm
-    minor_a = _outermost_on_ray(mask, mid, perp)
-    minor_b = _outermost_on_ray(mask, mid, -perp)
+    from scipy import ndimage
+
+    # ~thickness-2 outline band, matching the reference's drawContours
+    # raster (thin 1-px outlines can slip between half-pixel ray samples)
+    outline = mask & ~ndimage.binary_erosion(mask)
+    boundary = ndimage.binary_dilation(outline)
+    minor_a = _minor_point_on_ray(boundary, mid, perp)
+    minor_b = _minor_point_on_ray(boundary, mid, -perp)
     return major_a, major_b, minor_a, minor_b

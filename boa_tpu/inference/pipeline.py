@@ -32,7 +32,8 @@ from boa_tpu.ops import cropping
 from boa_tpu.ops import packing
 from boa_tpu.ops import resample as rs
 from boa_tpu.tasks import class_maps
-from boa_tpu.tasks.registry import BCA_TASKS, TASKS, TaskConfig, get_task
+from boa_tpu.tasks.registry import (BCA_TASKS, TASKS, TaskConfig,
+                                    get_task, resolve_task)
 from boa_tpu.weights.store import ModelStore
 
 logger = logging.getLogger(__name__)
@@ -126,8 +127,7 @@ def predict_image(
     the reference's expert flag (`nnunet.py:191-293`); multi-sub-model tasks
     get a `_{task_id}` suffix per sub-model.
     """
-    task = get_task(task_name, fast=fast) if task_name in ("total", "body") or \
-        not task_name.endswith(("_fast", "_fastest")) else get_task(task_name)
+    task = resolve_task(task_name, fast=fast)
     multimodel = len(task.task_ids) > 1
     label_map = class_map_for_task(task.name)
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from boa_tpu.inference.pipeline import predict_image
 from boa_tpu.io.nifti import NiftiImage
-from boa_tpu.tasks.registry import get_task
+from boa_tpu.tasks.registry import resolve_task
 from boa_tpu.weights.store import ModelStore
 
 logger = logging.getLogger(__name__)
@@ -41,11 +41,8 @@ def warmup_task(store: ModelStore, task_name: str, *, fast: bool = False,
     """Run one tiny-content study per bucketed shape so every program in
     the serving path (resample, chunked sliding window, argmax) lands in
     the in-process jit cache AND the persistent compilation cache."""
-    # resolve EXACTLY like predict_image does (fast variants by kwarg for
-    # total/body, by explicit *_fast task names otherwise)
-    task = get_task(task_name, fast=fast) if task_name in ("total", "body") \
-        or not task_name.endswith(("_fast", "_fastest")) \
-        else get_task(task_name)
+    # resolve through the SAME helper predict_image uses
+    task = resolve_task(task_name, fast=fast)
     # model-grid z extent for a raw z: the pipeline resamples spacing[2] ->
     # task resample z (warmup must enumerate MODEL-GRID buckets, which is
     # what the predictor pads)
@@ -55,7 +52,8 @@ def warmup_task(store: ModelStore, task_name: str, *, fast: bool = False,
         affine = np.diag([-spacing[0], -spacing[1], spacing[2], 1.0])
         img = NiftiImage(data=vol, affine=affine)
         t0 = time.perf_counter()
-        predict_image(img, task_name, store, fast=fast, bucket=bucket)
+        predict_image(img, task_name, store, fast=fast, bucket=bucket,
+                      compute_dtype=dtype)
         dt = time.perf_counter() - t0
         times.append(dt)
         logger.info("warmed z=%d in %.1fs", z_raw, dt)

@@ -341,3 +341,13 @@ def get_task(name: str, fast: bool = False) -> TaskConfig:
             return TaskConfig(**{**cfg.__dict__, "folds": (0,)})
         return cfg
     raise KeyError(f"unknown task {name!r}")
+
+
+def resolve_task(name: str, fast: bool = False) -> TaskConfig:
+    """The serving pipeline's task resolution: fast variants by kwarg for
+    total/body (and any non-`_fast`-suffixed name); explicitly suffixed
+    `*_fast`/`*_fastest` names resolve as-is. Shared by predict_image and
+    the warmup tool so they can never compile for different tasks."""
+    if name in ("total", "body") or not name.endswith(("_fast", "_fastest")):
+        return get_task(name, fast=fast)
+    return get_task(name)

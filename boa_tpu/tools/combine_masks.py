@@ -49,9 +49,20 @@ def combine_masks(mask_dir_or_file: Path, class_type) -> nifti.NiftiImage:
     p = Path(mask_dir_or_file)
     if p.is_file():
         img = nifti.load(p)
-        label_map = img.get_label_map() or class_maps.get_class_map("total")
+        label_map = img.get_label_map()
+        if not label_map:
+            # assuming `total` for an unlabeled multilabel file could
+            # silently produce an all-zero mask (wrong task's label ids)
+            raise ValueError(
+                f"{p} carries no label-map extension; cannot resolve "
+                f"class names for group {class_type!r}")
         inv = {v: k for k, v in label_map.items()}
-        labels = [inv[m] for m in masks if m in inv]
+        missing = [m for m in masks if m not in inv]
+        if missing:
+            raise ValueError(
+                f"classes {missing[:5]} not in {p}'s label map — wrong "
+                f"segmentation for group {class_type!r}?")
+        labels = [inv[m] for m in masks]
         out = np.isin(np.asarray(img.data), labels).astype(np.uint8)
         return nifti.NiftiImage(data=out, affine=img.affine.copy())
     ref = None
@@ -59,7 +70,12 @@ def combine_masks(mask_dir_or_file: Path, class_type) -> nifti.NiftiImage:
     for m in masks:
         f = p / f"{m}.nii.gz"
         if not f.exists():
-            continue
+            # the reference raises for ANY missing mask of the group
+            # (libs.py combine_masks: "Did you run TotalSegmentator
+            # successfully?") — a partial union would silently miss parts
+            raise FileNotFoundError(
+                f"Could not find {f}. Did you run TotalSegmentator "
+                f"successfully?")
         img = nifti.load(f)
         if out is None:
             ref, out = img, np.zeros(img.shape, np.uint8)

@@ -23,10 +23,12 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def build_trainer(cases_dir: Path, out_dir: Path, patch, batch_size: int,
-                  num_classes: int, features=(32, 64, 128, 256, 320, 320),
+def build_trainer(out_dir: Path, patch, num_classes: int,
+                  features=(32, 64, 128, 256, 320, 320),
                   epochs: int = 1000, iters: int = 250,
                   mesh_shape=None, compute_dtype: str = "bfloat16"):
+    """Trainer + mesh for an arch derived from patch/classes. Batch size
+    and the case store belong to the DataLoader, not here."""
     from boa_tpu.models.unet import ArchConfig
     from boa_tpu.parallel.mesh import (batch_sharding, label_sharding,
                                        make_mesh, param_shardings)
@@ -69,7 +71,7 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
                  num_classes: int | None = None, epochs: int = 1000,
                  iters: int = 250, resume: bool = False,
                  mesh_shape=None, augment: bool = True,
-                 mirror_axes: tuple[int, ...] = (), seed: int = 0,
+                 mirror_axes: tuple[int, ...] = (0, 1, 2), seed: int = 0,
                  fold: "int | str" = "all",
                  validate: bool = False,
                  pretrained_weights: "str | Path | None" = None) -> dict:
@@ -84,16 +86,24 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
     cases_dir, out_dir = Path(cases_dir), Path(out_dir)
     store = CaseStore(cases_dir)
     if num_classes is None:
-        seg = store.load_case(store.case_ids()[0]).seg
-        num_classes = int(np.max(np.asarray(seg))) + 1
+        # max label across ALL cases (the first case alone may lack the
+        # highest-labeled organ, silently shrinking the output head)
+        mx = 0
+        for cid in store.case_ids():
+            case = store.load_case(cid)
+            if case.class_locations:
+                mx = max(mx, max(int(k) for k in case.class_locations))
+            else:
+                mx = max(mx, int(np.max(np.asarray(case.seg))))
+        num_classes = mx + 1
     split = None
     if fold != "all":
         splits = load_or_create_splits(store)
         split = splits[int(fold)]
         logger.info("fold %s: %d train / %d val cases", fold,
                     len(split["train"]), len(split["val"]))
-    trainer, mesh = build_trainer(cases_dir, out_dir, patch, batch_size,
-                                  num_classes, epochs=epochs, iters=iters,
+    trainer, mesh = build_trainer(out_dir, patch, num_classes,
+                                  epochs=epochs, iters=iters,
                                   mesh_shape=mesh_shape)
     # self-describing training output: weights/store.export_trained_model
     # turns it into a servable store entry from this metadata
@@ -266,6 +276,9 @@ def main(argv=None) -> None:
     ap.add_argument("--sp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--no-mirroring", action="store_true",
+                    help="disable mirror augmentation (the NoMirroring "
+                         "trainer variants all BOA models use)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     mesh_shape = None
@@ -274,6 +287,7 @@ def main(argv=None) -> None:
     run_training(args.cases_dir, args.out_dir, tuple(args.patch), args.batch,
                  args.num_classes, args.epochs, args.iters, args.resume,
                  mesh_shape, augment=not args.no_augment,
+                 mirror_axes=() if args.no_mirroring else (0, 1, 2),
                  fold=args.fold, validate=args.validate,
                  pretrained_weights=args.pretrained_weights)
 

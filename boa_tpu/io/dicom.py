@@ -247,7 +247,11 @@ class Dataset:
     def __contains__(self, keyword: str) -> bool:
         return keyword in DICT and DICT[keyword][:2] in self._elements
 
-    def get(self, keyword: str, default: Any = None) -> Any:
+    def get(self, keyword: "str | tuple[int, int]",
+            default: Any = None) -> Any:
+        if isinstance(keyword, tuple):  # (group, element) tag access
+            el = self._elements.get(keyword)
+            return el[1] if el is not None else default
         if keyword in DICT and DICT[keyword][:2] in self._elements:
             return self._elements[DICT[keyword][:2]][1]
         return default
@@ -393,7 +397,18 @@ class _Reader:
             return tag, vr if vr in ("OB", "OW") else "OB", \
                 self._read_fragments()
         if vr == "SQ" or (vr == "UN" and length == 0xFFFFFFFF):
-            items = self._read_sequence(length)
+            if vr == "UN" and self.explicit:
+                # PS3.5 6.2.2: undefined-length UN contents are IMPLICIT
+                # VR LE even inside an explicit-VR file (typical for
+                # private sequences surviving implicit->explicit
+                # transcoding) — parsing them as explicit desyncs
+                prev, self.explicit = self.explicit, False
+                try:
+                    items = self._read_sequence(length)
+                finally:
+                    self.explicit = prev
+            else:
+                items = self._read_sequence(length)
             return tag, "SQ", items
         if length == 0xFFFFFFFF:
             raise ValueError(

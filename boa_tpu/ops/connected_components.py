@@ -48,7 +48,7 @@ def largest_component(mask: np.ndarray, connectivity: int = 1) -> np.ndarray:
     labels, n = label(mask, connectivity)
     if n == 0:
         return np.zeros_like(mask)
-    sizes = np.bincount(labels.ravel())
+    sizes = component_sizes(labels, n)  # native path avoids the int64 temp
     sizes[0] = 0
     return (labels == np.argmax(sizes)).astype(np.uint8)
 
@@ -69,7 +69,7 @@ def filter_components_by_size(mask: np.ndarray, interval: tuple[float, float],
             float(interval[0]), float(interval[1]), out.ctypes.data)
         return out
     labels, n = label(mask, connectivity)
-    sizes = np.bincount(labels.ravel(), minlength=n + 1)
+    sizes = component_sizes(labels, n)  # native path avoids the int64 temp
     keep = (sizes > interval[0]) & (sizes <= interval[1])
     keep[0] = False
     return keep[labels].astype(np.uint8)

@@ -16,13 +16,17 @@ def get_bbox_from_mask(mask: np.ndarray, outside_value: float = 0,
                        addon=(0, 0, 0)) -> list[list[int]]:
     if isinstance(addon, int):
         addon = [addon] * 3
-    if (mask > outside_value).sum() == 0:
+    # per-axis any-projections: np.where would materialize ~24 B/voxel of
+    # int64 coordinates (hundreds of MB for a body mask) on this host
+    fg = mask > outside_value
+    projs = [fg.any(axis=(1, 2)), fg.any(axis=(0, 2)), fg.any(axis=(0, 1))]
+    if not projs[0].any():
         return [[0, mask.shape[0]], [0, mask.shape[1]], [0, mask.shape[2]]]
-    coords = np.where(mask > outside_value)
     bbox = []
-    for ax in range(3):
-        lo = int(np.min(coords[ax])) - int(addon[ax])
-        hi = int(np.max(coords[ax])) + 1 + int(addon[ax])
+    for ax, p in enumerate(projs):
+        nz = np.flatnonzero(p)
+        lo = int(nz[0]) - int(addon[ax])
+        hi = int(nz[-1]) + 1 + int(addon[ax])
         bbox.append([max(0, lo), min(mask.shape[ax], hi)])
     return bbox
 

@@ -34,7 +34,8 @@ def init_sgd_state(params):
 def clip_by_global_norm(grads, max_norm: float):
     norm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
                         for g in jax.tree.leaves(grads)))
-    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-6))
+    # torch clip_grad_norm_: coef = max_norm / (norm + 1e-6), capped at 1
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
     return jax.tree.map(lambda g: g * scale, grads), norm
 
 

@@ -68,7 +68,9 @@ def resolve_models(
     spec: str | None, strict: bool = False, license_number: str | None = None
 ) -> set[str]:
     """Turn a ``+``-separated model spec into the set of models to run."""
-    if spec is None or spec.lower() == "all":
+    # falsy spec (None OR empty string, e.g. a docker-compose pass-through
+    # of an unset host var) means "all", like the reference's `if not spec`
+    if not spec or spec.lower() == "all":
         selected = set(ALL_MODELS)
         if is_valid_license(license_number):
             selected |= LICENSE_MODELS

@@ -135,16 +135,20 @@ int32_t boa_jpegll_decode(const uint8_t* data, int64_t len,
     if (m == 0xD9) break;  // EOI before SOS
     if (p + 2 > len) return -3;
     int seg = (data[p] << 8) | data[p + 1];
-    if (p + seg > len) return -3;
+    if (seg < 2 || p + seg > len) return -3;
     const uint8_t* s = data + p + 2;
     int slen = seg - 2;
 
     if (m == 0xC3 || m == 0xC7 || m == 0xCB || m == 0xCF) {  // SOF3 family
+      // every field read below must be covered by the declared segment
+      // length (a truncated/crafted SOF would read past the buffer)
+      if (slen < 6) return -3;
       precision = s[0];
       rows = (s[1] << 8) | s[2];
       cols = (s[3] << 8) | s[4];
       ncomp = s[5];
-      if (ncomp > 4) return -4;
+      if (ncomp > 4 || ncomp < 1) return -4;
+      if (slen < 6 + 3 * ncomp) return -3;
       for (int c = 0; c < ncomp; c++) {
         comp_id[c] = s[6 + 3 * c];
         int hv = s[7 + 3 * c];
@@ -165,10 +169,16 @@ int32_t boa_jpegll_decode(const uint8_t* data, int64_t len,
         off += 17 + nv;
       }
     } else if (m == 0xDD) {  // DRI
+      if (slen < 2) return -3;
       restart_interval = (s[0] << 8) | s[1];
     } else if (m == 0xDA) {  // SOS — scan follows
+      if (slen < 1) return -3;
       ns = s[0];
       if (ns < 1 || ns > 4) return -8;
+      if (slen < 1 + 2 * ns + 3) return -3;  // comp specs + Ss/Se/AhAl
+      // a scan covering fewer components than the frame would leave the
+      // remaining planes of the np.empty output uninitialized
+      if (ns != ncomp) return -16;
       for (int c = 0; c < ns; c++) {
         int cid = s[1 + 2 * c];
         int td = s[2 + 2 * c] >> 4;
@@ -211,7 +221,9 @@ int32_t boa_jpegll_decode(const uint8_t* data, int64_t len,
             const HuffTable& ht = tables[comp_dc[scan_comp[c]]];
             if (!ht.defined) return -13;
             int ssss = ht.decode(br);
-            if (ssss < 0 || br.marker_hit) return -14;
+            // a crafted DHT can emit values > 16: the (1 << (ssss-1))
+            // shift in extend() would be UB
+            if (ssss < 0 || ssss > 16 || br.marker_hit) return -14;
             int diff = (ssss == 16) ? 32768 : extend(br.bits(ssss), ssss);
             int pred;
             if (fresh) {  // scan start / just after restart

@@ -290,16 +290,22 @@ int32_t boa_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
     if (m == 0xD9) return -4;  // EOI before SOS
     if (p + 2 > len) return -3;
     int seg = (data[p] << 8) | data[p + 1];
-    if (p + seg > len) return -3;
+    if (seg < 2 || p + seg > len) return -3;
     const uint8_t* s = data + p + 2;
+    int slen = seg - 2;
 
     if (m == 0xF7) {  // SOF55
+      // every field below must be covered by the declared segment length
+      // (truncated/crafted headers would read past the input buffer)
+      if (slen < 6) return -3;
       precision = s[0];
       rows = (s[1] << 8) | s[2];
       cols = (s[3] << 8) | s[4];
       ncomp = s[5];
     } else if (m == 0xF8) {  // LSE
+      if (slen < 1) return -3;
       if (s[0] == 1) {
+        if (slen < 11) return -3;
         maxval = (s[1] << 8) | s[2];
         t1 = (s[3] << 8) | s[4];
         t2 = (s[5] << 8) | s[6];
@@ -310,11 +316,15 @@ int32_t boa_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
         return -5;  // mapping tables / extensions unsupported
       }
     } else if (m == 0xDA) {  // SOS
+      if (slen < 1) return -3;
       int ns = s[0];
       if (ns != 1 || ncomp != 1) return -6;  // single-component only
+      if (slen < 1 + 2 * ns + 3) return -3;
       int near = s[1 + 2 * ns];
       int ilv = s[2 + 2 * ns];
       if (ilv != 0) return -7;
+      if ((s[3 + 2 * ns] & 15) != 0) return -12;  // point transform: the
+      // decoded samples would need a <<Pt shift this decoder never applies
       if (rows <= 0 || cols <= 0 || precision < 2 || precision > 16)
         return -8;
       if ((int64_t)rows * cols > out_capacity) return -9;

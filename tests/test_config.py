@@ -61,3 +61,12 @@ def test_env_parsing(monkeypatch):
     assert env_bool("X_MISSING", default=True) is True
     assert env_str("X_TODO") is None
     assert env_str("X_EMPTY", "fallback") == "fallback"
+
+
+def test_resolve_models_empty_string_means_all():
+    """Docker-compose pass-through of an unset host var yields '' — the
+    reference's `if not spec` treats it as 'all'."""
+    from boa_tpu.utils.config import resolve_models
+
+    assert resolve_models("") == resolve_models(None)
+    assert len(resolve_models("")) > 3

@@ -580,3 +580,33 @@ def test_jpegll_python_rejects_restart_intervals(rng):
     patched = frame[:2] + dri + frame[2:]
     with pytest.raises(ValueError, match="restart"):
         dicom_codecs._decode_jpegll_python(patched)
+
+
+def test_un_undefined_length_sequence_implicit_content(tmp_path, rng):
+    """PS3.5 6.2.2: undefined-length UN element contents are implicit VR
+    LE even inside an explicit-VR file (private sequences surviving
+    implicit->explicit transcoding)."""
+    import struct
+
+    ds = dicom.Dataset()
+    ds.PatientName = "UN^Seq"
+    buf = bytearray()
+    # element (0009,0010) VR UN, undefined length
+    buf += struct.pack("<HH", 0x0009, 0x0010) + b"UN\x00\x00" \
+        + struct.pack("<I", 0xFFFFFFFF)
+    # one item, undefined length, containing an IMPLICIT-VR element
+    buf += struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF)
+    payload = b"PRIVATE!"
+    buf += struct.pack("<HHI", 0x0009, 0x0001, len(payload)) + payload
+    buf += struct.pack("<HHI", 0xFFFE, 0xE00D, 0)  # item delimiter
+    buf += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)  # sequence delimiter
+
+    path = tmp_path / "un.dcm"
+    dicom.dcmwrite(path, ds)
+    raw = bytearray(path.read_bytes())
+    raw += buf  # append the UN sequence at the dataset tail
+    back = dicom.dcmread(bytes(raw))
+    assert back.get("PatientName") == "UN^Seq"
+    items = back.get((0x0009, 0x0010))
+    assert isinstance(items, list) and len(items) == 1
+    assert items[0].get((0x0009, 0x0001)) == payload

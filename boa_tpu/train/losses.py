@@ -93,11 +93,21 @@ def softmax_ce_loss(logits: jax.Array, target: jax.Array,
     return jnp.mean(nll)
 
 
-def topk_ce_loss(logits: jax.Array, target: jax.Array, k_percent: float = 10.0) -> jax.Array:
-    """TopK CE (`robust_ce_loss.py:22-31`): mean of the worst k% voxel losses."""
+def topk_ce_loss(logits: jax.Array, target: jax.Array,
+                 k_percent: float = 10.0,
+                 label_smoothing: float = 0.0) -> jax.Array:
+    """TopK CE (`robust_ce_loss.py:22-31`): mean of the worst k% voxel
+    losses. ``label_smoothing`` follows torch CE semantics — the smoothed
+    per-voxel loss is (1−ε)·nll + ε·mean_c(−logp_c) — for the
+    nnUNetTrainerTopk10LossLS01 variant (`variants/loss/
+    nnUNetTrainerTopkLoss.py:130-138`, label_smoothing=0.1)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
-                               axis=-1)[..., 0].reshape(-1)
+                               axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        nll = (1 - label_smoothing) * nll \
+            - label_smoothing * jnp.mean(logp, axis=-1)
+    nll = nll.reshape(-1)
     k = max(1, int(nll.size * k_percent / 100.0))
     topk = jax.lax.top_k(nll, k)[0]
     return jnp.mean(topk)
@@ -110,11 +120,13 @@ def dice_ce_loss(
     batch_dice: bool = True,
     weight_ce: float = 1.0,
     weight_dice: float = 1.0,
+    smooth: float = 1e-5,
     loss_mask: jax.Array | None = None,
     axis_name: str | None = None,
 ) -> jax.Array:
     """DC_and_CE_loss (`compound_losses.py:9-47`, built at
-    `nnUNetTrainer.py:399-402`): dice term do_bg=False, smooth=1e-5.
+    `nnUNetTrainer.py:399-402`): dice term do_bg=False, smooth=1e-5
+    (smooth=0 for the nnUNetTrainerDiceCELoss_noSmooth variant).
 
     Fused: one log-softmax feeds both terms (`probs = exp(logp)` is
     bitwise the softmax formula), where the reference — and the separate
@@ -149,10 +161,48 @@ def dice_ce_loss(
             intersect = jax.lax.psum(intersect, axis_name)
             sum_pred = jax.lax.psum(sum_pred, axis_name)
             sum_gt = jax.lax.psum(sum_gt, axis_name)
-    smooth = 1e-5
     dc = -jnp.mean((2.0 * intersect + smooth) /
                    jnp.clip(sum_gt + sum_pred + smooth, 1e-8))
     return weight_ce * ce + weight_dice * dc
+
+
+def dice_topk_loss(logits: jax.Array, target: jax.Array, *,
+                   batch_dice: bool = True, k_percent: float = 10.0,
+                   axis_name: str | None = None) -> jax.Array:
+    """DC_and_topk_loss (`compound_losses.py` / `variants/loss/
+    nnUNetTrainerTopkLoss.py:154-163`): dice(do_bg=False, smooth=1e-5)
+    + TopK-10% CE, equally weighted."""
+    dc = soft_dice_loss(logits, target, batch_dice=batch_dice,
+                        axis_name=axis_name)
+    return dc + topk_ce_loss(logits, target, k_percent=k_percent)
+
+
+def make_loss(name: str, *, batch_dice: bool = True,
+              axis_name: str | None = None):
+    """Loss dispatcher for the trainer-variant families
+    (`variants/loss/*.py`): name → fn(logits, target).
+
+    dice_ce (default) | dice_ce_nosmooth | ce | dice | topk10 |
+    topk10_ls01 | dice_topk10.
+    """
+    table = {
+        "dice_ce": lambda o, t: dice_ce_loss(
+            o, t, batch_dice=batch_dice, axis_name=axis_name),
+        "dice_ce_nosmooth": lambda o, t: dice_ce_loss(
+            o, t, batch_dice=batch_dice, smooth=0.0, axis_name=axis_name),
+        "ce": lambda o, t: softmax_ce_loss(o, t),
+        "dice": lambda o, t: soft_dice_loss(
+            o, t, batch_dice=batch_dice, axis_name=axis_name),
+        "topk10": lambda o, t: topk_ce_loss(o, t, k_percent=10.0),
+        "topk10_ls01": lambda o, t: topk_ce_loss(
+            o, t, k_percent=10.0, label_smoothing=0.1),
+        "dice_topk10": lambda o, t: dice_topk_loss(
+            o, t, batch_dice=batch_dice, axis_name=axis_name),
+    }
+    try:
+        return table[name]
+    except KeyError:
+        raise ValueError(f"unknown loss {name!r}; one of {sorted(table)}")
 
 
 def ds_weights(n_outputs: int) -> np.ndarray:
@@ -178,20 +228,25 @@ def deep_supervision_loss(
     *,
     batch_dice: bool = True,
     axis_name: str | None = None,
+    loss_fn=None,
 ) -> jax.Array:
-    """Weighted Dice+CE over all DS heads (`deep_supervision.py` wrapper).
+    """Weighted base loss over all DS heads (`deep_supervision.py`
+    wrapper); ``loss_fn`` defaults to Dice+CE and accepts any
+    `make_loss` result for the loss-variant trainers.
 
     ``outputs`` is highest resolution first, as `unet_forward(all_heads=True)`
     returns; the target is nearest-downsampled per head.
     """
+    if loss_fn is None:
+        loss_fn = lambda o, t: dice_ce_loss(o, t, batch_dice=batch_dice,
+                                            axis_name=axis_name)
     w = ds_weights(len(outputs))
     total = jnp.float32(0.0)
     for wi, out in zip(w, outputs):
         if wi == 0.0:
             continue
         t = downsample_target(target, out.shape[1:-1])
-        total = total + wi * dice_ce_loss(out, t, batch_dice=batch_dice,
-                                          axis_name=axis_name)
+        total = total + wi * loss_fn(out, t)
     return total
 
 

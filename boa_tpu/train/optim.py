@@ -63,35 +63,90 @@ def sgd_nesterov_update(params, grads, momentum_buf, lr,
 # ---------------------------------------------------------------------------
 
 
-def init_adamw_state(params):
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params),
-            "step": jnp.zeros((), jnp.int32)}
+def init_adamw_state(params, amsgrad: bool = False):
+    zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+    state = {"m": zeros(), "v": zeros(), "step": jnp.zeros((), jnp.int32)}
+    if amsgrad:
+        state["vmax"] = zeros()
+    return state
 
 
 def adamw_update(params, grads, state, lr, betas=(0.9, 0.98),
-                 eps: float = 1e-8, weight_decay: float = 5e-2):
-    """torch.optim.AdamW semantics (decoupled weight decay)."""
+                 eps: float = 1e-8, weight_decay: float = 5e-2,
+                 amsgrad: bool = False):
+    """torch.optim.AdamW semantics (decoupled weight decay); optional
+    AMSGrad running-max second moment (nnUNetTrainerAdam passes
+    amsgrad=True — `variants/optimizer/nnUNetTrainerAdam.py:10-13`)."""
     b1, b2 = betas
     step = state["step"] + 1
     t = step.astype(jnp.float32)
     bc1 = 1 - b1 ** t
     bc2 = 1 - b2 ** t
 
-    def upd(p, g, m, v):
+    def upd(p, g, m, v, vm):
         g = g.astype(jnp.float32)
         m = b1 * m + (1 - b1) * g
         v = b2 * v + (1 - b2) * g * g
+        vm = jnp.maximum(vm, v) if amsgrad else v
         p = p * (1 - lr * weight_decay)
-        p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-        return p, m, v
+        p = p - lr * (m / bc1) / (jnp.sqrt(vm / bc2) + eps)
+        return p, m, v, vm
 
-    out = jax.tree.map(upd, params, grads, state["m"], state["v"])
-    is3 = lambda x: isinstance(x, tuple)
-    new_p = jax.tree.map(lambda o: o[0], out, is_leaf=is3)
-    new_m = jax.tree.map(lambda o: o[1], out, is_leaf=is3)
-    new_v = jax.tree.map(lambda o: o[2], out, is_leaf=is3)
-    return new_p, {"m": new_m, "v": new_v, "step": step}
+    vmax = state.get("vmax", state["v"])
+    out = jax.tree.map(upd, params, grads, state["m"], state["v"], vmax)
+    is4 = lambda x: isinstance(x, tuple)
+    new = {"m": jax.tree.map(lambda o: o[1], out, is_leaf=is4),
+           "v": jax.tree.map(lambda o: o[2], out, is_leaf=is4),
+           "step": step}
+    if amsgrad:
+        new["vmax"] = jax.tree.map(lambda o: o[3], out, is_leaf=is4)
+    return jax.tree.map(lambda o: o[0], out, is_leaf=is4), new
+
+
+#: Adam and AdamW share the same state layout (m/v/step [+vmax])
+init_adam_state = init_adamw_state
+
+
+def adam_update(params, grads, state, lr, betas=(0.9, 0.999),
+                eps: float = 1e-8, weight_decay: float = 0.0,
+                amsgrad: bool = False):
+    """torch.optim.Adam semantics: COUPLED weight decay (added to the
+    gradient, unlike AdamW's decay-on-params) and optional AMSGrad
+    (running max of the second moment). Used by the nnUNetTrainerAdam /
+    nnUNetTrainerVanillaAdam variant family
+    (`variants/optimizer/nnUNetTrainerAdam.py:8-29` — AdamW(amsgrad=True)
+    and vanilla Adam, both under PolyLR)."""
+    b1, b2 = betas
+    step = state["step"] + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1 - b1 ** t
+    bc2 = 1 - b2 ** t
+
+    def upd(p, g, m, v, vm):
+        g = g.astype(jnp.float32) + weight_decay * p
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        vm = jnp.maximum(vm, v) if amsgrad else v
+        p = p - lr * (m / bc1) / (jnp.sqrt(vm / bc2) + eps)
+        return p, m, v, vm
+
+    vmax = state.get("vmax", state["v"])
+    out = jax.tree.map(upd, params, grads, state["m"], state["v"], vmax)
+    is4 = lambda x: isinstance(x, tuple)
+    new = {"m": jax.tree.map(lambda o: o[1], out, is_leaf=is4),
+           "v": jax.tree.map(lambda o: o[2], out, is_leaf=is4),
+           "step": step}
+    if amsgrad:
+        new["vmax"] = jax.tree.map(lambda o: o[3], out, is_leaf=is4)
+    return jax.tree.map(lambda o: o[0], out, is_leaf=is4), new
+
+
+def cosine_anneal_lr(initial_lr: float, step, max_steps: int,
+                     eta_min: float = 0.0):
+    """torch CosineAnnealingLR closed form (nnUNetTrainerCosAnneal:
+    T_max=num_epochs): eta_min + (lr0−eta_min)·(1+cos(π·t/T))/2."""
+    return eta_min + (initial_lr - eta_min) * 0.5 * (
+        1 + jnp.cos(jnp.pi * step / max_steps))
 
 
 def lin_incr_lr(initial_lr: float, step, warmup_steps: int):

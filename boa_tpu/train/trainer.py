@@ -28,8 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from boa_tpu.models.unet import ArchConfig, init_unet, unet_forward
-from boa_tpu.train.losses import deep_supervision_loss, dice_ce_loss, pseudo_dice
-from boa_tpu.train.optim import (clip_by_global_norm, init_sgd_state, poly_lr,
+from boa_tpu.train.losses import (deep_supervision_loss, make_loss,
+                                  pseudo_dice)
+from boa_tpu.train.optim import (adam_update, adamw_update,
+                                 clip_by_global_norm, cosine_anneal_lr,
+                                 init_adam_state, init_sgd_state,
+                                 lin_incr_lr, poly_lr, poly_lr_offset,
                                  sgd_nesterov_update)
 
 CHECKPOINT_EVERY = 50  # nnUNetTrainer.py:158 save_every
@@ -49,6 +53,15 @@ class TrainConfig:
     batch_dice: bool = True
     oversample_foreground_percent: float = 0.33
     compute_dtype: str = "bfloat16"
+    # trainer-variant knobs (`variants/{loss,optimizer,lr_schedule}/*`):
+    # loss ∈ make_loss names; optimizer sgd | adamw_amsgrad (AdamW
+    # amsgrad=True ≙ nnUNetTrainerAdam) | adam (vanilla, coupled wd);
+    # lr_schedule poly | cos (CosineAnnealingLR, T_max=num_epochs) |
+    # warmup_poly (50-epoch linear warmup then PolyLR-offset)
+    loss: str = "dice_ce"
+    optimizer: str = "sgd"
+    lr_schedule: str = "poly"
+    warmup_epochs: int = 50
     # region-based training (overlapping sigmoid targets): tuple of label
     # tuples, one per network output channel; None = plain softmax labels.
     # `nnUNetTrainer._build_loss:391-397` picks DC_and_BCE when the label
@@ -64,6 +77,58 @@ class TrainState:
     best_ema: float = -1.0
     ema_dice: float | None = None
     logs: list = field(default_factory=list)
+
+
+def init_opt_state(cfg: TrainConfig, params):
+    """Optimizer-state init matching `make_opt_update` (SGD momentum
+    buffers, or Adam/AdamW m/v[+vmax] dicts)."""
+    if cfg.optimizer == "sgd":
+        return init_sgd_state(params)
+    if cfg.optimizer in ("adamw_amsgrad", "adamw"):
+        return init_adam_state(params, amsgrad=cfg.optimizer.endswith(
+            "amsgrad"))
+    if cfg.optimizer == "adam":
+        return init_adam_state(params)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def make_opt_update(cfg: TrainConfig):
+    """(params, grads, state, lr) -> (params, state) for cfg.optimizer.
+
+    sgd: torch SGD Nesterov momentum 0.99 (`nnUNetTrainer.py:507-511`);
+    adamw_amsgrad: AdamW(amsgrad=True) of nnUNetTrainerAdam; adamw:
+    plain AdamW; adam: vanilla torch Adam with coupled weight decay
+    (nnUNetTrainerVanillaAdam) — all with the trainer's weight_decay.
+    """
+    if cfg.optimizer == "sgd":
+        return lambda p, g, s, lr: sgd_nesterov_update(
+            p, g, s, lr, momentum=cfg.momentum,
+            weight_decay=cfg.weight_decay)
+    if cfg.optimizer in ("adamw_amsgrad", "adamw"):
+        amsgrad = cfg.optimizer.endswith("amsgrad")
+        return lambda p, g, s, lr: adamw_update(
+            p, g, s, lr, betas=(0.9, 0.999), weight_decay=cfg.weight_decay,
+            amsgrad=amsgrad)
+    if cfg.optimizer == "adam":
+        return lambda p, g, s, lr: adam_update(
+            p, g, s, lr, weight_decay=cfg.weight_decay)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def schedule_lr(cfg: TrainConfig, epoch: int) -> float:
+    """Per-epoch LR for cfg.lr_schedule (`lr_scheduler/{polylr,warmup}.py`,
+    CosineAnnealingLR of nnUNetTrainerCosAnneal)."""
+    if cfg.lr_schedule == "poly":
+        return float(poly_lr(cfg.initial_lr, epoch, cfg.num_epochs))
+    if cfg.lr_schedule == "cos":
+        return float(cosine_anneal_lr(cfg.initial_lr, epoch, cfg.num_epochs))
+    if cfg.lr_schedule == "warmup_poly":
+        if epoch < cfg.warmup_epochs:
+            return float(lin_incr_lr(cfg.initial_lr, epoch,
+                                     cfg.warmup_epochs))
+        return float(poly_lr_offset(cfg.initial_lr, epoch, cfg.num_epochs,
+                                    offset=cfg.warmup_epochs))
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
 def make_train_step(cfg: TrainConfig,
@@ -98,11 +163,15 @@ def make_train_step(cfg: TrainConfig,
                 loss = dice_bce_loss(outs[0],
                                      regions_to_multihot(y, cfg.regions),
                                      batch_dice=cfg.batch_dice)
-        elif len(outs) > 1:
-            loss = deep_supervision_loss(outs, y, batch_dice=cfg.batch_dice)
         else:
-            loss = dice_ce_loss(outs[0], y, batch_dice=cfg.batch_dice)
+            base = make_loss(cfg.loss, batch_dice=cfg.batch_dice)
+            if len(outs) > 1:
+                loss = deep_supervision_loss(outs, y, loss_fn=base)
+            else:
+                loss = base(outs[0], y)
         return loss, outs[0]
+
+    opt_update = make_opt_update(cfg)
 
     def step(params, momentum_buf, x, y, lr):
         # train-step metrics are loss/grad-norm only, like the reference
@@ -112,9 +181,7 @@ def make_train_step(cfg: TrainConfig,
         # plus an argmax on every iteration here.
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y)
         grads, gnorm = clip_by_global_norm(grads, cfg.grad_clip)
-        params, momentum_buf = sgd_nesterov_update(
-            params, grads, momentum_buf, lr,
-            momentum=cfg.momentum, weight_decay=cfg.weight_decay)
+        params, momentum_buf = opt_update(params, grads, momentum_buf, lr)
         metrics = {"loss": loss, "grad_norm": gnorm}
         return params, momentum_buf, metrics
 
@@ -162,7 +229,7 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         params = init_unet(key, cfg.arch)
         self.state = TrainState(params=params,
-                                momentum_buf=init_sgd_state(params))
+                                momentum_buf=init_opt_state(cfg, params))
         self._step = make_train_step(cfg, in_shardings=in_shardings)
         self._eval = make_eval_step(cfg)
 
@@ -170,7 +237,7 @@ class Trainer:
     def train_epoch(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
                     n_iters: int | None = None) -> dict:
         cfg, st = self.cfg, self.state
-        lr = poly_lr(cfg.initial_lr, st.epoch, cfg.num_epochs)
+        lr = schedule_lr(cfg, st.epoch)
         n = n_iters if n_iters is not None else cfg.iters_per_epoch
         losses, t0 = [], time.time()
         for _ in range(n):

@@ -2,27 +2,41 @@
 
 Parity: `nnunetv2/training/nnUNetTrainer/variants/` — the reference
 encodes hyperparameter variants as subclasses whose NAMES are stored in
-checkpoints and task configs (epochs, mirroring, loss, augmentation).
-This table reproduces the semantics of every variant the BOA model zoo
-references (`totalsegmentator/python_api.py` trainer column +
-`custom_trainers.py`), so converted checkpoints train/finetune with the
-right recipe.
+checkpoints and task configs. This table reproduces the semantics of
+every variant family: the BOA model-zoo names
+(`totalsegmentator/python_api.py` trainer column + `custom_trainers.py`)
+plus the generic families — loss (`variants/loss/*.py`), optimizer
+(`variants/optimizer/nnUNetTrainerAdam.py`), lr_schedule
+(`variants/lr_schedule/{nnUNetTrainerCosAnneal,nnUNetTrainer_warmup}.py`),
+data augmentation (`variants/data_augmentation/*.py`), sampling
+(`variants/sampling/nnUNetTrainer_probabilisticOversampling.py`), network
+architecture (`variants/network_architecture/*.py`) and training length
+(`variants/training_length/nnUNetTrainer_Xepochs*.py`, covered by the
+`_NNNNepochs` name parser) — so converted checkpoints train/finetune with
+the right recipe.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Callable
 
 
 @dataclass(frozen=True)
 class VariantSpec:
     num_epochs: int = 1000
     mirror_axes: tuple[int, ...] = (0, 1, 2)
-    loss: str = "dice_ce"              # dice_ce | dice_topk10 | dice_bce
+    loss: str = "dice_ce"              # any boa_tpu.train.losses.make_loss name
     initial_lr: float = 1e-2
+    optimizer: str = "sgd"             # sgd | adamw_amsgrad | adam
+    lr_schedule: str = "poly"          # poly | cos | warmup_poly
     aggressive_da: bool = False        # DA5 augmentation preset
     seg_resample_order0: bool = False  # DASegOrd0: order-0 seg augmentation
+    no_da: bool = False                # nnUNetTrainerNoDA: augmentation off
+    no_dummy_2d: bool = False          # nnUNetTrainer_noDummy2DDA
+    deep_supervision: bool = True      # nnUNetTrainerNoDeepSupervision
+    batch_norm: bool = False           # nnUNetTrainerBN (not trainable here)
+    probabilistic_oversampling: bool = False  # per-sample Bernoulli draw
+    oversample_percent: float | None = None   # None = plan default 0.33
 
 
 VARIANTS: dict[str, VariantSpec] = {
@@ -44,7 +58,46 @@ VARIANTS: dict[str, VariantSpec] = {
         num_epochs=1000, mirror_axes=(), initial_lr=1e-2 / 4),
     "nnUNetTrainerDiceTopK10Loss_2000epochs": VariantSpec(
         num_epochs=2000, loss="dice_topk10"),
+    # loss family (`variants/loss/*.py`)
+    "nnUNetTrainerCELoss": VariantSpec(loss="ce"),
+    "nnUNetTrainerCELoss_5epochs": VariantSpec(loss="ce", num_epochs=5),
+    "nnUNetTrainerDiceLoss": VariantSpec(loss="dice"),
+    "nnUNetTrainerDiceCELoss_noSmooth": VariantSpec(loss="dice_ce_nosmooth"),
+    "nnUNetTrainerTopk10Loss": VariantSpec(loss="topk10"),
+    "nnUNetTrainerTopk10LossLS01": VariantSpec(loss="topk10_ls01"),
+    "nnUNetTrainerDiceTopK10Loss": VariantSpec(loss="dice_topk10"),
+    # optimizer family (nnUNetTrainerAdam.py: AdamW amsgrad / vanilla Adam,
+    # all under PolyLR; the 1en3/3en4 subclasses change only initial_lr)
+    "nnUNetTrainerAdam": VariantSpec(optimizer="adamw_amsgrad"),
+    "nnUNetTrainerAdam1en3": VariantSpec(optimizer="adamw_amsgrad",
+                                         initial_lr=1e-3),
+    "nnUNetTrainerAdam3en4": VariantSpec(optimizer="adamw_amsgrad",
+                                         initial_lr=3e-4),
+    "nnUNetTrainerVanillaAdam": VariantSpec(optimizer="adam"),
+    "nnUNetTrainerVanillaAdam1en3": VariantSpec(optimizer="adam",
+                                                initial_lr=1e-3),
+    "nnUNetTrainerVanillaAdam3en4": VariantSpec(optimizer="adam",
+                                                initial_lr=3e-4),
+    # lr_schedule family
+    "nnUNetTrainerCosAnneal": VariantSpec(lr_schedule="cos"),
+    "nnUNetTrainer_warmup": VariantSpec(lr_schedule="warmup_poly"),
+    # data-augmentation family
     "nnUNetTrainerDA5": VariantSpec(aggressive_da=True),
+    "nnUNetTrainerNoDA": VariantSpec(no_da=True, mirror_axes=()),
+    "nnUNetTrainer_noDummy2DDA": VariantSpec(no_dummy_2d=True),
+    # network-architecture family
+    "nnUNetTrainerNoDeepSupervision": VariantSpec(deep_supervision=False),
+    "nnUNetTrainerBN": VariantSpec(batch_norm=True),
+    # sampling family: the base class recomputes the oversample percent as
+    # the MEAN of the positional round-rule flags (so the Bernoulli draw
+    # matches the deterministic batch composition in expectation); _033 and
+    # _010 pin it explicitly
+    "nnUNetTrainer_probabilisticOversampling": VariantSpec(
+        probabilistic_oversampling=True),
+    "nnUNetTrainer_probabilisticOversampling_033": VariantSpec(
+        probabilistic_oversampling=True, oversample_percent=0.33),
+    "nnUNetTrainer_probabilisticOversampling_010": VariantSpec(
+        probabilistic_oversampling=True, oversample_percent=0.10),
 }
 
 
@@ -63,8 +116,27 @@ def get_variant(trainer_name: str) -> VariantSpec:
 
 
 def apply_variant(cfg, trainer_name: str):
-    """TrainConfig + trainer name → adjusted TrainConfig (+ mirror axes)."""
+    """TrainConfig + trainer name → adjusted TrainConfig (+ spec).
+
+    Maps every spec knob the jitted step consumes (epochs, lr, loss,
+    optimizer, schedule, oversampling, deep supervision); augmentation
+    markers (DA5/NoDA/order-0 seg) are consumed by the augment builder
+    from the returned spec.
+    """
+    import dataclasses
+
     spec = get_variant(trainer_name)
-    cfg = replace(cfg, num_epochs=spec.num_epochs,
-                  initial_lr=spec.initial_lr)
+    if spec.batch_norm:
+        raise ValueError(
+            "nnUNetTrainerBN (BatchNorm U-Net) is recognised for checkpoint "
+            "deserialization only — the TPU network trains with InstanceNorm"
+        )
+    kw = dict(num_epochs=spec.num_epochs, initial_lr=spec.initial_lr,
+              loss=spec.loss, optimizer=spec.optimizer,
+              lr_schedule=spec.lr_schedule)
+    if spec.oversample_percent is not None:
+        kw["oversample_foreground_percent"] = spec.oversample_percent
+    if not spec.deep_supervision and cfg.arch.deep_supervision:
+        kw["arch"] = dataclasses.replace(cfg.arch, deep_supervision=False)
+    cfg = replace(cfg, **kw)
     return cfg, spec

@@ -116,10 +116,9 @@ def run(argv: list[str] | None = None) -> None:
 
     if "PREDICT_FAST" in os.environ:
         warnings.warn(
-            "The PREDICT_FAST environment variable is deprecated and will no "
-            "longer have any effect starting with version 1.1.0. Use the "
-            "FAST_BCA and FAST_TOTAL environment variables (or the --fast-bca "
-            "and --fast-total flags) instead.",
+            "PREDICT_FAST is deprecated (removed in 1.1.0); set FAST_BCA / "
+            "FAST_TOTAL or pass --fast-bca / --fast-total instead. Treating "
+            "it as both for now.",
             DeprecationWarning, stacklevel=2)
         fast_bca = True
         fast_total = True
@@ -160,9 +159,9 @@ def run(argv: list[str] | None = None) -> None:
         logger.info("  calculated in %.2fs", time.time() - st)
 
     if args.use_study_prefix:
-        study_name = args.input_image.name.removesuffix(".nii.gz")
-        for f in args.output_dir.glob("*"):
-            f.rename(f.parent / f"{study_name}_{f.name}")
+        prefix = args.input_image.name.removesuffix(".nii.gz") + "_"
+        for artifact in args.output_dir.iterdir():
+            artifact.rename(artifact.with_name(prefix + artifact.name))
 
 
 if __name__ == "__main__":

@@ -54,11 +54,13 @@ def np_json_default(o):
 
 
 def to_png_data_url(image: np.ndarray) -> str:
-    """Encode an RGB ndarray as a base64 PNG data URL for HTML embedding."""
+    """PNG-compress an RGB uint8 array and return it as an inline
+    ``data:image/png;base64,…`` URL (for self-contained HTML reports)."""
     import cv2
 
-    if image.dtype != np.uint8:
-        image = np.clip(image, 0, 255).astype(np.uint8)
-    _, encoded = cv2.imencode(".png", image[..., ::-1],
-                              [cv2.IMWRITE_PNG_COMPRESSION, 6])
-    return "data:image/png;base64," + base64.b64encode(encoded).decode("utf-8")
+    rgb = image if image.dtype == np.uint8 \
+        else np.clip(image, 0, 255).astype(np.uint8)
+    ok, buf = cv2.imencode(".png", rgb[..., ::-1])  # cv2 expects BGR
+    if not ok:
+        raise ValueError("PNG encoding failed")
+    return "data:image/png;base64," + base64.b64encode(buf.tobytes()).decode()

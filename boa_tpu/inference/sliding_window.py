@@ -84,7 +84,7 @@ def tile_pred(cast_params, vol, start, gauss_w, cfg: ArchConfig,
 
         zero = jnp.zeros((px, py, pz, n_cls), jnp.float32)
         if pvary_axes:
-            zero = jax.lax.pvary(zero, pvary_axes)
+            zero = jax.lax.pcast(zero, pvary_axes, to="varying")
         pred, _ = jax.lax.scan(fold_step, zero, cast_params)
         pred = pred / n_folds
     if gauss_w.ndim == 3:
@@ -306,8 +306,12 @@ def _row_finalize(rowbuf, carry, *, d, seg_dtype):
     return seg, new_carry, jnp.zeros_like(rowbuf)
 
 
-@partial(jax.jit, static_argnames=("seg_dtype",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("seg_dtype",))
 def _row_finalize_last(rowbuf, carry, *, seg_dtype):
+    # no donation: the only output is the small uint8 seg, so neither
+    # float32 input can be aliased (donating them only triggered XLA's
+    # "donated buffers were not usable" warning; the caller drops both
+    # references right after this call anyway)
     total = rowbuf.astype(jnp.float32) + carry.astype(jnp.float32)
     return jnp.argmax(total, axis=0).astype(seg_dtype)
 

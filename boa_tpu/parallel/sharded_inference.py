@@ -73,9 +73,10 @@ def sliding_window_logits_sharded(
     def shard_fn(params, vol, starts, valid):
         # mark accumulators as device-varying so scan carries typecheck
         # under shard_map's varying-axis tracking
-        logits = jax.lax.pvary(jnp.zeros((n_cls, X, Y, Z), jnp.float32),
-                               ("dp",))
-        weights = jax.lax.pvary(jnp.zeros((X, Y, Z), jnp.float32), ("dp",))
+        logits = jax.lax.pcast(jnp.zeros((n_cls, X, Y, Z), jnp.float32),
+                               ("dp",), to="varying")
+        weights = jax.lax.pcast(jnp.zeros((X, Y, Z), jnp.float32), ("dp",),
+                              to="varying")
 
         def one_tile(carry, inp):
             logits, weights = carry
@@ -272,9 +273,10 @@ def sliding_window_logits_zslab(
         lo = jnp.clip(lo_want, 0, zp - ext)
         slab_vol = jax.lax.dynamic_slice(volp, (0, 0, 0, lo),
                                          (n_ch, X, Y, ext))
-        logits = jax.lax.pvary(jnp.zeros((n_cls, X, Y, ext), jnp.float32),
-                               ("dp",))
-        weights = jax.lax.pvary(jnp.zeros((X, Y, ext), jnp.float32), ("dp",))
+        logits = jax.lax.pcast(jnp.zeros((n_cls, X, Y, ext), jnp.float32),
+                               ("dp",), to="varying")
+        weights = jax.lax.pcast(jnp.zeros((X, Y, ext), jnp.float32), ("dp",),
+                              to="varying")
 
         def one_tile(carry, start):
             logits, weights = carry

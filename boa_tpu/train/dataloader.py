@@ -37,10 +37,16 @@ class DataLoader:
     def __init__(self, store: CaseStore, patch_size: tuple[int, int, int],
                  batch_size: int, oversample_percent: float = 0.33,
                  seed: int = 0, case_ids: list[str] | None = None,
-                 cache_cases: bool = True):
+                 cache_cases: bool = True,
+                 probabilistic_oversampling: bool = False):
         self.store = store
         self.patch_size = tuple(patch_size)
         self.batch_size = batch_size
+        # positional round rule by default; the probabilistic variant
+        # (`nnUNetTrainer_probabilisticOversampling`, data_loader.py:65-77)
+        # draws a Bernoulli(percent) per sample instead
+        self.probabilistic = probabilistic_oversampling
+        self.oversample_percent = float(oversample_percent)
         self.oversample = oversample_flags(batch_size, oversample_percent)
         self.rng = np.random.RandomState(seed)
         self.case_ids = case_ids if case_ids is not None else store.case_ids()
@@ -100,7 +106,9 @@ class DataLoader:
         y = np.empty((self.batch_size, *ps), np.int32)
         for i in range(self.batch_size):
             cid = self.case_ids[self.rng.randint(len(self.case_ids))]
-            dp, sp = self._sample_patch(self._case(cid), self.oversample[i])
+            force_fg = (self.rng.uniform() < self.oversample_percent
+                        if self.probabilistic else self.oversample[i])
+            dp, sp = self._sample_patch(self._case(cid), force_fg)
             x[i] = np.moveaxis(dp, 0, -1)
             # out-of-bounds seg padding (-1) becomes background before the
             # loss, like the reference's RemoveLabelTransform(-1, 0) first

@@ -16,6 +16,8 @@ optimizer states:
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -142,20 +144,24 @@ def adam_update(params, grads, state, lr, betas=(0.9, 0.999),
 
 
 def cosine_anneal_lr(initial_lr: float, step, max_steps: int,
-                     eta_min: float = 0.0):
+                     eta_min: float = 0.0) -> float:
     """torch CosineAnnealingLR closed form (nnUNetTrainerCosAnneal:
-    T_max=num_epochs): eta_min + (lr0−eta_min)·(1+cos(π·t/T))/2."""
+    T_max=num_epochs): eta_min + (lr0−eta_min)·(1+cos(π·t/T))/2.
+
+    Host float64 math (like torch's scheduler) — the per-epoch schedules
+    are host scalars; jnp here cost a device dispatch per epoch and ~1e-9
+    fp32 deviation from torch."""
     return eta_min + (initial_lr - eta_min) * 0.5 * (
-        1 + jnp.cos(jnp.pi * step / max_steps))
+        1 + math.cos(math.pi * step / max_steps))
 
 
-def lin_incr_lr(initial_lr: float, step, warmup_steps: int):
+def lin_incr_lr(initial_lr: float, step, warmup_steps: int) -> float:
     """Linear warmup 0 → initial_lr (`lr_scheduler/warmup.py` Lin_incr)."""
-    return initial_lr * jnp.minimum((step + 1) / warmup_steps, 1.0)
+    return initial_lr * min((step + 1) / warmup_steps, 1.0)
 
 
 def poly_lr_offset(initial_lr: float, step, max_steps: int,
-                   offset: int, exponent: float = 0.9):
+                   offset: int, exponent: float = 0.9) -> float:
     """PolyLR starting after a warmup offset (PolyLRScheduler_offset)."""
-    eff = jnp.maximum(step - offset, 0)
+    eff = max(step - offset, 0)
     return initial_lr * (1 - eff / max(max_steps - offset, 1)) ** exponent

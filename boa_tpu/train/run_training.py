@@ -26,13 +26,17 @@ logger = logging.getLogger(__name__)
 def build_trainer(out_dir: Path, patch, num_classes: int,
                   features=(32, 64, 128, 256, 320, 320),
                   epochs: int = 1000, iters: int = 250,
-                  mesh_shape=None, compute_dtype: str = "bfloat16"):
-    """Trainer + mesh for an arch derived from patch/classes. Batch size
-    and the case store belong to the DataLoader, not here."""
+                  mesh_shape=None, compute_dtype: str = "bfloat16",
+                  trainer_name: str | None = None, batch_size: int = 2):
+    """Trainer + mesh (+ variant spec) for an arch derived from
+    patch/classes. Batch size matters here only for the probabilistic-
+    oversampling percent recompute; the case store belongs to the
+    DataLoader."""
     from boa_tpu.models.unet import ArchConfig
     from boa_tpu.parallel.mesh import (batch_sharding, label_sharding,
                                        make_mesh, param_shardings)
     from boa_tpu.train.trainer import TrainConfig, Trainer
+    from boa_tpu.train.variants import VariantSpec, apply_variant
 
     n = len(features)
     # cap pool depth by patch size (stride-2 per stage)
@@ -46,6 +50,15 @@ def build_trainer(out_dir: Path, patch, num_classes: int,
         num_classes=num_classes, input_channels=1, deep_supervision=True)
     cfg = TrainConfig(arch=arch, num_epochs=epochs, iters_per_epoch=iters,
                       compute_dtype=compute_dtype)
+    spec = VariantSpec()
+    if trainer_name:
+        # the variant recipe (loss/optimizer/schedule/oversampling/DA
+        # markers); the caller's explicit epochs/iters keep loop control
+        cfg, spec = apply_variant(cfg, trainer_name, batch_size=batch_size)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, num_epochs=epochs,
+                                  iters_per_epoch=iters)
 
     in_shardings = None
     mesh = None
@@ -56,14 +69,15 @@ def build_trainer(out_dir: Path, patch, num_classes: int,
         ps = param_shardings(mesh, trainer.state.params)
         in_shardings = (ps, ps, batch_sharding(mesh), label_sharding(mesh),
                         None)
-        from boa_tpu.train.trainer import make_train_step
+        from boa_tpu.train.trainer import (make_train_step,
+                                           opt_state_shardings)
 
         trainer._step = make_train_step(cfg, in_shardings=in_shardings)
         trainer.state.params = jax.device_put(trainer.state.params, ps)
         trainer.state.momentum_buf = jax.device_put(
-            trainer.state.momentum_buf, ps)
-        return trainer, mesh
-    return Trainer(cfg, out_dir), None
+            trainer.state.momentum_buf, opt_state_shardings(cfg, ps))
+        return trainer, mesh, spec
+    return Trainer(cfg, out_dir), None, spec
 
 
 def run_training(cases_dir: str | Path, out_dir: str | Path,
@@ -74,11 +88,15 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
                  mirror_axes: tuple[int, ...] = (0, 1, 2), seed: int = 0,
                  fold: "int | str" = "all",
                  validate: bool = False,
-                 pretrained_weights: "str | Path | None" = None) -> dict:
+                 pretrained_weights: "str | Path | None" = None,
+                 trainer_name: str | None = None) -> dict:
     """`fold` selects the nnU-Net 5-fold split (splits_final.json beside the
     cases, created on first use); "all" trains on everything. `validate`
     runs the final-weights validation pass over the fold's val split after
-    training (nnUNetTrainer.perform_actual_validation:1212)."""
+    training (nnUNetTrainer.perform_actual_validation:1212). `trainer_name`
+    applies the full variant recipe (loss/optimizer/schedule, DA5/NoDA,
+    probabilistic oversampling, mirror axes) — the reference's `-tr` flag;
+    explicit `epochs`/`iters`/`mirror_axes` args still win loop control."""
     from boa_tpu.train.augment import augment_batch
     from boa_tpu.train.dataloader import DataLoader
     from boa_tpu.train.dataset import CaseStore, load_or_create_splits
@@ -102,9 +120,16 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
         split = splits[int(fold)]
         logger.info("fold %s: %d train / %d val cases", fold,
                     len(split["train"]), len(split["val"]))
-    trainer, mesh = build_trainer(out_dir, patch, num_classes,
-                                  epochs=epochs, iters=iters,
-                                  mesh_shape=mesh_shape)
+    trainer, mesh, spec = build_trainer(out_dir, patch, num_classes,
+                                        epochs=epochs, iters=iters,
+                                        mesh_shape=mesh_shape,
+                                        trainer_name=trainer_name,
+                                        batch_size=batch_size)
+    if trainer_name:
+        # variant DA/sampling markers drive the loader + augment stack
+        if spec.no_da:
+            augment = False
+        mirror_axes = spec.mirror_axes
     # self-describing training output: weights/store.export_trained_model
     # turns it into a servable store entry from this metadata
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -123,18 +148,24 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
         trainer.state.params = load_pretrained_weights(
             trainer.state.params, pretrained_weights, verbose=True)
 
-    loader = DataLoader(store, patch, batch_size, seed=seed,
-                        case_ids=split["train"] if split else None)
+    loader = DataLoader(
+        store, patch, batch_size, seed=seed,
+        case_ids=split["train"] if split else None,
+        oversample_percent=trainer.cfg.oversample_foreground_percent,
+        probabilistic_oversampling=spec.probabilistic_oversampling)
     key = jax.random.PRNGKey(seed)
+    aug_fn = augment_batch
+    if spec.aggressive_da:
+        from boa_tpu.train.augment import augment_batch_da5 as aug_fn
 
     def batches():
         nonlocal key
         for x, y in loader.prefetched():
             if augment:
                 key, sub = jax.random.split(key)
-                xd, yd = augment_batch(sub, jax.numpy.asarray(x),
-                                       jax.numpy.asarray(y),
-                                       mirror_axes=mirror_axes)
+                xd, yd = aug_fn(sub, jax.numpy.asarray(x),
+                                jax.numpy.asarray(y),
+                                mirror_axes=tuple(mirror_axes))
                 yield xd, yd
             else:
                 yield x, y
@@ -279,6 +310,9 @@ def main(argv=None) -> None:
     ap.add_argument("--no-mirroring", action="store_true",
                     help="disable mirror augmentation (the NoMirroring "
                          "trainer variants all BOA models use)")
+    ap.add_argument("--tr", dest="trainer_name", default=None,
+                    help="trainer-variant name (nnUNetTrainerDA5, "
+                         "nnUNetTrainer_probabilisticOversampling, ...)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     mesh_shape = None
@@ -289,7 +323,8 @@ def main(argv=None) -> None:
                  mesh_shape, augment=not args.no_augment,
                  mirror_axes=() if args.no_mirroring else (0, 1, 2),
                  fold=args.fold, validate=args.validate,
-                 pretrained_weights=args.pretrained_weights)
+                 pretrained_weights=args.pretrained_weights,
+                 trainer_name=args.trainer_name)
 
 
 if __name__ == "__main__":

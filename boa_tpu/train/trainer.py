@@ -131,6 +131,24 @@ def schedule_lr(cfg: TrainConfig, epoch: int) -> float:
     raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
+def opt_state_shardings(cfg: TrainConfig, params_sharding):
+    """Sharding pytree for `init_opt_state(cfg, params)` derived from the
+    params sharding: SGD momentum mirrors params; the Adam families carry
+    {m, v, step[, vmax]} with m/v/vmax like params and a replicated step
+    scalar. Callers pass only the params sharding — reusing it verbatim
+    for an Adam state would be a pytree-structure mismatch."""
+    if cfg.optimizer == "sgd":
+        return params_sharding
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = jax.tree.leaves(params_sharding)[0].mesh
+    sh = {"m": params_sharding, "v": params_sharding,
+          "step": NamedSharding(mesh, PartitionSpec())}
+    if cfg.optimizer == "adamw_amsgrad":
+        sh["vmax"] = params_sharding
+    return sh
+
+
 def make_train_step(cfg: TrainConfig,
                     in_shardings=None, donate: bool = True) -> Callable:
     """Build the jitted train step.
@@ -139,8 +157,10 @@ def make_train_step(cfg: TrainConfig,
         (params, momentum_buf, {"loss", "grad_norm", "dice"})
 
     x: (N, X, Y, Z, C) fp32, y: (N, X, Y, Z) int. With `in_shardings`
-    (params_sharding, params_sharding, batch_sharding, label_sharding,
-    None), the same step runs 1-chip or over any dp×sp×tp mesh.
+    (params_sharding, opt_sharding, batch_sharding, label_sharding,
+    None), the same step runs 1-chip or over any dp×sp×tp mesh; pass the
+    PARAMS sharding in slot 1 and the true optimizer-state sharding is
+    derived from it (see `opt_state_shardings`).
     """
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -187,8 +207,9 @@ def make_train_step(cfg: TrainConfig,
 
     kw: dict[str, Any] = {}
     if in_shardings is not None:
-        kw["in_shardings"] = in_shardings
-        kw["out_shardings"] = (in_shardings[0], in_shardings[1], None)
+        opt_sh = opt_state_shardings(cfg, in_shardings[0])
+        kw["in_shardings"] = (in_shardings[0], opt_sh, *in_shardings[2:])
+        kw["out_shardings"] = (in_shardings[0], opt_sh, None)
     if donate:
         kw["donate_argnums"] = (0, 1)
     return jax.jit(step, **kw)

@@ -115,13 +115,15 @@ def get_variant(trainer_name: str) -> VariantSpec:
     return spec
 
 
-def apply_variant(cfg, trainer_name: str):
+def apply_variant(cfg, trainer_name: str, batch_size: int = 2):
     """TrainConfig + trainer name → adjusted TrainConfig (+ spec).
 
     Maps every spec knob the jitted step consumes (epochs, lr, loss,
-    optimizer, schedule, oversampling, deep supervision); augmentation
-    markers (DA5/NoDA/order-0 seg) are consumed by the augment builder
-    from the returned spec.
+    optimizer, schedule, oversampling, deep supervision). The returned
+    spec's augmentation/sampling markers (DA5 / NoDA / order-0 seg /
+    probabilistic_oversampling) are consumed by `run_training` when a
+    trainer name is passed there; `batch_size` is the plan batch size the
+    base probabilistic variant recomputes its percent against.
     """
     import dataclasses
 
@@ -136,6 +138,17 @@ def apply_variant(cfg, trainer_name: str):
               lr_schedule=spec.lr_schedule)
     if spec.oversample_percent is not None:
         kw["oversample_foreground_percent"] = spec.oversample_percent
+    elif spec.probabilistic_oversampling:
+        # base class recomputes the percent as the realised fraction of
+        # round-rule-forced positions (batch 2 @ 0.33 → 0.5), so the
+        # Bernoulli draw matches the deterministic batch composition in
+        # expectation (`nnUNetTrainer_probabilisticOversampling.py:20-23`)
+        from boa_tpu.train.dataloader import oversample_flags
+
+        flags = oversample_flags(batch_size,
+                                 cfg.oversample_foreground_percent)
+        kw["oversample_foreground_percent"] = float(
+            sum(flags) / max(len(flags), 1))
     if not spec.deep_supervision and cfg.arch.deep_supervision:
         kw["arch"] = dataclasses.replace(cfg.arch, deep_supervision=False)
     cfg = replace(cfg, **kw)

@@ -202,7 +202,7 @@ def test_pretrained_weight_transfer(store, tmp_path):
         src_params = pickle.load(f)["params"]
 
     # new model with MORE classes: encoder/decoder transfer, heads differ
-    trainer, _ = build_trainer(tmp_path / "dst", (8, 8, 8),
+    trainer, _, _ = build_trainer(tmp_path / "dst", (8, 8, 8),
                                num_classes=5, epochs=1, iters=1)
     fresh_heads = jax.tree.map(np.asarray, trainer.state.params["seg_heads"])
     loaded = load_pretrained_weights(trainer.state.params, ckpt)
@@ -214,7 +214,7 @@ def test_pretrained_weight_transfer(store, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # incompatible width -> loud failure
-    bad, _ = build_trainer(tmp_path / "bad", (8, 8, 8),
+    bad, _, _ = build_trainer(tmp_path / "bad", (8, 8, 8),
                            num_classes=3, features=(6, 12, 24), epochs=1,
                            iters=1)
     with pytest.raises(ValueError, match="not compatible|incompatible"):

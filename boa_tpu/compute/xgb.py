@@ -8,9 +8,10 @@ XGBRegressor folds, consumed by `bin/totalseg_get_phase.py:57-120`) —
 without the xgboost package: the tree arrays are decoded from the
 UBJSON/JSON model document and walked directly.
 
-Supported objectives: binary:logistic (sigmoid link) and the identity
-link regressors (reg:squarederror & friends). Categorical splits and
-multiclass are not used by any vendored artifact and raise.
+Supported objectives: binary:logistic (sigmoid link), the identity-link
+regressors (reg:squarederror & friends), and multi:softprob/softmax
+(per-class tree groups via tree_info, softmax link). Categorical splits
+are not used by any vendored artifact and raise.
 """
 
 from __future__ import annotations
@@ -29,13 +30,23 @@ class TreeEnsemble:
     """One boosted ensemble (a single XGBoost learner)."""
 
     def __init__(self, trees: list[dict], objective: str, base_score: float,
-                 num_features: int, feature_names: list[str] | None = None):
+                 num_features: int, feature_names: list[str] | None = None,
+                 num_class: int = 0, tree_info: list[int] | None = None):
         if any(len(t["categories"]) for t in trees):
             raise ValueError("categorical splits are not supported")
         self.objective = objective
         self.base_score = base_score
         self.num_features = num_features
         self.feature_names = feature_names
+        # multiclass: tree_info[i] is the class tree i boosts (trees are
+        # interleaved round-robin per boosting iteration)
+        self.num_class = int(num_class)
+        if self.num_class >= 2:
+            if tree_info is None:
+                raise ValueError("multiclass model without tree_info")
+            self.tree_info = [int(c) for c in tree_info]
+        else:
+            self.tree_info = [0] * len(trees)
         self._split_index = [np.asarray(t["split_indices"]) for t in trees]
         self._split_cond = [np.asarray(t["split_conditions"], np.float32)
                            for t in trees]
@@ -52,17 +63,21 @@ class TreeEnsemble:
         if booster.get("name", "gbtree") != "gbtree":
             raise ValueError(f"unsupported booster {booster.get('name')!r}")
         param = learner["learner_model_param"]
-        # num_class >= 2 means multi:* with per-class interleaved trees —
-        # summing them into one margin silently mis-scores even 2 classes
-        if int(param.get("num_class", "0") or 0) >= 2 or \
-                learner["objective"]["name"].startswith("multi:"):
-            raise ValueError("multiclass models are not supported")
+        num_class = int(param.get("num_class", "0") or 0)
+        objective = learner["objective"]["name"]
+        if objective.startswith("multi:") and num_class < 2:
+            raise ValueError("multi:* objective without num_class")
+        tree_info = booster["model"].get("tree_info")
+        if tree_info is not None:
+            tree_info = list(np.asarray(tree_info).tolist())
         return cls(
             trees=booster["model"]["trees"],
-            objective=learner["objective"]["name"],
+            objective=objective,
             base_score=float(param["base_score"]),
             num_features=int(param["num_feature"]),
             feature_names=learner.get("feature_names") or None,
+            num_class=num_class,
+            tree_info=tree_info,
         )
 
     @classmethod
@@ -80,39 +95,56 @@ class TreeEnsemble:
             return math.log(p / (1.0 - p))
         return self.base_score
 
+    def _tree_leaf(self, t: int, sample: np.ndarray) -> float:
+        fidx, cond = self._split_index[t], self._split_cond[t]
+        left, right = self._left[t], self._right[t]
+        dleft = self._default_left[t]
+        node = 0
+        while left[node] != -1:
+            value = sample[fidx[node]]
+            if np.isnan(value):
+                # missing values follow the tree's learned default branch
+                node = left[node] if dleft[node] else right[node]
+            elif value < cond[node]:  # strictly-less goes left; ties right
+                node = left[node]
+            else:
+                node = right[node]
+        # leaf weight lives in split_conditions at leaf nodes
+        return float(cond[node])
+
     def predict_margin(self, features: np.ndarray) -> np.ndarray:
-        """Raw margin for an (N, F) feature matrix."""
+        """Raw margin for an (N, F) feature matrix — shape (N,), or
+        (N, num_class) for multiclass models (per-class tree groups;
+        base_score enters each class margin untransformed)."""
         x = np.atleast_2d(np.asarray(features, np.float32))
-        out = np.full(x.shape[0], self._base_margin(), np.float64)
-        for row in range(x.shape[0]):
-            sample = x[row]
-            acc = 0.0
-            for fidx, cond, left, right, dleft in zip(
-                    self._split_index, self._split_cond, self._left,
-                    self._right, self._default_left):
-                node = 0
-                while left[node] != -1:
-                    value = sample[fidx[node]]
-                    if np.isnan(value):
-                        node = left[node] if dleft[node] else right[node]
-                    elif value < cond[node]:
-                        node = left[node]
-                    else:
-                        node = right[node]
-                # leaf weight lives in split_conditions at leaf nodes
-                acc += cond[node]
-            out[row] += acc
+        n = x.shape[0]
+        if self.num_class >= 2:
+            out = np.full((n, self.num_class), self.base_score, np.float64)
+            for row in range(n):
+                for t, cls_id in enumerate(self.tree_info):
+                    out[row, cls_id] += self._tree_leaf(t, x[row])
+            return out
+        out = np.full(n, self._base_margin(), np.float64)
+        for row in range(n):
+            out[row] += sum(self._tree_leaf(t, x[row])
+                            for t in range(len(self._left)))
         return out
 
     def predict(self, features: np.ndarray) -> np.ndarray:
         """Transformed prediction: probability for binary:logistic,
-        value for regression; class labels via `predict_label`."""
+        (N, K) softmax probabilities for multi:softprob/softmax, value
+        for regression; class labels via `predict_label`."""
         margin = self.predict_margin(features)
+        if self.num_class >= 2:
+            e = np.exp(margin - margin.max(axis=1, keepdims=True))
+            return e / e.sum(axis=1, keepdims=True)
         if self.objective.startswith("binary:"):
             return 1.0 / (1.0 + np.exp(-margin))
         return margin
 
     def predict_label(self, features: np.ndarray) -> np.ndarray:
+        if self.num_class >= 2:
+            return np.argmax(self.predict_margin(features), axis=1)
         if not self.objective.startswith("binary:"):
             raise ValueError("labels only defined for binary objectives")
         return (self.predict(features) > 0.5).astype(np.int64)

@@ -67,9 +67,14 @@ def _load_case(dataset_dir: Path, cid: str):
 
 
 def plan_and_preprocess(dataset_dir: str | Path, out_dir: str | Path,
-                        hbm_target_gb: float = 8.0) -> dict:
-    """Returns the plans dict; writes plans.json, fingerprint.json and the
-    preprocessed case store under `out_dir`."""
+                        hbm_target_gb: float = 8.0,
+                        configurations: tuple = ("3d_fullres",)) -> dict:
+    """Returns the plans dict; writes plans.json, fingerprint.json and one
+    preprocessed case store per requested configuration under `out_dir`
+    (`cases/` for 3d_fullres, `cases_<name>/` otherwise — e.g. pass
+    ("3d_fullres", "3d_lowres") to stage a cascade training run).
+    Configurations the planner did not emit (e.g. no 3d_lowres on a small
+    dataset) are skipped with a log line."""
     from boa_tpu.engine.fingerprint import extract_fingerprint
     from boa_tpu.engine.planner import plan_experiment
     from boa_tpu.ops import preprocess as pp
@@ -102,33 +107,48 @@ def plan_and_preprocess(dataset_dir: str | Path, out_dir: str | Path,
     plans = plan_experiment(fingerprint, num_classes,
                             out_file=out_dir / "plans.json",
                             hbm_target_gb=hbm_target_gb)
-    conf = plans["configurations"]["3d_fullres"]
-    target = np.asarray(conf["spacing"], np.float64)
     props = plans["foreground_intensity_properties_per_channel"]["0"]
 
-    store = CaseStore(out_dir / "cases")
-    for cid in ids:
-        img, seg = _load_case(dataset_dir, cid)
-        data = np.asarray(img.data, np.float32)
-        segd = np.asarray(seg.data) if seg is not None else \
-            np.zeros(data.shape, np.int8)
-        bbox = pp.nonzero_bbox(data)
-        sl = tuple(slice(b[0], b[1]) for b in bbox)
-        data, segd = data[sl], segd[sl]
-        # CT normalize with the dataset fingerprint
-        data = np.clip(data, props["percentile_00_5"],
-                       props["percentile_99_5"])
-        data = (data - props["mean"]) / max(props["std"], 1e-8)
-        cur = np.asarray(img.zooms, np.float64)
-        new_shape = rs.compute_new_shape(data.shape, cur, target)
-        if tuple(new_shape) != data.shape:
-            data = np.asarray(rs.resample_volume(
-                jnp.asarray(data), tuple(new_shape), order=3,
-                convention="resize"))
-            segd = np.asarray(rs.resample_nearest(
-                jnp.asarray(segd), tuple(new_shape), convention="resize"))
-        store.save_case(cid, data, segd)
-        logger.info("preprocessed %s -> %s", cid, tuple(new_shape))
+    for config in configurations:
+        if config not in plans["configurations"]:
+            logger.info("configuration %r not planned for this dataset, "
+                        "skipping its preprocessing", config)
+            continue
+        conf = dict(plans["configurations"][config])
+        while conf.get("inherits_from"):  # cascade configs inherit spacing
+            base = dict(plans["configurations"][conf.pop("inherits_from")])
+            base.update(conf)
+            conf = base
+        if "spacing" not in conf or len(conf["spacing"]) != 3:
+            logger.info("configuration %r is not 3D, skipping", config)
+            continue
+        target = np.asarray(conf["spacing"], np.float64)
+        sub = "cases" if config == "3d_fullres" else f"cases_{config}"
+        store = CaseStore(out_dir / sub)
+        for cid in ids:
+            img, seg = _load_case(dataset_dir, cid)
+            data = np.asarray(img.data, np.float32)
+            segd = np.asarray(seg.data) if seg is not None else \
+                np.zeros(data.shape, np.int8)
+            bbox = pp.nonzero_bbox(data)
+            sl = tuple(slice(b[0], b[1]) for b in bbox)
+            data, segd = data[sl], segd[sl]
+            # CT normalize with the dataset fingerprint
+            data = np.clip(data, props["percentile_00_5"],
+                           props["percentile_99_5"])
+            data = (data - props["mean"]) / max(props["std"], 1e-8)
+            cur = np.asarray(img.zooms, np.float64)
+            new_shape = rs.compute_new_shape(data.shape, cur, target)
+            if tuple(new_shape) != data.shape:
+                data = np.asarray(rs.resample_volume(
+                    jnp.asarray(data), tuple(new_shape), order=3,
+                    convention="resize"))
+                segd = np.asarray(rs.resample_nearest(
+                    jnp.asarray(segd), tuple(new_shape),
+                    convention="resize"))
+            store.save_case(cid, data, segd)
+            logger.info("preprocessed %s [%s] -> %s", cid, config,
+                        tuple(new_shape))
     return plans
 
 
@@ -137,9 +157,14 @@ def main(argv=None) -> None:
     ap.add_argument("dataset_dir", type=Path)
     ap.add_argument("out_dir", type=Path)
     ap.add_argument("--hbm-gb", type=float, default=8.0)
+    ap.add_argument("-c", "--configurations", nargs="+",
+                    default=["3d_fullres"],
+                    help="configurations to preprocess case stores for "
+                         "(e.g. 3d_fullres 3d_lowres for a cascade run)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    plan_and_preprocess(args.dataset_dir, args.out_dir, args.hbm_gb)
+    plan_and_preprocess(args.dataset_dir, args.out_dir, args.hbm_gb,
+                        configurations=tuple(args.configurations))
 
 
 if __name__ == "__main__":

@@ -112,8 +112,19 @@ def predict_folder(
     part_id: int = 0,
     chk: str = "checkpoint_final",
     store=None,
+    folder_with_segs_from_prev_stage: Path | None = None,
 ) -> list[Path]:
-    """Predict every case in `in_dir`; returns written segmentation paths."""
+    """Predict every case in `in_dir`; returns written segmentation paths.
+
+    Cascade configurations (a plan with ``previous_stage``) read each
+    case's previous-stage segmentation `{case}.nii.gz` from
+    `folder_with_segs_from_prev_stage`
+    (`predict_from_raw_data.py:168-205,249-252`). When that folder is not
+    given, the chain runs AUTOMATICALLY: the previous-stage configuration
+    of the same model is predicted first into
+    `out_dir/segs_from_prev_stage_<config>/` and consumed from there —
+    `nnUNetv2_predict` for 3d_cascade_fullres without the manual lowres
+    step."""
     from boa_tpu.inference.pipeline import _save_probabilities
     from boa_tpu.inference.predictor import Predictor
     from boa_tpu.train.variants import get_variant
@@ -132,6 +143,29 @@ def predict_folder(
         store = store or ModelStore()
         mdir = store.model_dir(task_id, trainer, model=configuration)
         plans, stacked = load_model_folder(mdir, folds, chk, configuration)
+
+    prev_dir = folder_with_segs_from_prev_stage
+    if plans.previous_stage is not None and prev_dir is None:
+        prev_conf = plans.previous_stage
+        prev_model_dir = None
+        if model_dir is not None:
+            # nnU-Net results layout: the previous stage's weights live in
+            # the sibling `...__<prev_conf>` folder — unless this folder
+            # itself carries fold checkpoints for both configurations
+            cand = Path(model_dir).parent / Path(model_dir).name.replace(
+                configuration, prev_conf)
+            prev_model_dir = cand if cand.is_dir() else Path(model_dir)
+        prev_dir = out_dir / f"segs_from_prev_stage_{prev_conf}"
+        logger.info("cascade: predicting previous stage %r into %s",
+                    prev_conf, prev_dir)
+        predict_folder(
+            in_dir, prev_dir, model_dir=prev_model_dir, task_id=task_id,
+            trainer=trainer, configuration=prev_conf, folds=folds,
+            step_size=step_size, disable_tta=disable_tta,
+            continue_prediction=continue_prediction, num_parts=num_parts,
+            part_id=part_id, chk=chk, store=store)
+    if prev_dir is not None:
+        prev_dir = Path(prev_dir)
 
     mirror_axes = () if disable_tta else get_variant(trainer).mirror_axes
     predictor = Predictor(plans=plans, stacked_params=stacked,
@@ -168,12 +202,21 @@ def predict_folder(
         elif data.ndim == 4:
             data = data[..., 0] if data.shape[-1] == 1 else \
                 np.moveaxis(data, -1, 0)
+        prev_seg = None
+        if plans.previous_stage is not None:
+            prev_f = prev_dir / f"{cid}.nii.gz"
+            if not prev_f.exists():
+                raise FileNotFoundError(
+                    f"cascade: no previous-stage segmentation for case "
+                    f"{cid} in {prev_dir}")
+            prev_seg = np.asarray(nifti.load(prev_f).data)
         if save_probabilities:
             seg, probs = predictor.predict(data, img.zooms,
-                                           return_probabilities=True)
+                                           return_probabilities=True,
+                                           prev_seg_xyz=prev_seg)
             _save_probabilities(probs, out_dir / f"{cid}.npz", img.zooms)
         else:
-            seg = predictor.predict(data, img.zooms)
+            seg = predictor.predict(data, img.zooms, prev_seg_xyz=prev_seg)
         out = nifti.NiftiImage(data=np.asarray(seg), affine=img.affine.copy())
         nifti.save(out, out_f)
         written.append(out_f)
@@ -210,6 +253,10 @@ def main(argv=None) -> None:
                    help="accepted for parity (no preprocess workers here)")
     p.add_argument("-nps", type=int, default=3,
                    help="accepted for parity (no export workers here)")
+    p.add_argument("-prev_stage_predictions", type=Path, default=None,
+                   help="folder with previous-stage segmentations for "
+                        "cascade configurations (default: predicted "
+                        "automatically)")
     p.add_argument("-num_parts", type=int, default=1)
     p.add_argument("-part_id", type=int, default=0)
     p.add_argument("-device", type=str, default="tpu")
@@ -223,7 +270,8 @@ def main(argv=None) -> None:
         step_size=args.step_size, disable_tta=args.disable_tta,
         save_probabilities=args.save_probabilities,
         continue_prediction=args.continue_prediction,
-        num_parts=args.num_parts, part_id=args.part_id, chk=args.chk)
+        num_parts=args.num_parts, part_id=args.part_id, chk=args.chk,
+        folder_with_segs_from_prev_stage=args.prev_stage_predictions)
 
 
 if __name__ == "__main__":

@@ -192,6 +192,26 @@ class Predictor:
                 raise ValueError("Predictor needs fold_params or stacked_params")
             self._stacked = stack_fold_params(self.fold_params)
         self._dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        # 2d configuration: slices are independent samples of a per-slice
+        # net (cfg.two_d), so the "tile" spans the full z extent — the
+        # z-major batched-2D conv path turns the whole slice stack into one
+        # batched 2D conv per layer (no per-slice loop, no z overlap needed)
+        self.two_d = len(self.plans.patch_size) == 2
+
+    def _patch3(self, spatial) -> tuple[int, int, int]:
+        p = self.plans.patch_size_xyz
+        if not self.two_d:
+            return tuple(p)
+        return (p[0], p[1], int(spatial[2]))
+
+    def _gauss(self, patch) -> np.ndarray:
+        if not self.use_gaussian:
+            return np.ones(patch, np.float32)
+        if not self.two_d:
+            return pp.gaussian_importance_map(patch)
+        # in-plane Gaussian, flat over z (slices don't overlap)
+        g2 = pp.gaussian_importance_map((patch[0], patch[1], 1))
+        return np.ascontiguousarray(np.broadcast_to(g2, patch))
 
     # ------------------------------------------------------------------
     def predict_logits(self, vol_cxyz: np.ndarray | jax.Array) -> jax.Array:
@@ -200,11 +220,11 @@ class Predictor:
         Device-resident: if the input is already a device array nothing
         crosses the host boundary (padding runs as a device op).
         """
-        patch = self.plans.patch_size_xyz
         vol = jnp.asarray(vol_cxyz)
         if vol.dtype != jnp.float32:
             vol = vol.astype(jnp.float32)
         spatial = vol.shape[-3:]
+        patch = self._patch3(spatial)
         pads = []
         for n, p in zip(spatial, patch):
             target = max(p, n)
@@ -216,10 +236,7 @@ class Predictor:
             vol = jnp.pad(vol, [(0, 0)] * (vol.ndim - 3) + pads)
         revert = tuple(slice(b, b + n) for (b, _), n in zip(pads, spatial))
         starts = pp.tile_starts(vol.shape[-3:], patch, self.tile_step_size)
-        if self.use_gaussian:
-            gauss = pp.gaussian_importance_map(patch)
-        else:
-            gauss = np.ones(patch, np.float32)
+        gauss = self._gauss(patch)
         if self.accum_dtype == "auto":
             nbytes = 4 * self.cfg.num_classes * int(np.prod(vol.shape[-3:]))
             acc = jnp.float16 if nbytes > 2e9 else jnp.float32
@@ -258,8 +275,8 @@ class Predictor:
     def _predict_seg_fused(self, dev: jax.Array,
                            schemes: tuple[str, ...]) -> jax.Array:
         """Fused no-resample path: (C,X,Y,Z) raw volume → uint label seg."""
-        patch = self.plans.patch_size_xyz
         spatial = dev.shape[-3:]
+        patch = self._patch3(spatial)
         pads = []
         for n, p in zip(spatial, patch):
             target = max(p, n)
@@ -269,8 +286,7 @@ class Predictor:
             pads.append((d // 2, d - d // 2))
         padded_shape = tuple(n + a + b for n, (a, b) in zip(spatial, pads))
         starts = pp.tile_starts(padded_shape, patch, self.tile_step_size)
-        gauss = pp.gaussian_importance_map(patch) if self.use_gaussian \
-            else np.ones(patch, np.float32)
+        gauss = self._gauss(patch)
         if self.accum_dtype == "auto":
             nbytes = 4 * self.cfg.num_classes * int(np.prod(padded_shape))
             acc = jnp.float16 if nbytes > 2e9 else jnp.float32
@@ -298,9 +314,17 @@ class Predictor:
     # ------------------------------------------------------------------
     def predict(self, vol_xyz: np.ndarray | jax.Array, spacing_xyz,
                 return_device: bool = False,
-                return_probabilities: bool = False) -> np.ndarray | jax.Array:
+                return_probabilities: bool = False,
+                prev_seg_xyz: np.ndarray | jax.Array | None = None
+                ) -> np.ndarray | jax.Array:
         """Full nnU-Net-equivalent prediction for a raw (X,Y,Z) volume at
         `spacing_xyz`; returns a uint8/uint16 label volume of the same shape.
+
+        ``prev_seg_xyz`` is the previous cascade stage's label volume on
+        the SAME grid as the input; it is cropped/resampled alongside the
+        data (nearest) and appended as one one-hot channel per foreground
+        label (`data_iterators.py:156-159` + `predict_from_raw_data.py:249-252`).
+        Required when the configuration declares a ``previous_stage``.
 
         The volume is uploaded at most once and every stage runs on device;
         with ``return_device`` the result stays there too (the pipeline
@@ -317,6 +341,12 @@ class Predictor:
         """
         assert self.plans.transpose_forward == [0, 1, 2], (
             "non-identity transpose_forward not yet supported")
+        if self.plans.previous_stage is not None and prev_seg_xyz is None:
+            raise ValueError(
+                f"configuration {self.plans.configuration_name!r} is a "
+                f"cascade stage: it needs the previous stage "
+                f"({self.plans.previous_stage!r}) segmentation as "
+                f"prev_seg_xyz (predict_from_raw_data.py:249-252)")
         dev = jnp.asarray(vol_xyz)
         if dev.dtype != jnp.float32:
             dev = dev.astype(jnp.float32)
@@ -324,6 +354,13 @@ class Predictor:
             dev = dev[None]
         n_ch = dev.shape[0]
         orig_shape = dev.shape[-3:]
+        prev_dev = None
+        if prev_seg_xyz is not None:
+            prev_dev = jnp.asarray(prev_seg_xyz)
+            if prev_dev.shape != orig_shape:
+                raise ValueError(
+                    f"prev-stage seg shape {prev_dev.shape} != input grid "
+                    f"{orig_shape}")
 
         # 1. crop to nonzero over ALL channels (cropping.py:19-39 builds the
         #    nonzero mask from every channel); one host sync for the bbox
@@ -333,6 +370,9 @@ class Predictor:
         if not full_extent:
             dev = jax.lax.slice(dev, [0] + bbox[:, 0].tolist(),
                                 [n_ch] + bbox[:, 1].tolist())
+            if prev_dev is not None:  # same bbox as the data (run_case_npy)
+                prev_dev = jax.lax.slice(prev_dev, bbox[:, 0].tolist(),
+                                         bbox[:, 1].tolist())
         shape_before_resample = dev.shape[-3:]
 
         # 2. normalize BEFORE resampling (default_preprocessor.py:85-88),
@@ -341,13 +381,18 @@ class Predictor:
 
         # fast path: already on the model grid (the TS pipeline pre-resamples)
         # and plain softmax labels → one fused device program
-        tgt_spacing0 = np.array(self.plans.spacing_xyz, dtype=np.float64)
+        plan_sp = self.plans.spacing_xyz
+        if self.two_d:
+            # 2d configs resample in-plane only; through-plane stays native
+            plan_sp = (plan_sp[0], plan_sp[1], float(spacing_xyz[2]))
+        tgt_spacing0 = np.array(plan_sp, dtype=np.float64)
         cur_spacing0 = np.array(spacing_xyz, dtype=np.float64)
         new_shape0 = rs.compute_new_shape(shape_before_resample, cur_spacing0,
                                           tgt_spacing0)
         if tuple(new_shape0) == tuple(shape_before_resample) \
                 and not self.plans.has_regions \
                 and not return_probabilities \
+                and prev_dev is None \
                 and all(s in ("CTNormalization", "ZScoreNormalization",
                               "ZScore") for s in schemes):
             old_accum = self.accum_dtype
@@ -397,14 +442,30 @@ class Predictor:
 
         # 3. resample to plan spacing (skimage/'resize' convention, order 3,
         #    separate-z order 0 when anisotropic)
-        tgt_spacing = np.array(self.plans.spacing_xyz, dtype=np.float64)
-        cur_spacing = np.array(spacing_xyz, dtype=np.float64)
+        tgt_spacing = tgt_spacing0
+        cur_spacing = cur_spacing0
         new_shape = rs.compute_new_shape(shape_before_resample, cur_spacing, tgt_spacing)
-        do_sep, axis = determine_separate_z(cur_spacing, tgt_spacing)
+        if self.two_d:
+            do_sep, axis = False, None  # per-slice in-plane resample only
+        else:
+            do_sep, axis = determine_separate_z(cur_spacing, tgt_spacing)
         sep_z = 0 if (do_sep and axis == 2) else None
         if tuple(new_shape) != tuple(shape_before_resample):
             dev = rs.resample_volume(dev, tuple(new_shape), order=3,
                                      convention="resize", separate_z_order=sep_z)
+
+        # 3b. cascade input: prev-stage seg resampled to the model grid
+        #     (nearest, like any seg) and one-hotted over foreground labels
+        #     (`convert_labelmap_to_one_hot`, appended per
+        #     `data_iterators.py:158-159`)
+        if prev_dev is not None:
+            if tuple(new_shape) != tuple(shape_before_resample):
+                prev_dev = rs.resample_nearest(prev_dev, tuple(new_shape),
+                                               convention="resize")
+            fg = self.plans.foreground_labels
+            onehot = jnp.stack(
+                [(prev_dev == lb).astype(jnp.float32) for lb in fg])
+            dev = jnp.concatenate([dev, onehot], axis=0)
 
         # 4. sliding window
         logits = self.predict_logits(dev)

@@ -54,6 +54,12 @@ class ArchConfig:
     residual_encoder: bool = False
     # ResidualEncoderUNet: blocks per encoder stage (reference n_blocks_per_stage)
     n_blocks_per_stage: tuple[int, ...] | None = None
+    # 2d configuration (nnU-Net dimension-generic engine): kernels/strides
+    # carry z=1 so every conv is per-slice, and instance-norm statistics are
+    # per-slice too (InstanceNorm2d). A (N, X, Y, Z, C) input is then Z
+    # independent 2D samples — the z-major batched-2D conv path makes this
+    # literally one big batched 2D conv, the ideal MXU shape.
+    two_d: bool = False
 
     @property
     def total_downsampling(self) -> tuple[int, int, int]:
@@ -73,10 +79,19 @@ def arch_config_from_plans(arch: dict, num_classes: int, input_channels: int = 1
     kw = arch["arch_kwargs"]
     class_name = arch["network_class_name"].rsplit(".", 1)[-1]
     residual = class_name == "ResidualEncoderUNet"
+    # 2d plans carry 2-element kernels/strides; pad the through-plane axis
+    # with 1 so the same 3D machinery runs them as per-slice convs
+    first = kw["kernel_sizes"][0]
+    two_d = isinstance(first, (list, tuple)) and len(first) == 2
 
     def _tup3(v):
-        return tuple(tuple(int(x) for x in (k if isinstance(k, (list, tuple)) else (k, k, k)))
-                     for k in v)
+        out = []
+        for k in v:
+            if not isinstance(k, (list, tuple)):
+                k = (k, k) if two_d else (k, k, k)
+            k = tuple(int(x) for x in k)
+            out.append(k + (1,) if two_d else k)
+        return tuple(out)
 
     n_stages = int(kw["n_stages"])
     fps = kw["features_per_stage"]
@@ -103,6 +118,7 @@ def arch_config_from_plans(arch: dict, num_classes: int, input_channels: int = 1
         deep_supervision=deep_supervision,
         residual_encoder=residual,
         n_blocks_per_stage=n_conv if residual else None,
+        two_d=two_d,
     )
 
 
@@ -138,15 +154,17 @@ def _same_pad(kernel: Sequence[int]) -> list[tuple[int, int]]:
 
 
 def instance_norm(x: jax.Array, scale: jax.Array | None, bias: jax.Array | None,
-                  eps: float) -> jax.Array:
+                  eps: float, axes: tuple[int, ...] = (1, 2, 3)) -> jax.Array:
     """InstanceNorm3d: per-sample, per-channel stats over spatial dims.
 
     Stats in fp32 (torch runs IN in fp32 under autocast); biased variance
-    like torch.nn.InstanceNorm3d.
+    like torch.nn.InstanceNorm3d. For 2d configurations the caller passes
+    the in-plane axes only, making every slice its own instance
+    (InstanceNorm2d semantics).
     """
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
     out = (xf - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         out = out * scale.astype(jnp.float32)
@@ -159,10 +177,19 @@ def _lrelu(x: jax.Array, slope: float) -> jax.Array:
     return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
 
 
+
+def _in_axes(cfg: ArchConfig, zmajor: bool) -> tuple[int, ...]:
+    """Instance-norm reduction axes: spatial dims (3D) or in-plane only
+    (2d configs -> per-slice InstanceNorm2d stats)."""
+    if not cfg.two_d:
+        return (1, 2, 3)
+    return (2, 3) if zmajor else (1, 2)
+
 def conv_block_apply(p: dict, x: jax.Array, stride, kernel, cfg: ArchConfig) -> jax.Array:
     """ConvDropoutNormReLU: conv -> instance norm -> leaky relu."""
     x = _conv(x, p["w"], p.get("b"), stride, _same_pad(kernel))
-    x = instance_norm(x, p.get("norm_scale"), p.get("norm_bias"), cfg.norm_eps)
+    x = instance_norm(x, p.get("norm_scale"), p.get("norm_bias"),
+                      cfg.norm_eps, axes=_in_axes(cfg, zmajor=False))
     return _lrelu(x, cfg.nonlin_slope)
 
 
@@ -278,12 +305,14 @@ def _encoder_forward(params: dict, x: jax.Array, cfg: ArchConfig) -> list[jax.Ar
                 y = _conv(y, block["conv2"]["w"], block["conv2"].get("b"),
                           (1, 1, 1), _same_pad(cfg.kernel_sizes[s]))
                 y = instance_norm(y, block["conv2"].get("norm_scale"),
-                                  block["conv2"].get("norm_bias"), cfg.norm_eps)
+                                  block["conv2"].get("norm_bias"), cfg.norm_eps,
+                                  axes=_in_axes(cfg, zmajor=False))
                 if "skip" in block:
                     sk = _conv(x, block["skip"]["w"], block["skip"].get("b"),
                                stride, [(0, 0)] * 3)
                     sk = instance_norm(sk, block["skip"].get("norm_scale"),
-                                       block["skip"].get("norm_bias"), cfg.norm_eps)
+                                       block["skip"].get("norm_bias"), cfg.norm_eps,
+                                       axes=_in_axes(cfg, zmajor=False))
                 else:
                     sk = x
                 x = _lrelu(y + sk, cfg.nonlin_slope)
@@ -394,7 +423,7 @@ def _block_zm(p: dict, xz: jax.Array, stride, kernel,
               cfg: ArchConfig) -> jax.Array:
     xz = _conv_zm(xz, p["w"], p.get("b"), stride, _same_pad(kernel))
     xz = instance_norm(xz, p.get("norm_scale"), p.get("norm_bias"),
-                       cfg.norm_eps)
+                       cfg.norm_eps, axes=_in_axes(cfg, zmajor=True))
     return _lrelu(xz, cfg.nonlin_slope)
 
 
@@ -421,14 +450,16 @@ def unet_forward(params: dict, x: jax.Array, cfg: ArchConfig,
                              (1, 1, 1), _same_pad(cfg.kernel_sizes[s]))
                 y = instance_norm(y, block["conv2"].get("norm_scale"),
                                   block["conv2"].get("norm_bias"),
-                                  cfg.norm_eps)
+                                  cfg.norm_eps,
+                                  axes=_in_axes(cfg, zmajor=True))
                 if "skip" in block:
                     sk = _conv_zm(xz, block["skip"]["w"],
                                   block["skip"].get("b"), stride,
                                   [(0, 0)] * 3)
                     sk = instance_norm(sk, block["skip"].get("norm_scale"),
                                        block["skip"].get("norm_bias"),
-                                       cfg.norm_eps)
+                                       cfg.norm_eps,
+                                       axes=_in_axes(cfg, zmajor=True))
                 else:
                     sk = xz
                 xz = _lrelu(y + sk, cfg.nonlin_slope)

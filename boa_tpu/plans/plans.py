@@ -129,9 +129,41 @@ class ModelPlans:
                    self.dataset.get("labels", {}).values())
 
     @property
+    def previous_stage(self) -> str | None:
+        """Cascade: configuration name whose segmentations feed this one
+        as one-hot input channels (plans_handler.py previous_stage_name)."""
+        return self.conf.get("previous_stage")
+
+    @property
+    def next_stage_names(self) -> list[str]:
+        ns = self.conf.get("next_stage")
+        if ns is None:
+            return []
+        return [ns] if isinstance(ns, str) else list(ns)
+
+    @property
+    def foreground_labels(self) -> list[int]:
+        """Sorted non-background label values (LabelManager.foreground_labels)
+        — the one-hot channel order for cascade inputs."""
+        if self.has_regions:
+            vals = set()
+            for v in self.dataset.get("labels", {}).values():
+                for x in (v if isinstance(v, (list, tuple)) else [v]):
+                    vals.add(int(x))
+            return sorted(x for x in vals if x != 0)
+        return sorted(v for v in self.labels.values() if v != 0)
+
+    @property
     def num_input_channels(self) -> int:
-        return max(1, len(self.dataset.get("channel_names",
-                                           self.dataset.get("modality", {"0": "CT"}))))
+        n = max(1, len(self.dataset.get("channel_names",
+                                        self.dataset.get("modality",
+                                                         {"0": "CT"}))))
+        # cascade stages read the previous stage's segmentation as one
+        # extra one-hot channel per foreground label
+        # (label_handling.py:294-311 determine_num_input_channels)
+        if self.previous_stage is not None:
+            n += len(self.foreground_labels)
+        return n
 
     # --- ConfigurationManager-level ---
     @property

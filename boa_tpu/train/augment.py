@@ -78,7 +78,14 @@ def spatial_transform(key: jax.Array, x: jax.Array, y: jax.Array,
                       p_rotation: float = 0.2, p_scaling: float = 0.2,
                       rot_max: float = 0.5235987755982988,  # 30 deg
                       scale_range: tuple[float, float] = (0.7, 1.4)):
-    """Per-sample random rotation+scale; x trilinear, y nearest."""
+    """Per-sample random rotation+scale; x trilinear, y nearest.
+
+    y may carry trailing seg channels (X, Y, Z, S) — the cascade path
+    warps the label map and the previous-stage seg with one transform.
+    Singleton-z patches (the 2d configuration) rotate in-plane only, like
+    the reference's 2D spatial transform."""
+    in_plane_only = x.shape[3] == 1
+
     def one(key, xi, yi):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         do_rot = jax.random.uniform(k1) < p_rotation
@@ -87,12 +94,14 @@ def spatial_transform(key: jax.Array, x: jax.Array, y: jax.Array,
                            jax.random.uniform(k3, (3,), minval=-rot_max,
                                               maxval=rot_max),
                            jnp.zeros(3))
+        if in_plane_only:
+            angles = angles * jnp.array([0.0, 0.0, 1.0])
         scale = jnp.where(do_scale,
                           jax.random.uniform(k4, (), minval=scale_range[0],
                                              maxval=scale_range[1]),
                           1.0)
         mat = _rotation_matrix(angles) * scale
-        coords = _affine_coords(yi.shape, mat)
+        coords = _affine_coords(yi.shape[:3], mat)
         xo = _sample_trilinear(xi, coords)
         yo = _sample_nearest(yi, coords)
         identity = jnp.logical_not(jnp.logical_or(do_rot, do_scale))
@@ -285,4 +294,80 @@ def augment_batch_da5(key: jax.Array, x: jax.Array, y: jax.Array,
     x = gamma(keys[7], x, p=0.4, rng=(0.6, 1.6), invert=False)
     if mirror_axes:
         x, y = mirror(keys[8], x, y, axes=mirror_axes)
+    return x, y.astype(jnp.int32)
+
+
+# ------------------------------------------------------------- cascade stack
+def _binary_noise(key: jax.Array, onehot: jax.Array, p: float = 0.4,
+                  max_radius: int = 8) -> jax.Array:
+    """Random per-channel binary dilation/erosion of one-hot cascade inputs.
+
+    Parity: `ApplyRandomBinaryOperatorTransform` wrapped at p=0.4 with
+    strel_size (1, 8) (`nnUNetTrainer.py:811-819`): each one-hot channel
+    independently, with probability p, gets dilated or eroded by a random
+    radius in [1, max_radius]. A radius-r ball op runs as r iterations of
+    the 3-cube op (outside-the-patch treated as background, like scipy's
+    border_value=0).
+
+    onehot: (X, Y, Z, F) float 0/1 for ONE sample (vmap over the batch).
+    """
+    n_f = onehot.shape[-1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    apply = jax.random.uniform(k1, (n_f,)) < p
+    dilate = jax.random.uniform(k2, (n_f,)) < 0.5
+    radius = jax.random.randint(k3, (n_f,), 1, max_radius + 1)
+
+    def pool(v, sign):
+        # max-pool of sign*v with zero border = dilation (sign=+1) or
+        # erosion (sign=-1, since min(v) == -max(-v)) over the 3-cube
+        vp = jnp.pad(sign * v, ((1, 1),) * 3 + ((0, 0),))
+        m = jax.lax.reduce_window(vp, -jnp.inf, jax.lax.max,
+                                  (3, 3, 3, 1), (1, 1, 1, 1), "VALID")
+        return sign * m
+
+    def body(i, v):
+        active = (i < radius) & apply                       # (F,)
+        stepped = jnp.where(dilate, pool(v, 1.0), pool(v, -1.0))
+        return jnp.where(active, stepped, v)
+
+    return jax.lax.fori_loop(0, max_radius, body, onehot)
+
+
+@partial(jax.jit, static_argnames=("fg_labels", "mirror_axes"))
+def augment_batch_cascade(key: jax.Array, x: jax.Array, y: jax.Array,
+                          prev: jax.Array, fg_labels: tuple[int, ...],
+                          mirror_axes: tuple[int, ...] = ()):
+    """Cascade training transforms (`nnUNetTrainer.py:802-829`):
+    the default stack, plus the previous-stage seg warped with the SAME
+    spatial transform (nearest), one-hotted over `fg_labels`
+    (MoveSegAsOneHotToDataTransform), per-channel binary dilate/erode
+    noise (p=0.4), and mirroring applied to data+one-hot+label together.
+
+    The reference's RemoveRandomConnectedComponentFromOneHot (p=0.2) is
+    connected-components work and runs on the HOST patch in the cascade
+    DataLoader (`dataloader.cascade_component_dropout`) before upload —
+    a documented reordering (noise before instead of after the spatial
+    transform), statistically equivalent for augmentation purposes.
+
+    x: (N,X,Y,Z,C), y/prev: (N,X,Y,Z) int. Returns (x', y') with
+    x' carrying C + len(fg_labels) channels.
+    """
+    keys = jax.random.split(key, 10)
+    segs = jnp.stack([y, prev], axis=-1)
+    x, segs = spatial_transform(keys[0], x, segs)
+    y, prev = segs[..., 0], segs[..., 1]
+    x = gaussian_noise(keys[1], x)
+    x = gaussian_blur(keys[2], x)
+    x = brightness(keys[3], x)
+    x = contrast(keys[4], x)
+    x = simulate_low_resolution(keys[5], x)
+    x = gamma(keys[6], x, p=0.1, invert=True)
+    x = gamma(keys[7], x, p=0.3, invert=False)
+    onehot = jnp.stack([(prev == lb) for lb in fg_labels],
+                       axis=-1).astype(x.dtype)
+    onehot = jax.vmap(_binary_noise)(
+        jax.random.split(keys[8], x.shape[0]), onehot)
+    x = jnp.concatenate([x, onehot], axis=-1)
+    if mirror_axes:
+        x, y = mirror(keys[9], x, y, axes=mirror_axes)
     return x, y.astype(jnp.int32)

@@ -30,6 +30,40 @@ def oversample_flags(batch_size: int, oversample_percent: float = 0.33
     return [i >= cutoff for i in range(batch_size)]
 
 
+def cascade_component_dropout(prev: np.ndarray, rng: np.random.RandomState,
+                              p: float = 0.2,
+                              max_coverage: float = 0.15) -> np.ndarray:
+    """Remove one random connected component per foreground label with
+    probability `p` (cascade robustness noise).
+
+    Parity: `RemoveRandomConnectedComponentFromOneHotEncodingTransform`
+    at apply_probability 0.2 with dont_do_if_covers_more_than_x_percent
+    0.15 (`nnUNetTrainer.py:820-828`) — a component is only dropped when
+    it covers <= 15% of the patch. Runs on the HOST label patch before
+    upload (connected components are host work; the one-hot split happens
+    on device in `augment_batch_cascade`).
+    """
+    from scipy import ndimage
+
+    out = None
+    limit = max_coverage * prev.size
+    for lb in np.unique(prev):
+        if lb <= 0 or rng.uniform() >= p:
+            continue
+        mask = prev == lb
+        comps, n = ndimage.label(mask)
+        if n == 0:
+            continue
+        pick = 1 + rng.randint(n)
+        comp = comps == pick
+        if comp.sum() > limit:
+            continue
+        if out is None:
+            out = np.array(prev)
+        out[comp] = 0
+    return prev if out is None else out
+
+
 class DataLoader:
     """Yields (data (N,X,Y,Z,C) fp32, seg (N,X,Y,Z) int32) numpy batches in
     the channels-last layout the TPU network consumes."""
@@ -38,7 +72,9 @@ class DataLoader:
                  batch_size: int, oversample_percent: float = 0.33,
                  seed: int = 0, case_ids: list[str] | None = None,
                  cache_cases: bool = True,
-                 probabilistic_oversampling: bool = False):
+                 probabilistic_oversampling: bool = False,
+                 cascade: bool = False,
+                 cascade_cc_dropout_p: float = 0.2):
         self.store = store
         self.patch_size = tuple(patch_size)
         self.batch_size = batch_size
@@ -54,6 +90,16 @@ class DataLoader:
             raise ValueError("empty case store")
         self._cache: dict[str, Case] = {}
         self.cache_cases = cache_cases
+        # cascade mode: batches carry the previous-stage seg patch as a
+        # third array (same crop as data/seg), with the host-side random
+        # component dropout applied (see cascade_component_dropout)
+        self.cascade = cascade
+        self.cascade_cc_dropout_p = cascade_cc_dropout_p
+        if cascade and not store.has_prev_segs():
+            raise ValueError(
+                "cascade DataLoader needs a previous-stage segmentation "
+                "(*_prevseg.npy) for every case — run "
+                "boa_tpu.train.cascade.predict_next_stage first")
 
     # ------------------------------------------------------------------
     def _case(self, cid: str) -> Case:
@@ -97,18 +143,28 @@ class DataLoader:
                     for i in range(3))
         dpatch[(slice(None), *ins)] = data[(slice(None), *sl)]
         spatch[ins] = seg[sl]
-        return dpatch, spatch
+        if not self.cascade:
+            return dpatch, spatch, None
+        ppatch = np.zeros(ps, np.int32)  # oob prev seg = background
+        ppatch[ins] = case.prev_seg[sl]
+        if self.cascade_cc_dropout_p > 0:
+            ppatch = cascade_component_dropout(
+                ppatch, self.rng, p=self.cascade_cc_dropout_p)
+        return dpatch, spatch, ppatch
 
-    def next_batch(self) -> tuple[np.ndarray, np.ndarray]:
+    def next_batch(self):
+        """(x, y) batches — or (x, y, prev_seg) in cascade mode."""
         ps = self.patch_size
         n_ch = self._case(self.case_ids[0]).data.shape[0]
         x = np.empty((self.batch_size, *ps, n_ch), np.float32)
         y = np.empty((self.batch_size, *ps), np.int32)
+        prev = np.empty((self.batch_size, *ps), np.int32) if self.cascade \
+            else None
         for i in range(self.batch_size):
             cid = self.case_ids[self.rng.randint(len(self.case_ids))]
             force_fg = (self.rng.uniform() < self.oversample_percent
                         if self.probabilistic else self.oversample[i])
-            dp, sp = self._sample_patch(self._case(cid), force_fg)
+            dp, sp, pp = self._sample_patch(self._case(cid), force_fg)
             x[i] = np.moveaxis(dp, 0, -1)
             # out-of-bounds seg padding (-1) becomes background before the
             # loss, like the reference's RemoveLabelTransform(-1, 0) first
@@ -116,6 +172,10 @@ class DataLoader:
             # in the CE term (negative indices wrap) and train padded
             # voxels toward an arbitrary foreground class
             y[i] = np.maximum(sp, 0)
+            if prev is not None:
+                prev[i] = pp
+        if prev is not None:
+            return x, y, prev
         return x, y
 
     # ------------------------------------------------------------------

@@ -50,6 +50,9 @@ class Case:
     seg: np.ndarray            # (X, Y, Z) int8/int16 (possibly memmap)
     class_locations: dict[int, np.ndarray]
     properties: dict
+    # cascade training: previous-stage prediction on this case's grid
+    # (nnU-Net's predicted_next_stage files, nnunet_dataset.py seg_prev)
+    prev_seg: np.ndarray | None = None
 
 
 class CaseStore:
@@ -81,6 +84,24 @@ class CaseStore:
         (self.root / f"{case_id}_props.json").write_text(
             json.dumps(properties or {}))
 
+    def save_prev_seg(self, case_id: str, prev_seg: np.ndarray) -> None:
+        """Attach a previous-stage segmentation (same grid as the case) —
+        the cascade's predicted_next_stage artifact."""
+        prev_seg = np.asarray(prev_seg)
+        case_shape = np.load(self.root / f"{case_id}_seg.npy",
+                             mmap_mode="r").shape
+        if tuple(prev_seg.shape) != tuple(case_shape):
+            raise ValueError(f"prev_seg shape {prev_seg.shape} != case seg "
+                             f"shape {case_shape} for {case_id}")
+        np.save(self.root / f"{case_id}_prevseg.npy",
+                prev_seg.astype(np.int16 if prev_seg.max(initial=0) > 127
+                                else np.int8))
+
+    def has_prev_segs(self) -> bool:
+        ids = self.case_ids()
+        return bool(ids) and all(
+            (self.root / f"{cid}_prevseg.npy").exists() for cid in ids)
+
     def load_case(self, case_id: str, memmap: bool = True) -> Case:
         mode = "r" if memmap else None
         data = np.load(self.root / f"{case_id}_data.npy", mmap_mode=mode)
@@ -89,8 +110,10 @@ class CaseStore:
         locs = {int(k): locs_npz[k] for k in locs_npz.files}
         props = json.loads(
             (self.root / f"{case_id}_props.json").read_text())
+        prev_p = self.root / f"{case_id}_prevseg.npy"
+        prev = np.load(prev_p, mmap_mode=mode) if prev_p.exists() else None
         return Case(data=data, seg=seg, class_locations=locs,
-                    properties=props)
+                    properties=props, prev_seg=prev)
 
 
 def generate_splits(case_ids, n_splits: int = 5, seed: int = 12345) -> list:

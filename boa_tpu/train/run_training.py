@@ -27,7 +27,8 @@ def build_trainer(out_dir: Path, patch, num_classes: int,
                   features=(32, 64, 128, 256, 320, 320),
                   epochs: int = 1000, iters: int = 250,
                   mesh_shape=None, compute_dtype: str = "bfloat16",
-                  trainer_name: str | None = None, batch_size: int = 2):
+                  trainer_name: str | None = None, batch_size: int = 2,
+                  in_channels: int = 1):
     """Trainer + mesh (+ variant spec) for an arch derived from
     patch/classes. Batch size matters here only for the probabilistic-
     oversampling percent recompute; the case store belongs to the
@@ -39,15 +40,22 @@ def build_trainer(out_dir: Path, patch, num_classes: int,
     from boa_tpu.train.variants import VariantSpec, apply_variant
 
     n = len(features)
-    # cap pool depth by patch size (stride-2 per stage)
-    max_pools = int(np.log2(min(patch)))
-    n = min(n, max_pools + 1)
+    # cap pool depth by patch size, PER AXIS (stride-2 per stage until the
+    # axis bottoms out) — a singleton z axis (the 2d configuration) never
+    # pools or convolves through-plane
+    depths = [int(np.log2(p)) for p in patch]
+    n = min(n, max(depths) + 1)
+    two_d = patch[2] == 1
+    kz = 1 if two_d else 3
     arch = ArchConfig(
         n_stages=n, features_per_stage=tuple(features[:n]),
-        kernel_sizes=((3, 3, 3),) * n,
-        strides=((1, 1, 1),) + ((2, 2, 2),) * (n - 1),
+        kernel_sizes=((3, 3, kz),) * n,
+        strides=((1, 1, 1),) + tuple(
+            tuple(2 if s <= depths[i] else 1 for i in range(3))
+            for s in range(1, n)),
         n_conv_per_stage=(2,) * n, n_conv_per_stage_decoder=(2,) * (n - 1),
-        num_classes=num_classes, input_channels=1, deep_supervision=True)
+        num_classes=num_classes, input_channels=in_channels,
+        deep_supervision=True, two_d=two_d)
     cfg = TrainConfig(arch=arch, num_epochs=epochs, iters_per_epoch=iters,
                       compute_dtype=compute_dtype)
     spec = VariantSpec()
@@ -89,14 +97,19 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
                  fold: "int | str" = "all",
                  validate: bool = False,
                  pretrained_weights: "str | Path | None" = None,
-                 trainer_name: str | None = None) -> dict:
+                 trainer_name: str | None = None,
+                 cascade: bool = False) -> dict:
     """`fold` selects the nnU-Net 5-fold split (splits_final.json beside the
     cases, created on first use); "all" trains on everything. `validate`
     runs the final-weights validation pass over the fold's val split after
     training (nnUNetTrainer.perform_actual_validation:1212). `trainer_name`
     applies the full variant recipe (loss/optimizer/schedule, DA5/NoDA,
     probabilistic oversampling, mirror axes) — the reference's `-tr` flag;
-    explicit `epochs`/`iters`/`mirror_axes` args still win loop control."""
+    explicit `epochs`/`iters`/`mirror_axes` args still win loop control.
+    `cascade=True` trains a 3d_cascade_fullres-style stage: every case
+    must carry a previous-stage seg (`train.cascade.predict_next_stage`),
+    which enters the network as one one-hot channel per foreground label
+    with the cascade augmentations (`nnUNetTrainer.py:137,646-652,802-829`)."""
     from boa_tpu.train.augment import augment_batch
     from boa_tpu.train.dataloader import DataLoader
     from boa_tpu.train.dataset import CaseStore, load_or_create_splits
@@ -120,16 +133,22 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
         split = splits[int(fold)]
         logger.info("fold %s: %d train / %d val cases", fold,
                     len(split["train"]), len(split["val"]))
+    n_data_ch = store.load_case(store.case_ids()[0]).data.shape[0]
+    fg_labels = tuple(range(1, num_classes))
+    in_channels = n_data_ch + (len(fg_labels) if cascade else 0)
     trainer, mesh, spec = build_trainer(out_dir, patch, num_classes,
                                         epochs=epochs, iters=iters,
                                         mesh_shape=mesh_shape,
                                         trainer_name=trainer_name,
-                                        batch_size=batch_size)
+                                        batch_size=batch_size,
+                                        in_channels=in_channels)
     if trainer_name:
         # variant DA/sampling markers drive the loader + augment stack
         if spec.no_da:
             augment = False
         mirror_axes = spec.mirror_axes
+    if patch[2] == 1 and tuple(mirror_axes) == (0, 1, 2):
+        mirror_axes = (0, 1)  # 2d configuration mirrors in-plane only
     # self-describing training output: weights/store.export_trained_model
     # turns it into a servable store entry from this metadata
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -152,7 +171,9 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
         store, patch, batch_size, seed=seed,
         case_ids=split["train"] if split else None,
         oversample_percent=trainer.cfg.oversample_foreground_percent,
-        probabilistic_oversampling=spec.probabilistic_oversampling)
+        probabilistic_oversampling=spec.probabilistic_oversampling,
+        cascade=cascade,
+        cascade_cc_dropout_p=0.2 if augment else 0.0)
     key = jax.random.PRNGKey(seed)
     aug_fn = augment_batch
     if spec.aggressive_da:
@@ -160,15 +181,29 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
 
     def batches():
         nonlocal key
-        for x, y in loader.prefetched():
-            if augment:
+        for batch in loader.prefetched():
+            if cascade:
+                x, y, prev = batch
+                if augment:
+                    from boa_tpu.train.augment import augment_batch_cascade
+
+                    key, sub = jax.random.split(key)
+                    yield augment_batch_cascade(
+                        sub, jax.numpy.asarray(x), jax.numpy.asarray(y),
+                        jax.numpy.asarray(prev), fg_labels,
+                        mirror_axes=tuple(mirror_axes))
+                else:
+                    onehot = np.stack([(prev == lb) for lb in fg_labels],
+                                      axis=-1).astype(np.float32)
+                    yield np.concatenate([x, onehot], axis=-1), y
+            elif augment:
+                x, y = batch
                 key, sub = jax.random.split(key)
-                xd, yd = aug_fn(sub, jax.numpy.asarray(x),
-                                jax.numpy.asarray(y),
-                                mirror_axes=tuple(mirror_axes))
-                yield xd, yd
+                yield aug_fn(sub, jax.numpy.asarray(x),
+                             jax.numpy.asarray(y),
+                             mirror_axes=tuple(mirror_axes))
             else:
-                yield x, y
+                yield batch
 
     gen = batches()
     last = {}
@@ -255,6 +290,12 @@ def perform_actual_validation(trainer, store, val_ids, out_dir: Path,
     for cid in val_ids:
         case = store.load_case(cid, memmap=False)
         data = np.asarray(case.data, np.float32)
+        if data.shape[0] < cfg.input_channels and case.prev_seg is not None:
+            # cascade stage: append the prev-stage one-hot channels
+            fg = range(1, cfg.num_classes)
+            onehot = np.stack([(np.asarray(case.prev_seg) == lb)
+                               for lb in fg]).astype(np.float32)
+            data = np.concatenate([data, onehot], axis=0)
         padded, revert = pp.pad_to_patch(data, tuple(patch))
         starts = pp.tile_starts(padded.shape[-3:], tuple(patch), 0.5)
         logits = sliding_window_logits(
@@ -313,6 +354,10 @@ def main(argv=None) -> None:
     ap.add_argument("--tr", dest="trainer_name", default=None,
                     help="trainer-variant name (nnUNetTrainerDA5, "
                          "nnUNetTrainer_probabilisticOversampling, ...)")
+    ap.add_argument("--cascade", action="store_true", default=False,
+                    help="train a cascade (3d_cascade_fullres) stage: "
+                         "cases must carry *_prevseg.npy previous-stage "
+                         "segmentations (train.cascade.predict_next_stage)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     mesh_shape = None
@@ -324,7 +369,7 @@ def main(argv=None) -> None:
                  mirror_axes=() if args.no_mirroring else (0, 1, 2),
                  fold=args.fold, validate=args.validate,
                  pretrained_weights=args.pretrained_weights,
-                 trainer_name=args.trainer_name)
+                 trainer_name=args.trainer_name, cascade=args.cascade)
 
 
 if __name__ == "__main__":

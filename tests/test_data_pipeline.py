@@ -77,8 +77,9 @@ def test_dataloader_patch_larger_than_case(store):
     # batch remaps it to background like RemoveLabelTransform(-1, 0) —
     # a -1 target would gather the LAST class's CE log-prob
     assert (y >= 0).all()
-    dp, sp = dl._sample_patch(dl._case(dl.case_ids[0]), False)
+    dp, sp, pp = dl._sample_patch(dl._case(dl.case_ids[0]), False)
     assert (sp == -1).any()
+    assert pp is None  # prev-seg patch only exists in cascade mode
 
 
 def test_augment_shapes_and_determinism(store):

@@ -10,9 +10,15 @@ the reference repo, so this module provides:
 * the same feature extraction (per-organ HU mean/std/median/quantiles),
 * a loader for trained sklearn ensembles (`BOA_CONTRAST_MODEL` env or
   explicit path; joblib/pickle format),
+* a TRAINED GIT-contrast stand-in: 5 boosted-tree folds fit on synthetic
+  phantom features (`tools/train_git_classifier.py`, vendored at
+  `resources/git_contrast_classifiers_boa_tpu.json.*`), scored by the
+  pure-numpy tree walker; `BOA_GIT_MODEL` points at a BYO fold stem
+  (same JSON/UBJSON format) and `BOA_GIT_MODEL=heuristic` opts out,
 * `fit_contrast_model` to train a fresh ensemble on labeled studies, and
-* a physiology-based fallback so the pipeline still reports a phase when
-  no trained model is installed (aorta/portal/kidney enhancement rules).
+* physiology-based fallbacks, used ONLY when the artifacts are absent
+  (aorta/portal enhancement rules for the phase, bowel-HU sigmoid for
+  GIT).
 """
 
 from __future__ import annotations
@@ -100,6 +106,8 @@ def _heuristic_phase(feats: dict[str, float]) -> tuple[int, list[float]]:
 
 
 def _heuristic_git(feats: dict[str, float]) -> tuple[int, float]:
+    """Last-resort GIT rule (bowel-q75 sigmoid), used only when the
+    vendored trained folds are missing and no BYO model is set."""
     # oral contrast pushes bowel contents far above water/soft tissue
     vals = [feats.get(f"{o}_q75", float("nan"))
             for o in ("stomach", "duodenum", "small_bowel", "colon")]
@@ -108,6 +116,41 @@ def _heuristic_git(feats: dict[str, float]) -> tuple[int, float]:
     if np.isnan(score):
         return 0, 0.0
     prob = float(1.0 / (1.0 + np.exp(-(score - 150.0) / 30.0)))
+    return int(prob > 0.5), prob
+
+
+_VENDORED_GIT_FOLDS = (Path(__file__).resolve().parents[1] / "resources" /
+                       "git_contrast_classifiers_boa_tpu.json")
+
+
+def _git_ensemble():
+    """Trained GIT fold models, or None (-> heuristic fallback).
+
+    BOA_GIT_MODEL: fold-file stem of a BYO model (`<stem>.0..4`, xgboost
+    JSON/UBJSON format over the `feature_vector` layout); the literal
+    value 'heuristic' disables the trained path."""
+    env = os.environ.get("BOA_GIT_MODEL")
+    if env == "heuristic":
+        return None
+    stem = Path(env) if env else _VENDORED_GIT_FOLDS
+    if not Path(f"{stem}.0").exists():
+        if env:  # a typo'd BYO stem must not silently degrade
+            raise FileNotFoundError(f"BOA_GIT_MODEL={env}: no {stem}.0")
+        return None
+    from boa_tpu.compute.xgb import load_fold_files
+
+    return load_fold_files(stem)
+
+
+def _git_from_features(feats: dict[str, float]) -> tuple[int, float]:
+    """GIT presence from the trained fold ensemble (mean fold probability);
+    NaN features ride the trees' learned default directions."""
+    folds = _git_ensemble()
+    if folds is None:
+        logger.info("no trained GIT model available; using the heuristic")
+        return _heuristic_git(feats)
+    x = feature_vector(feats)[None]
+    prob = float(np.mean([f.predict(x)[0] for f in folds]))
     return int(prob > 0.5), prob
 
 
@@ -213,7 +256,7 @@ def predict(ct_path: Path | str | nifti.NiftiImage,
             logger.info("No trained contrast model found; using heuristic "
                         "rules")
             phase_idx, phase_list = _heuristic_phase(feats)
-        git_idx, git_prob = _heuristic_git(feats)
+        git_idx, git_prob = _git_from_features(feats)
 
     return {
         "phase_ensemble_predicted_class": PHASES[phase_idx],

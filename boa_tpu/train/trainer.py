@@ -62,6 +62,8 @@ class TrainConfig:
     optimizer: str = "sgd"
     lr_schedule: str = "poly"
     warmup_epochs: int = 50
+    # Adam-family betas: torch default; the Primus trainers use (0.9, 0.98)
+    adam_betas: tuple[float, float] = (0.9, 0.999)
     # region-based training (overlapping sigmoid targets): tuple of label
     # tuples, one per network output channel; None = plain softmax labels.
     # `nnUNetTrainer._build_loss:391-397` picks DC_and_BCE when the label
@@ -107,11 +109,12 @@ def make_opt_update(cfg: TrainConfig):
     if cfg.optimizer in ("adamw_amsgrad", "adamw"):
         amsgrad = cfg.optimizer.endswith("amsgrad")
         return lambda p, g, s, lr: adamw_update(
-            p, g, s, lr, betas=(0.9, 0.999), weight_decay=cfg.weight_decay,
-            amsgrad=amsgrad)
+            p, g, s, lr, betas=cfg.adam_betas,
+            weight_decay=cfg.weight_decay, amsgrad=amsgrad)
     if cfg.optimizer == "adam":
         return lambda p, g, s, lr: adam_update(
-            p, g, s, lr, weight_decay=cfg.weight_decay)
+            p, g, s, lr, betas=cfg.adam_betas,
+            weight_decay=cfg.weight_decay)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
@@ -129,6 +132,28 @@ def schedule_lr(cfg: TrainConfig, epoch: int) -> float:
         return float(poly_lr_offset(cfg.initial_lr, epoch, cfg.num_epochs,
                                     offset=cfg.warmup_epochs))
     raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
+def _forward_fn(arch):
+    """Model-family dispatch: the nnU-Net UNet families (ArchConfig) or
+    the Primus ViT (PrimusConfig, single head — `all_heads` is a no-op)."""
+    from boa_tpu.models.primus import PrimusConfig, primus_forward
+
+    if isinstance(arch, PrimusConfig):
+        return lambda params, x, all_heads=False: primus_forward(
+            params, x, arch)
+    return lambda params, x, all_heads=False: unet_forward(
+        params, x, arch, all_heads=all_heads)
+
+
+def _init_model(key, arch):
+    from boa_tpu.models.primus import PrimusConfig, init_primus
+
+    if isinstance(arch, PrimusConfig):
+        # the positional embedding is resized at forward when the token
+        # grid differs, so any init grid trains; 4^3 is a sane default
+        return init_primus(key, arch, grid=(4, 4, 4))
+    return init_unet(key, arch)
 
 
 def opt_state_shardings(cfg: TrainConfig, params_sharding):
@@ -164,10 +189,12 @@ def make_train_step(cfg: TrainConfig,
     """
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
+    fwd = _forward_fn(cfg.arch)
+
     def loss_fn(params, x, y):
         cast = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
-        outs = unet_forward(cast, x.astype(dtype), cfg.arch, all_heads=True)
+        outs = fwd(cast, x.astype(dtype), all_heads=True)
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
         outs = [o.astype(jnp.float32) for o in outs]
@@ -219,12 +246,17 @@ def make_eval_step(cfg: TrainConfig) -> Callable:
     """Jitted validation step: (params, x, y) -> per-class pseudo-dice."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
+    if getattr(cfg.arch, "deep_supervision", False):
+        eval_fwd = _forward_fn(dataclasses.replace(cfg.arch,
+                                                   deep_supervision=False))
+    else:
+        eval_fwd = _forward_fn(cfg.arch)
+
     @jax.jit
     def step(params, x, y):
         cast = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
-        out = unet_forward(cast, x.astype(dtype),
-                           dataclasses.replace(cfg.arch, deep_supervision=False))
+        out = eval_fwd(cast, x.astype(dtype))
         if cfg.regions is not None:
             from boa_tpu.train.losses import pseudo_dice_regions
 
@@ -248,7 +280,7 @@ class Trainer:
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         key = jax.random.PRNGKey(seed)
-        params = init_unet(key, cfg.arch)
+        params = _init_model(key, cfg.arch)
         self.state = TrainState(params=params,
                                 momentum_buf=init_opt_state(cfg, params))
         self._step = make_train_step(cfg, in_shardings=in_shardings)

@@ -27,7 +27,7 @@ class VariantSpec:
     mirror_axes: tuple[int, ...] = (0, 1, 2)
     loss: str = "dice_ce"              # any boa_tpu.train.losses.make_loss name
     initial_lr: float = 1e-2
-    optimizer: str = "sgd"             # sgd | adamw_amsgrad | adam
+    optimizer: str = "sgd"             # sgd | adamw_amsgrad | adamw | adam
     lr_schedule: str = "poly"          # poly | cos | warmup_poly
     aggressive_da: bool = False        # DA5 augmentation preset
     seg_resample_order0: bool = False  # DASegOrd0: order-0 seg augmentation
@@ -37,6 +37,14 @@ class VariantSpec:
     batch_norm: bool = False           # nnUNetTrainerBN (not trainable here)
     probabilistic_oversampling: bool = False  # per-sample Bernoulli draw
     oversample_percent: float | None = None   # None = plan default 0.33
+    # Primus ViT trainers (`primus/primus_trainers.py:18-260`): network
+    # family key (S/B/M/L), AdamW betas (0.9, 0.98), wd 5e-2, grad clip 1,
+    # 50-epoch warmup then PolyLR-offset, no deep supervision
+    primus: str | None = None
+    weight_decay: float | None = None  # None = trainer default 3e-5
+    grad_clip: float | None = None     # None = trainer default 12
+    adam_betas: tuple[float, float] | None = None
+    batch_size: int | None = None      # plan batch override (BS8 trainers)
 
 
 VARIANTS: dict[str, VariantSpec] = {
@@ -100,6 +108,27 @@ VARIANTS: dict[str, VariantSpec] = {
         probabilistic_oversampling=True, oversample_percent=0.10),
 }
 
+# Primus family (`primus/primus_trainers.py:18-260`): AbstractPrimus sets
+# lr 3e-4, AdamW(betas=(0.9, 0.98), amsgrad=False), wd 5e-2, no deep
+# supervision, warmup(50)->PolyLR-offset, grad clip 1; S/B/M/L pick the
+# ViT size; the BS8 trainers pin plan batch size 8 (and _2e4 lr 2e-4).
+_PRIMUS_BASE = dict(initial_lr=3e-4, optimizer="adamw",
+                    lr_schedule="warmup_poly", weight_decay=5e-2,
+                    grad_clip=1.0, adam_betas=(0.9, 0.98),
+                    deep_supervision=False)
+VARIANTS.update({
+    "nnUNet_Primus_S_Trainer": VariantSpec(primus="S", **_PRIMUS_BASE),
+    "nnUNet_Primus_B_Trainer": VariantSpec(primus="B", **_PRIMUS_BASE),
+    "nnUNet_Primus_M_Trainer": VariantSpec(primus="M", **_PRIMUS_BASE),
+    "nnUNet_Primus_L_Trainer": VariantSpec(primus="L", **_PRIMUS_BASE),
+    "nnUNet_Primus_M_Trainer_BS8": VariantSpec(
+        primus="M", batch_size=8, **_PRIMUS_BASE),
+    "nnUNet_Primus_M_Trainer_BS8_2e4": VariantSpec(
+        primus="M", batch_size=8,
+        **{**_PRIMUS_BASE, "initial_lr": 2e-4}),
+    "nnUNet_Trainer_BS8": VariantSpec(batch_size=8),
+})
+
 
 def get_variant(trainer_name: str) -> VariantSpec:
     """Resolve a trainer name; unknown names parse `_NNNNepochs` and
@@ -136,6 +165,12 @@ def apply_variant(cfg, trainer_name: str, batch_size: int = 2):
     kw = dict(num_epochs=spec.num_epochs, initial_lr=spec.initial_lr,
               loss=spec.loss, optimizer=spec.optimizer,
               lr_schedule=spec.lr_schedule)
+    if spec.weight_decay is not None:
+        kw["weight_decay"] = spec.weight_decay
+    if spec.grad_clip is not None:
+        kw["grad_clip"] = spec.grad_clip
+    if spec.adam_betas is not None:
+        kw["adam_betas"] = spec.adam_betas
     if spec.oversample_percent is not None:
         kw["oversample_foreground_percent"] = spec.oversample_percent
     elif spec.probabilistic_oversampling:
@@ -149,7 +184,32 @@ def apply_variant(cfg, trainer_name: str, batch_size: int = 2):
                                  cfg.oversample_foreground_percent)
         kw["oversample_foreground_percent"] = float(
             sum(flags) / max(len(flags), 1))
-    if not spec.deep_supervision and cfg.arch.deep_supervision:
+    if not spec.deep_supervision \
+            and getattr(cfg.arch, "deep_supervision", False):
         kw["arch"] = dataclasses.replace(cfg.arch, deep_supervision=False)
     cfg = replace(cfg, **kw)
+    return cfg, spec
+
+
+def primus_train_config(trainer_name: str, num_classes: int,
+                        input_channels: int = 1, num_epochs: int = 1000,
+                        iters_per_epoch: int = 250, batch_size: int = 2,
+                        compute_dtype: str = "bfloat16"):
+    """TrainConfig for a Primus trainer name: the ViT arch (S/B/M/L from
+    `models.primus.PRIMUS_VARIANTS`) under the AbstractPrimus recipe.
+    Returns (TrainConfig, spec); spec.batch_size (BS8 trainers) overrides
+    the passed batch size."""
+    from boa_tpu.models.primus import primus_config
+    from boa_tpu.train.trainer import TrainConfig
+
+    spec = get_variant(trainer_name)
+    if spec.primus is None:
+        raise ValueError(f"{trainer_name!r} is not a Primus trainer")
+    arch = primus_config(spec.primus, num_classes=num_classes,
+                         input_channels=input_channels)
+    cfg = TrainConfig(arch=arch, num_epochs=num_epochs,
+                      iters_per_epoch=iters_per_epoch,
+                      compute_dtype=compute_dtype)
+    cfg, spec = apply_variant(cfg, trainer_name,
+                              batch_size=spec.batch_size or batch_size)
     return cfg, spec

@@ -43,6 +43,10 @@ def _postprocess_bca_task(task_name: str, res, label_map) -> nifti.NiftiImage:
                 _time.perf_counter() - t0)
     out = nifti.NiftiImage(data=seg, affine=res.seg.affine)
     out.set_label_map(label_map)
+    if getattr(res, "seg_dev_full", None) is not None:
+        # device twin of the PRE-postprocess seg: the tissue pass rebuilds
+        # the postprocessed device copy from it plus a 1-bit ignore mask
+        object.__setattr__(out, "_raw_device_seg", res.seg_dev_full)
     return out
 
 
@@ -92,7 +96,8 @@ def bca_inference(
         return fut
     t0 = _time.perf_counter()
     res = predict_image(ct_img, task_name, store, fast=fast_bca,
-                        compute_dtype=compute_dtype, fake_predict=fake_predict)
+                        compute_dtype=compute_dtype, fake_predict=fake_predict,
+                        keep_device_seg=(task_name == "body_regions"))
     logger.info("BCA %s predicted in %.2fs", task_name,
                 _time.perf_counter() - t0)
     if worker is not None and not inline_postprocess:
@@ -155,10 +160,13 @@ def run_pipeline(
 
     t0 = _time.perf_counter()
     regions = np.asarray(body_regions_img.data)
-    # device_data: the CT upload is cached on the image instance
+    # device_data: the CT upload is cached on the image instance; the raw
+    # device seg (when the predict ran this process) replaces the regions
+    # re-upload with a 1-bit ignore-mask transfer
     tissues, tissues_dev, regions_dev = subclassify_tissues(
         ct_img.device_data(), regions, median_filtering=median_filtering,
-        return_device=True)
+        return_device=True,
+        regions_dev_raw=getattr(body_regions_img, "_raw_device_seg", None))
     logger.info("Tissues subclassified in %.2fs", _time.perf_counter() - t0)
     tis_img = nifti.NiftiImage(data=tissues, affine=body_regions_img.affine)
     tis_img.set_label_map({int(k): v for v, k in

@@ -113,6 +113,9 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
     from scipy import ndimage
 
     boxes = ndimage.find_objects(mask, max_label=int(present.max(initial=0)))
+    import os
+
+    use_native = os.environ.get("BOA_NATIVE_PARTS", "1") not in ("0", "false")
     for label_value in present:
         if label_value == 0:
             continue
@@ -125,6 +128,18 @@ def remove_small_labeled_objects(mask: np.ndarray, threshold: int = 3000) -> np.
         # spans a fraction of the scan, so the 2x CC passes shrink too.
         lo = [max(s.start - 1, 0) for s in raw]
         hi = [min(s.stop + 1, n) for s, n in zip(raw, mask.shape)]
+        if use_native and mask.dtype == np.uint8:
+            # fused native path: fill + object/hole filtering in one call
+            # (one zxy slab + run-based CC instead of ~6 bbox-sized
+            # numpy/cv2 passes — the torso label's bbox is ~the volume)
+            ring = (lo[0] > 0, hi[0] < mask.shape[0],
+                    lo[1] > 0, hi[1] < mask.shape[1],
+                    lo[2] > 0, hi[2] < mask.shape[2])
+            done = cc.parts_postprocess_label(
+                mask, int(label_value), tuple(zip(lo, hi)), ring,
+                int(threshold), out)
+            if done is not None:
+                continue
         box = tuple(slice(a, b) for a, b in zip(lo, hi))
         filled = _fill_2d_contours(mask[box] == label_value)
         # remove small foreground objects (keep >= threshold)

@@ -38,11 +38,19 @@ def _subclassify(ct: jax.Array, regions: jax.Array) -> jax.Array:
 
 def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
                         median_filtering: bool = False,
-                        return_device: bool = False):
+                        return_device: bool = False,
+                        regions_dev_raw=None):
     """ct_data, body_regions: (x, y, z) volumes on the same grid.
 
     return_device=True also returns the device-resident tissue map so
     downstream device consumers (report builder) skip a re-upload.
+
+    regions_dev_raw: device-resident PRE-postprocess region seg on the same
+    grid (predict_image keep_device_seg) — the region postprocess only ever
+    sets removed fragments to 255 (bca/postprocess.py), so instead of
+    re-uploading the full speckled label volume the device copy is rebuilt
+    as raw ∘ (sparse ignore mask), and only a 1-bit-packed, mostly-zero
+    mask crosses the tunnel.
     """
     ct = jnp.asarray(ct_data)
     if median_filtering:
@@ -55,17 +63,26 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
     # (the rules here, the builder's region_z_counts) matches real region
     # ids <= 11 by equality, so the encoding is transparent.
     body_regions = np.asarray(body_regions)
-    xfer = body_regions
-    if body_regions.dtype == np.uint8:
-        from boa_tpu.ops.connected_components import histogram_u8
+    if regions_dev_raw is not None \
+            and tuple(regions_dev_raw.shape) == body_regions.shape:
+        ignore = body_regions == IGNORE_VALUE
+        regions_dev = jnp.asarray(regions_dev_raw)
+        if ignore.any():
+            mask_dev = packing.upload_mask(ignore)
+            regions_dev = jnp.where(mask_dev != 0, jnp.uint8(IGNORE_XFER),
+                                    regions_dev)
+    else:
+        xfer = body_regions
+        if body_regions.dtype == np.uint8:
+            from boa_tpu.ops.connected_components import histogram_u8
 
-        present = np.nonzero(histogram_u8(body_regions))[0]
-        if present.size and present[-1] > 15 \
-                and (present[:-1] < IGNORE_XFER).all() \
-                and present[-1] == IGNORE_VALUE:
-            xfer = np.where(body_regions == IGNORE_VALUE,
-                            np.uint8(IGNORE_XFER), body_regions)
-    regions_dev = packing.upload_labels(xfer)
+            present = np.nonzero(histogram_u8(body_regions))[0]
+            if present.size and present[-1] > 15 \
+                    and (present[:-1] < IGNORE_XFER).all() \
+                    and present[-1] == IGNORE_VALUE:
+                xfer = np.where(body_regions == IGNORE_VALUE,
+                                np.uint8(IGNORE_XFER), body_regions)
+        regions_dev = packing.upload_labels(xfer)
     dev = _subclassify(ct, regions_dev)
     host = packing.download_labels(dev, _MAX_TISSUE)
     return (host, dev, regions_dev) if return_device else host

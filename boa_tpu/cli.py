@@ -123,6 +123,16 @@ def run(argv: list[str] | None = None) -> None:
         fast_bca = True
         fast_total = True
 
+    # CI fake-inference hook — the CLI analogue of the reference's `test=N`
+    # mode (`totalsegmentator/nnunet.py:560-578` substitutes committed
+    # segmentations for the network): phantom-matched labels replace every
+    # model forward so workbook numbers can be pinned without weights.
+    fake_predict = None
+    if env_bool("BOA_TEST_ANATOMY", False):
+        from boa_tpu.testing.anatomy import fake_predict_factory
+
+        fake_predict = fake_predict_factory()
+
     from boa_tpu.commands import analyze_ct
 
     analyze_ct(
@@ -145,6 +155,7 @@ def run(argv: list[str] | None = None) -> None:
         fast_total=fast_total,
         cnr_adjustment=args.cnr_adjustment,
         theme=theme,
+        fake_predict=fake_predict,
     )
 
     if args.radiomics:

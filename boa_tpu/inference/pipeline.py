@@ -61,6 +61,10 @@ class PredictImageResult:
     seg_model_grid: NiftiImage | None    # multilabel at model resolution
     stats: dict | None = None
     label_map: dict[int, str] = field(default_factory=dict)
+    # device-resident copy of `seg.data` (pre any original-grid postprocess),
+    # populated on request (keep_device_seg=True) so downstream device
+    # consumers (BCA tissue pass) skip a full-volume tunnel re-upload
+    seg_dev_full: object | None = None
 
 
 class _Spans:
@@ -113,6 +117,7 @@ def predict_image(
     stats_aggregation: str = "mean",
     stats_normalized_intensities: bool = False,
     stats_exclude_border: bool = True,
+    keep_device_seg: bool = False,
 ) -> PredictImageResult:
     """Run one model family over a CT volume.
 
@@ -296,6 +301,7 @@ def predict_image(
     #     only the small canonical seg crosses the link.
     inv = nifti.inv_orientation(ornt)
     rsp_shape = tuple(int(n) for n in data_rsp.shape)
+    seg_out_dev = None
     if nnunet_resampling and resample is not None \
             and rsp_shape != tuple(canon_shape):
         # optional high-quality back-resample: one-hot order-1 per class +
@@ -322,6 +328,15 @@ def predict_image(
             seg_canon_np = seg_small
         seg_out_np = np.ascontiguousarray(
             nifti.apply_orientation(seg_canon_np, inv))
+        if keep_device_seg and bbox is None:
+            # mirror the host path on device (resample_nearest shares the
+            # exact index vectors with resample_nearest_host, so the device
+            # copy is bit-identical) — zero tunnel bytes, and downstream
+            # device consumers skip re-uploading the full-grid seg
+            sd = _seg_dev()
+            if resample is not None and tuple(sd.shape) != tuple(canon_shape):
+                sd = rs.resample_nearest(sd, canon_shape, convention="zoom")
+            seg_out_dev = nifti.apply_orientation_device(sd, inv)
     spans.mark("back_resample+orient")
     seg_out = NiftiImage(data=seg_out_np, affine=img.affine.copy())
     if bbox is not None:
@@ -348,8 +363,11 @@ def predict_image(
     except Exception:  # never let bookkeeping break a study
         logger.debug("prediction counter update failed", exc_info=True)
     seg_out.set_label_map(label_map)
+    if not (keep_device_seg and bbox is None and task.remove_outside is None):
+        seg_out_dev = None
     return PredictImageResult(seg=seg_out, seg_model_grid=seg_model_grid,
-                              stats=stats, label_map=label_map)
+                              stats=stats, label_map=label_map,
+                              seg_dev_full=seg_out_dev)
 
 
 def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,

@@ -85,6 +85,12 @@ def get_lib() -> ctypes.CDLL | None:
                                                  ctypes.c_void_p,
                                                  ctypes.c_int,
                                                  ctypes.c_uint8]
+        if hasattr(lib, "boa_parts_postprocess_label"):
+            lib.boa_parts_postprocess_label.restype = ctypes.c_int64
+            lib.boa_parts_postprocess_label.argtypes = [
+                ctypes.c_void_p, *dims, ctypes.c_uint8,
+                *([ctypes.c_int64] * 6), ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
     except OSError as e:

@@ -109,6 +109,29 @@ def keep_largest_lut_inplace(seg: np.ndarray, lut: np.ndarray,
     return True
 
 
+def parts_postprocess_label(seg: np.ndarray, label_value: int,
+                            box: tuple, ring: tuple, threshold: int,
+                            out: np.ndarray) -> int | None:
+    """Fused native per-label body-parts postprocess: slice-wise external
+    fill + 26-conn small-object removal + hole filtering on the bbox of
+    `seg == label_value`, writing `label_value` into `out` at surviving
+    voxels. box = ((x0,x1),(y0,y1),(z0,z1)) padded bbox; ring = 6 flags
+    (lo/hi per axis) marking faces that carry a 1-voxel background pad
+    ring. Returns voxels written, or None when no native lib (caller
+    falls back to the numpy/cv2 path)."""
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "boa_parts_postprocess_label") or \
+            seg.dtype != np.uint8 or not seg.flags.c_contiguous or \
+            out.dtype != np.uint8 or not out.flags.c_contiguous:
+        return None
+    (x0, x1), (y0, y1), (z0, z1) = box
+    ring_arr = np.asarray(ring, np.uint8)
+    return int(lib.boa_parts_postprocess_label(
+        seg.ctypes.data, *[int(s) for s in seg.shape], int(label_value),
+        int(x0), int(x1), int(y0), int(y1), int(z0), int(z1),
+        ring_arr.ctypes.data, int(threshold), out.ctypes.data))
+
+
 def component_sizes(labels: np.ndarray, n: int) -> np.ndarray:
     lib = native.get_lib()
     if lib is not None and labels.dtype == np.int32 and \

@@ -81,6 +81,23 @@ def packbits_device(m: jax.Array) -> jax.Array:
     return out
 
 
+@jax.jit
+def unpackbits_device(p: jax.Array) -> jax.Array:
+    """Inverse of np.packbits(axis=0): (x//8, ...) bytes -> (x, ...) {0,1}."""
+    bits = [(p >> (7 - i)) & 1 for i in range(8)]
+    return jnp.stack(bits, axis=1).reshape(p.shape[0] * 8, *p.shape[1:])
+
+
+def upload_mask(m: np.ndarray) -> jax.Array:
+    """Host->device upload of a binary mask at 1 bit/voxel when the major
+    dim allows it. A mostly-zero mask (e.g. the region-postprocess ignore
+    fragments) additionally rides the tunnel compressor nearly free."""
+    if bit_packable(m.shape):
+        packed = np.packbits(np.ascontiguousarray(m) != 0, axis=0)
+        return unpackbits_device(jnp.asarray(packed))
+    return jnp.asarray((m != 0).astype(np.uint8))
+
+
 def download_mask(dev: jax.Array) -> np.ndarray:
     """Device->host download of a binary mask at 1 bit/voxel when the
     major dim allows it (8x less tunnel payload than a uint8 volume)."""

@@ -69,6 +69,8 @@ _ORGANS = [
                (18.0, 14.0, None), 50.0),
     _Ellipsoid("autochthon_left", (0.16, 0.62, 0.4),
                (18.0, 14.0, None), 50.0),
+    # anterior chest wall bone: populates the preview's "ribs" ROI group
+    _Ellipsoid("sternum", (0.0, -0.8, 0.75), (15.0, 9.0, 80.0), 400.0),
 ]
 
 #: vertebra stack: L5 (bottom) .. T1, evenly spaced along the scan
@@ -185,7 +187,7 @@ def fake_regions_seg(shape, spacing) -> np.ndarray:
     seg[fat2d, :] = int(BodyRegion.SUBCUTANEOUS_TISSUE)
     seg[muscle2d, :] = int(BodyRegion.MUSCLE)
     for name, _, paint in _iter_structures(shape, spacing):
-        if name.startswith("vertebrae"):
+        if name.startswith("vertebrae") or name == "sternum":
             paint(seg, int(BodyRegion.BONE))
         elif name in ("autochthon_left", "autochthon_right"):
             paint(seg, int(BodyRegion.MUSCLE))

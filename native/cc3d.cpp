@@ -245,6 +245,194 @@ int32_t boa_filter_components_by_size(const uint8_t* mask, int64_t nx, int64_t n
 
 }  // extern "C"
 
+namespace {
+
+// Tiled 2D transpose-compare: for one x of the bbox, gather the (y, z)
+// plane of `seg` (strides nz, 1) into the (z, y) plane of the zxy slab
+// (strides bx*by, 1) as a label-equality bool. 64x64 tiles keep both
+// sides cache-resident (a naive per-column copy misses on every write).
+void gather_plane_eq(const uint8_t* src, int64_t src_ystride, int64_t by,
+                     int64_t bz, uint8_t label, uint8_t* dst,
+                     int64_t dst_zstride) {
+  constexpr int64_t T = 64;
+  for (int64_t yt = 0; yt < by; yt += T) {
+    const int64_t ye = yt + T < by ? yt + T : by;
+    for (int64_t zt = 0; zt < bz; zt += T) {
+      const int64_t ze = zt + T < bz ? zt + T : bz;
+      for (int64_t y = yt; y < ye; ++y) {
+        const uint8_t* s = src + y * src_ystride;
+        for (int64_t z = zt; z < ze; ++z)
+          dst[z * dst_zstride + y] = (s[z] == label);
+      }
+    }
+  }
+}
+
+// Per-slice external fill: scanline flood fill of the background from the
+// slice border (4-connectivity), then everything NOT reached is
+// foreground-or-enclosed. By 8/4-connectivity duality this equals filling
+// the external contours of the 8-connected foreground (cv2 RETR_EXTERNAL
+// + drawContours FILLED, `body_parts/postprocess.py:7-52`).
+// slice: (sx, sy) contiguous, values {0,1}; marks outside cells as 2.
+void flood_outside_2d(uint8_t* m, int64_t sx, int64_t sy,
+                      std::vector<int64_t>& stack) {
+  stack.clear();
+  auto push_if_bg = [&](int64_t idx) {
+    if (m[idx] == 0) { m[idx] = 2; stack.push_back(idx); }
+  };
+  for (int64_t y = 0; y < sy; ++y) {
+    push_if_bg(y);
+    push_if_bg((sx - 1) * sy + y);
+  }
+  for (int64_t x = 0; x < sx; ++x) {
+    push_if_bg(x * sy);
+    push_if_bg(x * sy + sy - 1);
+  }
+  while (!stack.empty()) {
+    const int64_t idx = stack.back();
+    stack.pop_back();
+    const int64_t x = idx / sy, y = idx % sy;
+    // extend the scanline along contiguous y first (cheap), then spill
+    // across x (strided)
+    int64_t lo = y, hi = y;
+    while (lo > 0 && m[idx - (y - lo) - 1] == 0) {
+      --lo; m[x * sy + lo] = 2;
+    }
+    while (hi + 1 < sy && m[x * sy + hi + 1] == 0) {
+      ++hi; m[x * sy + hi] = 2;
+    }
+    for (int64_t yy = lo; yy <= hi; ++yy) {
+      if (x > 0) push_if_bg((x - 1) * sy + yy);
+      if (x + 1 < sx) push_if_bg((x + 1) * sy + yy);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused per-label body-parts postprocess
+// (`body_composition_analysis/body_parts/postprocess.py:7-52`): on the
+// padded bbox [x0,x1)x[y0,y1)x[z0,z1) of `seg`, build {seg == label},
+// fill each z slice's external contours, drop 26-conn components
+// < threshold, re-open enclosed holes >= threshold (holes touching a
+// pad-ring face are always re-opened; faces clamped to the volume edge
+// follow the size rule), and write `label` into `out` at surviving
+// voxels. ring6 = {x_lo, x_hi, y_lo, y_hi, z_lo, z_hi} pad-ring flags.
+// Replaces ~6 full-bbox numpy/cv2 passes (transpose pair, cv2 slice
+// loop, 2x int32 label volumes) with one slab + run-based CC.
+// Returns the number of voxels written.
+int64_t boa_parts_postprocess_label(
+    const uint8_t* seg, int64_t nx, int64_t ny, int64_t nz, uint8_t label,
+    int64_t x0, int64_t x1, int64_t y0, int64_t y1, int64_t z0, int64_t z1,
+    const uint8_t* ring6, int64_t threshold, uint8_t* out) {
+  const int64_t bx = x1 - x0, by = y1 - y0, bz = z1 - z0;
+  if (bx <= 0 || by <= 0 || bz <= 0) return 0;
+  // slab M in (z, x, y) layout: per-slice fill needs contiguous slices,
+  // and label_runs' run axis becomes the contiguous y
+  std::vector<uint8_t> M((size_t)(bz * bx * by));
+  for (int64_t x = 0; x < bx; ++x)
+    gather_plane_eq(seg + ((x0 + x) * ny + y0) * nz + z0, nz, by, bz, label,
+                    M.data() + x * by, bx * by);
+
+  std::vector<int64_t> stack;
+  for (int64_t z = 0; z < bz; ++z) {
+    uint8_t* slice = M.data() + z * bx * by;
+    flood_outside_2d(slice, bx, by, stack);
+    for (int64_t i = 0; i < bx * by; ++i) slice[i] = slice[i] != 2;
+  }
+
+  // 26-conn CC of the filled mask on the slab (dims (bz, bx, by): runs
+  // along y); component sizes from run lengths, no labels volume
+  std::vector<Run> runs;
+  std::vector<int64_t> row_start;
+  UnionFind uf;
+  label_runs(M.data(), nullptr, bz, bx, by, 3, runs, row_start, uf);
+  std::vector<int64_t> sizes(uf.parent.size(), 0);
+  for (Run& run : runs) {
+    run.lbl = uf.find(run.lbl);
+    sizes[run.lbl] += run.z1 - run.z0;
+  }
+  // keep >= threshold (reference: skimage max_size=threshold-1 removes
+  // size <= threshold-1); zero dropped runs out of M
+  bool any = false;
+  const int64_t n_rows = bz * bx;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    uint8_t* row = M.data() + r * by;
+    for (int64_t ri = row_start[r]; ri < row_start[r + 1]; ++ri) {
+      Run& run = runs[ri];
+      if (sizes[run.lbl] < threshold) {
+        for (int32_t y = run.z0; y < run.z1; ++y) row[y] = 0;
+        run.lbl = -1;
+      } else {
+        any = true;
+      }
+    }
+  }
+  if (!any) return 0;  // hole pass over pure background would be wasted
+
+  // background CC (26-conn) via a 0->1 LUT over the filtered M
+  uint8_t lut_inv[256] = {0};
+  lut_inv[0] = 1;
+  std::vector<Run> bruns;
+  std::vector<int64_t> brow_start;
+  UnionFind buf_;
+  label_runs(M.data(), lut_inv, bz, bx, by, 3, bruns, brow_start, buf_);
+  std::vector<int64_t> bsizes(buf_.parent.size(), 0);
+  for (Run& run : bruns) {
+    run.lbl = buf_.find(run.lbl);
+    bsizes[run.lbl] += run.z1 - run.z0;
+  }
+  std::vector<uint8_t> keep(buf_.parent.size(), 0);
+  for (size_t c = 0; c < keep.size(); ++c) keep[c] = bsizes[c] >= threshold;
+  // pad-ring faces: that background is the outside — always re-opened.
+  // ring6 is in original (x, y, z) axes; slab axes are (z, x, y):
+  //   original x faces -> rows with slab x == 0 / bx-1
+  //   original y faces -> run touching y == 0 / by-1 within a row
+  //   original z faces -> rows with slab z == 0 / bz-1
+  auto keep_rows = [&](int64_t r_begin, int64_t r_end, int64_t r_step) {
+    for (int64_t r = r_begin; r < r_end; r += r_step)
+      for (int64_t ri = brow_start[r]; ri < brow_start[r + 1]; ++ri)
+        keep[bruns[ri].lbl] = 1;
+  };
+  if (ring6[4]) keep_rows(0, bx, 1);                      // z lo: z == 0
+  if (ring6[5]) keep_rows((bz - 1) * bx, bz * bx, 1);     // z hi
+  if (ring6[0]) keep_rows(0, n_rows, bx);                 // x lo: x == 0
+  if (ring6[1]) keep_rows(bx - 1, n_rows, bx);            // x hi
+  if (ring6[2] || ring6[3]) {
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const int64_t rb = brow_start[r], re = brow_start[r + 1];
+      if (rb == re) continue;
+      if (ring6[2] && bruns[rb].z0 == 0) keep[bruns[rb].lbl] = 1;
+      if (ring6[3] && bruns[re - 1].z1 == (int32_t)by) keep[bruns[re - 1].lbl] = 1;
+    }
+  }
+
+  // final = filled foreground + non-kept (filled-in) background; write
+  // `label` back into the original (x, y, z) layout
+  int64_t written = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t z = r / bx, x = r % bx;
+    uint8_t* obase = out + ((x0 + x) * ny + y0) * nz + z0 + z;
+    for (int64_t ri = row_start[r]; ri < row_start[r + 1]; ++ri) {
+      const Run& run = runs[ri];
+      if (run.lbl < 0) continue;
+      for (int32_t y = run.z0; y < run.z1; ++y) obase[(int64_t)y * nz] = label;
+      written += run.z1 - run.z0;
+    }
+    for (int64_t ri = brow_start[r]; ri < brow_start[r + 1]; ++ri) {
+      const Run& run = bruns[ri];
+      if (keep[run.lbl]) continue;
+      for (int32_t y = run.z0; y < run.z1; ++y) obase[(int64_t)y * nz] = label;
+      written += run.z1 - run.z0;
+    }
+  }
+  return written;
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // 256-bin histogram of a uint8 volume (label discovery without the

@@ -44,6 +44,38 @@ def test_parts_postprocess_fills_holes_and_removes_small():
     assert (out == int(BodyPart.HEAD)).sum() == 0
 
 
+def test_parts_postprocess_native_matches_python(rng, monkeypatch):
+    """Fused native boa_parts_postprocess_label == the numpy/cv2 path on
+    blobby, speckled, and edge-clamped inputs (8/4-connectivity duality
+    makes border flood fill equal cv2 external-contour fill)."""
+    from boa_tpu import native
+
+    if native.get_lib() is None or \
+            not hasattr(native.get_lib(), "boa_parts_postprocess_label"):
+        pytest.skip("native lib unavailable")
+
+    cases = []
+    # blobby anatomy-like: torso slab with holes + appendages at edges
+    seg = np.zeros((40, 36, 24), np.uint8)
+    seg[4:32, 6:30, :] = 1          # clamped at z faces
+    seg[10:14, 10:14, 4:20] = 0     # big internal hole (kept if >= thr)
+    seg[20:22, 20:22, 8:10] = 0     # small hole -> filled
+    seg[0:3, 0:3, 0:3] = 2          # small blob at corner -> removed
+    seg[33:40, 30:36, 10:24] = 3    # blob clamped at hi faces
+    cases.append((seg, 30))
+    # random speckle exercises diagonal configurations
+    sp = (rng.random((32, 30, 26)) < 0.35).astype(np.uint8)
+    sp[sp > 0] = rng.integers(1, 4, size=int((sp > 0).sum())).astype(np.uint8)
+    cases.append((sp, 9))
+    cases.append((sp, 2))
+    for seg_case, thr in cases:
+        monkeypatch.setenv("BOA_NATIVE_PARTS", "0")
+        want = bca_pp.remove_small_labeled_objects(seg_case.copy(), thr)
+        monkeypatch.setenv("BOA_NATIVE_PARTS", "1")
+        got = bca_pp.remove_small_labeled_objects(seg_case.copy(), thr)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_subclassify_tissues_rules(rng):
     shape = (20, 20, 10)
     ct = rng.integers(-400, 200, size=shape).astype(np.int16)
@@ -63,6 +95,37 @@ def test_subclassify_tissues_rules(rng):
     ref[(regions == int(BodyRegion.MUSCLE)) & (ct >= -190) & (ct <= -30)] = int(
         Tissue.IMAT)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_subclassify_tissues_device_raw_path(rng):
+    """regions_dev_raw + 1-bit ignore mask == full host-upload path."""
+    import jax.numpy as jnp
+
+    shape = (16, 20, 10)
+    ct = rng.integers(-400, 200, size=shape).astype(np.int16)
+    raw = rng.integers(0, 12, size=shape).astype(np.uint8)
+    post = raw.copy()
+    post[3:5, 2:9, 1:4] = 255  # postprocess-removed fragments
+    want = subclassify_tissues(ct, post)
+    got, got_dev, regions_dev = subclassify_tissues(
+        ct, post, return_device=True, regions_dev_raw=jnp.asarray(raw))
+    np.testing.assert_array_equal(got, want)
+    # device regions copy carries the 15-encoded ignore fragments
+    assert (np.asarray(regions_dev)[3:5, 2:9, 1:4] == 15).all()
+    np.testing.assert_array_equal(
+        np.where(post == 255, np.uint8(15), post), np.asarray(regions_dev))
+    # no ignore fragments at all: raw passes through untouched
+    got2 = subclassify_tissues(ct, raw, regions_dev_raw=jnp.asarray(raw))
+    np.testing.assert_array_equal(got2, subclassify_tissues(ct, raw))
+
+
+def test_upload_mask_roundtrip(rng):
+    from boa_tpu.ops import packing
+
+    for shape in ((16, 5, 3), (13, 4)):  # 8-divisible and not
+        m = rng.random(shape) < 0.1
+        dev = packing.upload_mask(m)
+        np.testing.assert_array_equal(np.asarray(dev) != 0, m)
 
 
 @pytest.fixture(scope="module")
@@ -258,11 +321,23 @@ def test_preview_contains_all_roi_groups(tmp_path):
                if any(r in inv and
                       (depths[:, :, inv[r]] < preview._FAR).any()
                       for r in rois)}
-    # the phantom populates organs, vertebrae, cardiac, and muscles
-    assert {"organs", "vertebrae", "cardiac", "muscles"} <= present
+    # the phantom populates every ROI group (sternum covers "ribs")
+    assert present == set(preview.ROI_GROUPS)
     ct = anatomy.synth_ct(shape, spacing)
     ct_img = NiftiImage(data=ct, affine=np.diag([*spacing, 1.0]))
     seg_img = NiftiImage(data=seg, affine=np.diag([*spacing, 1.0]))
     out = tmp_path / "p.png"
     preview.generate_preview(ct_img, seg_img, cmap, out)
     assert out.exists() and out.stat().st_size > 20000
+
+    # decode the montage and require COLORED (non-gray) segmentation
+    # pixels in each of the 5 panels — the CT underlay and titles are
+    # grayscale, so saturation only comes from shaded organ surfaces
+    import matplotlib.image as mpimg
+
+    rgb = mpimg.imread(out)[..., :3]
+    panels = np.array_split(rgb, len(preview.ROI_GROUPS), axis=1)
+    for group, panel in zip(preview.ROI_GROUPS, panels):
+        saturation = panel.max(axis=-1) - panel.min(axis=-1)
+        assert (saturation > 0.15).sum() > 50, \
+            f"panel {group!r} has no rendered segmentation"

@@ -54,37 +54,32 @@ def test_cli_subprocess_end_to_end(tmp_path):
 
 def test_cli_bca_cnr_dark_theme(tmp_path):
     """Second reference-CI combo (`tests/test_cli.py:24-70` run 1):
-    BCA + --cnr-adjustment + --theme dark through the real CLI."""
-    from boa_tpu.bca.definitions import BodyPart, BodyRegion
+    BCA + --cnr-adjustment + --theme dark through the real CLI, with the
+    workbook's cnr-adjusted sheet pinned against a committed golden the way
+    the reference CI pins its Excel (`tests/test_results.py:18-28`).
 
-    wroot = tmp_path / "weights"
-    create_synthetic_model(
-        wroot, 297, "fast", num_classes=5,
-        trainer="nnUNetTrainer_4000epochs_NoMirroring",
-        patch_size=(16, 16, 16), spacing=(3.0, 3.0, 3.0), features=(4, 8))
-    create_synthetic_model(
-        wroot, 542, "BCA_body_regions", num_classes=max(BodyRegion) + 1,
-        trainer="nnUNetTrainerNoMirroring", patch_size=(16, 16, 8),
-        spacing=(1.5, 1.5, 5.0), features=(4, 8),
-        label_names=["background"] + [r.name for r in
-                                      sorted(BodyRegion, key=int)])
-    create_synthetic_model(
-        wroot, 543, "BCA_body_parts", num_classes=max(BodyPart) + 1,
-        trainer="nnUNetTrainer_1500epochs_NoMirroring",
-        patch_size=(16, 16, 8), spacing=(1.5, 1.5, 5.0), features=(4, 8),
-        label_names=["background"] + [r.name for r in
-                                      sorted(BodyPart, key=int)])
+    Segmentations come from the anatomy phantom via the BOA_TEST_ANATOMY
+    hook (the reference's `test=N` fake-inference mode,
+    `totalsegmentator/nnunet.py:560-578`): deterministic aorta/autochthon
+    labels with plausible HU, so the sheet exists and its numbers are
+    reproducible — random tiny weights never emit the autochthon classes
+    the CNR reference needs."""
+    from boa_tpu.testing.anatomy import synth_ct
 
-    data = np.full((40, 36, 32), -1000, np.int16)
-    data[8:32, 8:28, :] = 40
-    img = nifti.NiftiImage(data=data, affine=np.diag([-1.5, -1.5, 3.0, 1.0]))
+    shape, spacing = (160, 160, 48), (2.5, 2.5, 6.0)
+    # RAS affine: the anatomy hook paints labels in the canonical frame, so
+    # a pre-canonical study keeps seg and CT geometry aligned (an LPS study
+    # would mirror the labels against the HU content)
+    affine = np.diag([spacing[0], spacing[1], spacing[2], 1.0])
+    img = nifti.NiftiImage(data=synth_ct(shape=shape, spacing=spacing),
+                           affine=affine)
     study = tmp_path / "study.nii.gz"
     nifti.save(img, study)
 
     out = tmp_path / "out"
     env = dict(os.environ)
-    env.update(BOA_WEIGHTS_PATH=str(wroot), JAX_PLATFORMS="cpu",
-               SKIP_CONTRAST_INFORMATION="1",
+    env.update(JAX_PLATFORMS="cpu", SKIP_CONTRAST_INFORMATION="1",
+               BOA_TEST_ANATOMY="1",
                BOA_TPU_CONFIG_DIR=str(tmp_path / "cfg"))
     proc = subprocess.run(
         [sys.executable, "-m", "boa_tpu", "-i", str(study), "-o", str(out),
@@ -98,6 +93,26 @@ def test_cli_bca_cnr_dark_theme(tmp_path):
     assert (out / "tissues.nii.gz").exists()
     assert (out / "report.pdf").exists()
     assert (out / "bca-measurements.json").exists()
-    # the cnr-adjusted sheet requires the autochthon reference; with random
-    # tiny weights it may be absent, but the run itself must succeed and
-    # produce the workbook
+
+    # numeric regression of the cnr-adjusted sheet against a committed
+    # golden (the reference pins the same sheet with rtol=0.12,
+    # `tests/test_results.py:18-28`); phantom labels + seeded noise make
+    # the segmentation — and therefore the sheet — deterministic
+    import pandas as pd
+
+    from boa_tpu.io.xlsx import read_xlsx_sheet_df
+
+    cnr = read_xlsx_sheet_df(out / "output.xlsx", "cnr-adjusted",
+                             header_row=1)
+    assert not cnr.empty, "cnr-adjusted sheet missing or empty"
+    golden_path = Path(__file__).parent / "data" / "golden_cnr_adjusted.csv"
+    if not golden_path.exists():  # first run: materialize the golden
+        cnr.to_csv(golden_path, index=False)
+        pytest.fail(f"golden {golden_path} was missing; wrote it — rerun")
+    golden = pd.read_csv(golden_path)
+    assert list(cnr["BodyRegion"]) == list(golden["BodyRegion"])
+    num_cols = [c for c in golden.columns if c != "BodyRegion"]
+    pd.testing.assert_frame_equal(
+        cnr[num_cols].astype(float).reset_index(drop=True),
+        golden[num_cols].astype(float).reset_index(drop=True),
+        rtol=0.12)

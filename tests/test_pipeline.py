@@ -40,6 +40,29 @@ def test_fake_single_model_roundtrip():
     assert res.seg.get_label_map()[1] == "spleen"
 
 
+def test_keep_device_seg_matches_host_seg():
+    """keep_device_seg: the device twin is bit-identical to seg.data
+    (same index vectors for host/device nearest resample + orientation)."""
+    img = _ct()
+    store = ModelStore("/nonexistent")
+
+    def fake(vol, spacing, task_id):
+        r = np.random.default_rng(7)
+        return r.integers(0, 10, size=vol.shape).astype(np.uint8)
+
+    res = predict_image(img, "body_regions", store, fake_predict=fake,
+                        keep_device_seg=True)
+    assert res.seg_dev_full is not None
+    np.testing.assert_array_equal(np.asarray(res.seg_dev_full),
+                                  np.asarray(res.seg.data))
+    # cropped predictions can't expose a device twin (undo_crop is host-side)
+    mask = NiftiImage(data=(np.asarray(img.data) > 0).astype(np.uint8),
+                      affine=img.affine)
+    res_c = predict_image(img, "cerebral_bleed", store, crop_mask=mask,
+                          fake_predict=fake, keep_device_seg=True)
+    assert res_c.seg_dev_full is None
+
+
 def test_fake_multimodel_merge():
     """5-part merge maps part-local labels into the 117-class space."""
     img = _ct()

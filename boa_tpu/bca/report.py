@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from boa_tpu import native
 from boa_tpu.bca.definitions import ADIPOSE_TISSUES, BodyPart, BodyRegion, Tissue
 from boa_tpu.ops import connected_components as cc
 from boa_tpu.version import __version__
@@ -446,13 +447,25 @@ def create_vertebrae_info(total_seg: np.ndarray,
     nz = total_seg.shape[2]
     vals = sorted(vertebrae_map.values())
     vmin, vmax = vals[0], vals[-1]
-    seg_flat = np.ascontiguousarray(total_seg).ravel()
-    hits = np.flatnonzero((seg_flat >= vmin) & (seg_flat <= vmax))
     width = vmax - vmin + 1
-    z = (hits % nz).astype(np.int64)
-    lab = seg_flat[hits].astype(np.int64) - vmin
-    presence = np.bincount(z * width + lab, minlength=nz * width
-                           ).reshape(nz, width) > 0
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "boa_label_z_presence") and \
+            total_seg.dtype == np.uint8 and total_seg.ndim == 3 and \
+            total_seg.flags.c_contiguous:
+        # single read pass with a cache-resident (nz, width) table — the
+        # numpy form below walks ~3 volume-sized temps (~5 s on this host)
+        pres_u8 = np.empty((nz, width), np.uint8)
+        lib.boa_label_z_presence(
+            total_seg.ctypes.data, *[int(s) for s in total_seg.shape],
+            int(vmin), int(vmax), pres_u8.ctypes.data)
+        presence = pres_u8 != 0
+    else:
+        seg_flat = np.ascontiguousarray(total_seg).ravel()
+        hits = np.flatnonzero((seg_flat >= vmin) & (seg_flat <= vmax))
+        z = (hits % nz).astype(np.int64)
+        lab = seg_flat[hits].astype(np.int64) - vmin
+        presence = np.bincount(z * width + lab, minlength=nz * width
+                               ).reshape(nz, width) > 0
     info: dict[str, tuple[int, int]] = {}
     for vid, label in vertebrae_map.items():
         zs = np.where(presence[:, label - vmin])[0]

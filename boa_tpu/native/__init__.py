@@ -85,6 +85,17 @@ def get_lib() -> ctypes.CDLL | None:
                                                  ctypes.c_void_p,
                                                  ctypes.c_int,
                                                  ctypes.c_uint8]
+        for name in ("boa_pack4_axis0", "boa_unpack4_axis0"):
+            if hasattr(lib, name):
+                fn = getattr(lib, name)
+                fn.restype = None
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_void_p]
+        if hasattr(lib, "boa_label_z_presence"):
+            lib.boa_label_z_presence.restype = None
+            lib.boa_label_z_presence.argtypes = [
+                ctypes.c_void_p, *dims, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p]
         if hasattr(lib, "boa_parts_postprocess_label"):
             lib.boa_parts_postprocess_label.restype = ctypes.c_int64
             lib.boa_parts_postprocess_label.argtypes = [

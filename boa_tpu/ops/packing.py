@@ -19,19 +19,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _native_lib():
+    from boa_tpu import native
+
+    return native.get_lib()
+
+
 def packable(shape: tuple[int, ...], max_label: int) -> bool:
     return len(shape) >= 1 and shape[0] % 2 == 0 and 0 <= max_label < 16
 
 
 def pack_host(a: np.ndarray) -> np.ndarray:
     """(x, y, z) uint8 labels < 16 -> (x//2, y, z) packed bytes."""
+    lib = _native_lib()
+    if lib is not None and hasattr(lib, "boa_pack4_axis0") and \
+            a.dtype == np.uint8 and a.flags.c_contiguous:
+        out = np.empty((a.shape[0] // 2, *a.shape[1:]), np.uint8)
+        plane = int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1
+        lib.boa_pack4_axis0(a.ctypes.data, a.shape[0] // 2, plane,
+                            out.ctypes.data)
+        return out
     r = a.reshape(a.shape[0] // 2, 2, *a.shape[1:])
     return (r[:, 0] << 4 | r[:, 1]).astype(np.uint8)
 
 
 def unpack_host(p: np.ndarray) -> np.ndarray:
     """Inverse of pack_host / pack_device."""
+    lib = _native_lib()
     out = np.empty((p.shape[0] * 2, *p.shape[1:]), np.uint8)
+    if lib is not None and hasattr(lib, "boa_unpack4_axis0") and \
+            p.dtype == np.uint8 and p.flags.c_contiguous:
+        plane = int(np.prod(p.shape[1:], dtype=np.int64)) if p.ndim > 1 else 1
+        lib.boa_unpack4_axis0(p.ctypes.data, p.shape[0], plane,
+                              out.ctypes.data)
+        return out
     out[0::2] = p >> 4
     out[1::2] = p & 0x0F
     return out

@@ -39,18 +39,46 @@ def env_str(name: str, default: str | None = None) -> str | None:
     return value
 
 
-def is_valid_license(license_number: str | None) -> bool:
-    """STUB — format-only license check.
+def _validate_license_online(license_number: str, backend: str) -> bool:
+    """Remote license validation, reference protocol
+    (`totalsegmentator/config.py:107-120`): POST ``{"license_number": ..}``
+    as JSON to ``<backend>/is_valid_license_number`` with a 5 s timeout;
+    accept only an HTTP-ok response whose JSON carries
+    ``status == "valid_license"``. Server errors, timeouts, unreachable
+    hosts, and malformed bodies all reject."""
+    import json
+    import urllib.request
 
-    The reference calls a remote licensing backend
-    (`totalsegmentator/config.py:107-120`). This build has no egress, so
-    only the documented shape is checked (``aca_`` prefix, 18 characters
-    total — `bin/totalseg_set_license.py:31-34`); an invalid-but-well-
-    formed key will surface later as a failed weight download rather
-    than here.
+    url = backend.rstrip("/") + "/is_valid_license_number"
+    req = urllib.request.Request(
+        url, data=json.dumps({"license_number": license_number}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            return json.loads(resp.read().decode())["status"] == "valid_license"
+    except Exception as e:  # non-2xx raises HTTPError; plus URLError/JSON
+        logger.error("License backend validation failed: %s", e)
+        return False
+
+
+def is_valid_license(license_number: str | None) -> bool:
+    """License check gating the commercial model set.
+
+    With ``BOA_LICENSE_BACKEND`` set (e.g. the reference's
+    ``https://backend.totalsegmentator.com:443``) the key is validated
+    against the remote backend exactly like the reference
+    (`totalsegmentator/config.py:107-120`). Without a configured backend
+    — the default, and the only option in an egress-blocked deployment —
+    only the documented key shape is checked (``aca_`` prefix, 18
+    characters total — `bin/totalseg_set_license.py:31-34`); an
+    invalid-but-well-formed key will surface later as a failed weight
+    download rather than here.
     """
     if not license_number:
         return False
+    backend = env_str("BOA_LICENSE_BACKEND")
+    if backend:
+        return _validate_license_online(license_number, backend)
     return license_number.startswith("aca_") and len(license_number) == 18
 
 

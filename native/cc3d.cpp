@@ -453,4 +453,54 @@ void boa_histogram_u8(const uint8_t* data, int64_t n, int64_t* out256) {
     for (int v = 0; v < 256; ++v) out256[v] += local[k][v];
 }
 
+// 4-bit label packing along axis 0 (ops/packing.py): out[k] =
+// a[2k] << 4 | a[2k+1], planes of `plane` bytes. One sequential pass —
+// the numpy form pays two shifted-temp volumes of extra traffic, which
+// at this host's ~150 MB/s memcpy costs seconds per study.
+void boa_pack4_axis0(const uint8_t* a, int64_t n_pairs, int64_t plane,
+                     uint8_t* out) {
+  for (int64_t k = 0; k < n_pairs; ++k) {
+    const uint8_t* hi = a + 2 * k * plane;
+    const uint8_t* lo = hi + plane;
+    uint8_t* o = out + k * plane;
+    for (int64_t i = 0; i < plane; ++i)
+      o[i] = (uint8_t)(hi[i] << 4 | lo[i]);
+  }
+}
+
+// Inverse of boa_pack4_axis0: out[2k] = p[k] >> 4, out[2k+1] = p[k] & 15.
+void boa_unpack4_axis0(const uint8_t* p, int64_t n_pairs, int64_t plane,
+                       uint8_t* out) {
+  for (int64_t k = 0; k < n_pairs; ++k) {
+    const uint8_t* s = p + k * plane;
+    uint8_t* hi = out + 2 * k * plane;
+    uint8_t* lo = hi + plane;
+    for (int64_t i = 0; i < plane; ++i) {
+      hi[i] = (uint8_t)(s[i] >> 4);
+      lo[i] = (uint8_t)(s[i] & 0x0F);
+    }
+  }
+}
+
+// Per-slice presence of labels in [vmin, vmax]: out[z * width + (v - vmin)]
+// = 1 for every voxel value v in range (width = vmax - vmin + 1). One read
+// pass over the (x, y, z) C-contiguous seg with a cache-resident output —
+// the numpy equivalent (range mask + flatnonzero + bincount,
+// bca/report.py create_vertebrae_info) walks ~3 volume-sized temps.
+void boa_label_z_presence(const uint8_t* seg, int64_t nx, int64_t ny,
+                          int64_t nz, int vmin, int vmax, uint8_t* out) {
+  const int width = vmax - vmin + 1;
+  std::memset(out, 0, (size_t)(nz * width));
+  const int64_t nxy = nx * ny;
+  const uint8_t lo = (uint8_t)vmin;
+  const uint8_t span = (uint8_t)(vmax - vmin);
+  for (int64_t r = 0; r < nxy; ++r) {
+    const uint8_t* row = seg + r * nz;
+    for (int64_t z = 0; z < nz; ++z) {
+      const uint8_t d = (uint8_t)(row[z] - lo);
+      if (d <= span) out[z * width + d] = 1;
+    }
+  }
+}
+
 }  // extern "C"

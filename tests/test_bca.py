@@ -227,6 +227,25 @@ def test_vertebrae_info():
     assert "C7" not in info  # no neck detected
 
 
+def test_vertebrae_info_native_matches_numpy(rng, monkeypatch):
+    """boa_label_z_presence path == the numpy range-mask/bincount path on
+    a dense random seg covering in-range, out-of-range, and 0 labels."""
+    from boa_tpu import native
+    from boa_tpu.bca import report as report_mod
+
+    if native.get_lib() is None or \
+            not hasattr(native.get_lib(), "boa_label_z_presence"):
+        pytest.skip("native lib unavailable")
+    cm = class_maps.get_class_map("total")
+    seg = rng.integers(0, 118, (24, 22, 37)).astype(np.uint8)
+    bp = (AggregatableBodyPart.ABDOMEN | AggregatableBodyPart.THORAX
+          | AggregatableBodyPart.NECK)
+    got = create_vertebrae_info(seg, bp, cm)
+    monkeypatch.setattr(report_mod.native, "get_lib", lambda: None)
+    want = create_vertebrae_info(seg, bp, cm)
+    assert got == want and got  # non-trivial: dense seg hits vertebrae
+
+
 def test_run_pipeline_fake(tmp_path, synthetic_study):
     from boa_tpu.bca.pipeline import run_pipeline
 

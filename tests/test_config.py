@@ -43,6 +43,76 @@ def test_license_gating():
     assert "heartchambers_highres" in ok
 
 
+@pytest.fixture
+def license_backend(monkeypatch):
+    """Local mock of the reference licensing backend
+    (`totalsegmentator/config.py:107-120`): POST /is_valid_license_number,
+    JSON body {"license_number": ...}. 'aca_good...' validates, 'aca_err...'
+    returns HTTP 500, everything else is a well-formed rejection."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            assert self.path == "/is_valid_license_number"
+            body = json.loads(self.rfile.read(
+                int(self.headers["Content-Length"])))
+            key = body.get("license_number", "")
+            if key.startswith("aca_err"):
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(b'{"message": "boom"}')
+                return
+            status = ("valid_license" if key.startswith("aca_good")
+                      else "invalid_license")
+            payload = json.dumps({"status": status}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    monkeypatch.setenv("BOA_LICENSE_BACKEND",
+                       f"http://127.0.0.1:{server.server_port}")
+    yield server
+    server.shutdown()
+    thread.join(timeout=5)
+
+
+def test_license_backend_validation(license_backend, monkeypatch):
+    from boa_tpu.utils.config import is_valid_license
+
+    good = "aca_good" + "x" * 10
+    assert is_valid_license(good)
+    assert "heartchambers_highres" in resolve_models("all",
+                                                     license_number=good)
+    # backend rejects a well-FORMED key the offline check would accept
+    assert not is_valid_license("aca_nope" + "x" * 10)
+    # server error and unreachable backend both reject (reference
+    # prints-and-returns-False on any exception)
+    assert not is_valid_license("aca_err_" + "x" * 10)
+    port = license_backend.server_port
+    license_backend.shutdown()
+    license_backend.server_close()  # free the port -> connection refused
+    monkeypatch.setenv("BOA_LICENSE_BACKEND", f"http://127.0.0.1:{port}")
+    assert not is_valid_license(good)
+
+
+def test_license_offline_format_only(monkeypatch):
+    from boa_tpu.utils.config import is_valid_license
+
+    monkeypatch.delenv("BOA_LICENSE_BACKEND", raising=False)
+    assert is_valid_license("aca_" + "x" * 14)
+    assert not is_valid_license("aca_short")
+    assert not is_valid_license(None)
+
+
 def test_resolve_device_aliases(monkeypatch):
     monkeypatch.delenv("DEVICE", raising=False)
     monkeypatch.delenv("NVIDIA_ID", raising=False)

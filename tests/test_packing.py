@@ -18,6 +18,22 @@ def test_host_roundtrip(labels):
         packing.unpack_host(packing.pack_host(labels)), labels)
 
 
+def test_native_pack_matches_numpy(labels, monkeypatch):
+    """boa_pack4/unpack4_axis0 == the pure-numpy forms."""
+    from boa_tpu import native
+
+    if native.get_lib() is None or \
+            not hasattr(native.get_lib(), "boa_pack4_axis0"):
+        pytest.skip("native lib unavailable")
+    packed_nat = packing.pack_host(labels)
+    unpacked_nat = packing.unpack_host(packed_nat)
+    monkeypatch.setattr(packing, "_native_lib", lambda: None)
+    np.testing.assert_array_equal(packed_nat, packing.pack_host(labels))
+    np.testing.assert_array_equal(unpacked_nat,
+                                  packing.unpack_host(packed_nat))
+    np.testing.assert_array_equal(unpacked_nat, labels)
+
+
 def test_device_matches_host(labels):
     import jax.numpy as jnp
 

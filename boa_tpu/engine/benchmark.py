@@ -80,6 +80,39 @@ def benchmark_training(out_dir: str | Path, patch=(64, 64, 64),
     return result
 
 
+def main(argv: list[str] | None = None) -> None:
+    """CLI: `python -m boa_tpu.engine.benchmark [--flagship] [-o DIR]`.
+
+    Default is the reference harness's small 5-epoch config; --flagship
+    runs the production total-model architecture (6 stages, 128³ patch,
+    batch 2 — the ~201 ms/iter number in README)."""
+    import argparse
+    import tempfile
+
+    ap = argparse.ArgumentParser(description="training epoch-time benchmark")
+    ap.add_argument("-o", "--out-dir", default=None)
+    ap.add_argument("--flagship", action="store_true",
+                    help="6-stage 32..320 arch, 128^3 patch, 25 classes")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args(argv)
+    kw: dict = {}
+    if args.flagship:
+        kw = dict(patch=(128, 128, 128), num_classes=25,
+                  features=(32, 64, 128, 256, 320, 320),
+                  n_epochs=3, iters_per_epoch=20)
+    if args.epochs is not None:
+        kw["n_epochs"] = args.epochs
+    if args.iters is not None:
+        kw["iters_per_epoch"] = args.iters
+    out = args.out_dir or tempfile.mkdtemp(prefix="boa_trainbench_")
+    result = benchmark_training(out, **kw)
+    print(json.dumps({k: result[k] for k in
+                      ("backend", "device", "patch_size", "batch_size",
+                       "iters_per_epoch", "fastest_epoch_s", "it_per_s")}))
+    print(f"result written to {out}/benchmark_result.json")
+
+
 def summarize_benchmark_results(folders: list[str | Path]) -> dict:
     """Collector (parity: `batch_running/benchmarking/
     summarize_benchmark_results.py`)."""
@@ -92,3 +125,7 @@ def summarize_benchmark_results(folders: list[str | Path]) -> dict:
                             "fastest_epoch_s": r.get("fastest_epoch_s"),
                             "it_per_s": r.get("it_per_s")}
     return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,23 @@ def tissue_heatmap(tissues: np.ndarray, axis: int) -> np.ndarray:
     return np.clip(rgb, 0, 1)
 
 
+def axial_overlay(ct_slices: np.ndarray, tis_slices: np.ndarray) -> np.ndarray:
+    """Soft-tissue-windowed CT with alpha-blended tissue colors,
+    (x, y, n[, 3]) -> (x, y, n, 3). The reference's slice-check strips and
+    aggregation overlay images (`report/plots/*`) carry the same content."""
+    import matplotlib
+
+    g = np.clip((ct_slices.astype(np.float32) + 150.0) / 400.0, 0.0, 1.0)
+    rgb = np.repeat(g[..., None], 3, axis=-1)
+    for t in Tissue:
+        name = t.name.capitalize() if t in (Tissue.BONE, Tissue.MUSCLE) else t.name
+        color = np.asarray(matplotlib.colors.to_rgb(TISSUE_COLORS[name]),
+                           np.float32)
+        m = tis_slices == int(t)
+        rgb[m] = 0.45 * rgb[m] + 0.55 * color
+    return rgb
+
+
 def render_report_pdf(builder, prepared: dict[str, Any], version: str) -> bytes:
     import matplotlib
 
@@ -95,8 +112,31 @@ def render_report_pdf(builder, prepared: dict[str, Any], version: str) -> bytes:
         pdf.savefig(fig, facecolor=face)
         plt.close(fig)
 
-        # page 3+: aggregated tables — with AND without extremities (the
-        # reference report carries both per body region)
+        # page 3: equidistant slice-check strip (reference: slice-check
+        # images, `report/plots/*`) — CT + tissue overlay at 12 positions
+        nz = builder._tissues.shape[2]
+        n_chk = min(12, nz)
+        chk = np.linspace(0, nz - 1, n_chk).round().astype(int)
+        aggs = prepared["aggregated_measurements"]
+        mids = [int((lo + hi) // 2) for _, (lo, hi), *_ in aggs]
+        # ONE batched host/device slice fetch for strip + aggregation pages
+        all_idx = np.asarray(list(chk) + mids, np.int64)
+        ct_sl = builder.axial_ct_slices(all_idx)
+        overlays = axial_overlay(ct_sl, builder._tissues[:, :, all_idx])
+        fig, axes3 = plt.subplots(3, 4, figsize=(8.3, 11.7), facecolor=face)
+        for k, ax in enumerate(axes3.ravel()):
+            ax.axis("off")
+            if k < n_chk:
+                ax.imshow(np.rot90(overlays[:, :, k]),
+                          interpolation="nearest", aspect="auto")
+                ax.set_title(f"slice {int(chk[k])}", color=txt, fontsize=8)
+        fig.suptitle("Slice check — tissue overlay", color=txt)
+        pdf.savefig(fig, facecolor=face)
+        plt.close(fig)
+
+        # page 4+: aggregated tables — with AND without extremities (the
+        # reference report carries both per body region) plus the window's
+        # mid-slice overlay image (reference: aggregation overlay images)
         def _draw_table(ax, frame, title):
             ax.axis("off")
             ax.set_title(title, color=txt)
@@ -109,12 +149,16 @@ def render_report_pdf(builder, prepared: dict[str, Any], version: str) -> bytes:
             table.auto_set_font_size(False)
             table.set_fontsize(7)
 
-        for name, (lo, hi), _, stats, stats_nl in \
-                prepared["aggregated_measurements"]:
-            fig, axes2 = plt.subplots(2, 1, figsize=(8.3, 11.7),
-                                      facecolor=face)
+        for j, (name, (lo, hi), _, stats, stats_nl) in enumerate(aggs):
+            fig, axes2 = plt.subplots(
+                3, 1, figsize=(8.3, 11.7), facecolor=face,
+                height_ratios=[4, 4, 3])
             _draw_table(axes2[0], stats, f"{name} (slices {lo}-{hi})")
             _draw_table(axes2[1], stats_nl, f"{name} — NoExtremities")
+            axes2[2].axis("off")
+            axes2[2].imshow(np.rot90(overlays[:, :, n_chk + j]),
+                            interpolation="nearest", aspect="auto")
+            axes2[2].set_title(f"mid slice {mids[j]}", color=txt, fontsize=8)
             pdf.savefig(fig, facecolor=face)
             plt.close(fig)
 

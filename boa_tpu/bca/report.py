@@ -189,6 +189,15 @@ class Builder:
         self._counts_nl = np.asarray(counts_nl, np.float64)
         self._husums_nl = np.asarray(husums_nl, np.float64)
 
+    def axial_ct_slices(self, idxs) -> np.ndarray:
+        """(x, y, len(idxs)) CT slices on host for the PDF overlay pages.
+        A device-resident CT downloads only the requested slices (one
+        small gather + transfer, not the full volume)."""
+        idxs = np.asarray(idxs, np.int64)
+        if isinstance(self._ct, np.ndarray):
+            return np.ascontiguousarray(self._ct[:, :, idxs])
+        return np.asarray(jnp.take(self._ct, jnp.asarray(idxs), axis=2))
+
     # -- per-z region histogram: every cavity range/volume derives from
     #    this ONE pass (replacing repeated full-volume isin/== scans)
     def region_z_counts(self) -> np.ndarray:

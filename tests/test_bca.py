@@ -317,7 +317,11 @@ def test_report_pdf_structure(synthetic_study, tmp_path):
     pdf = b.create_pdf(**prepared)
     assert pdf.startswith(b"%PDF")
     n_pages = pdf.count(b"/Type /Page") - pdf.count(b"/Type /Pages")
-    assert n_pages >= 3, f"expected a multi-page report, got {n_pages}"
+    # summary + heatmaps + slice-check strip + one page per aggregation
+    # window (tables + mid-slice overlay image)
+    n_aggs = len(prepared["aggregated_measurements"])
+    assert n_pages == 3 + n_aggs, \
+        f"expected {3 + n_aggs} pages, got {n_pages}"
     # aggregated measurements cover the cavity groups
     names = [name for name, *_ in prepared["aggregated_measurements"]]
     assert "Whole Scan" in names

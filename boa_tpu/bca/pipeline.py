@@ -46,7 +46,7 @@ def _postprocess_bca_task(task_name: str, res, label_map) -> nifti.NiftiImage:
     if getattr(res, "seg_dev_full", None) is not None:
         # device twin of the PRE-postprocess seg: the tissue pass rebuilds
         # the postprocessed device copy from it plus a 1-bit ignore mask
-        object.__setattr__(out, "_raw_device_seg", res.seg_dev_full)
+        out._raw_device_seg = res.seg_dev_full
     return out
 
 

@@ -113,16 +113,15 @@ def render_report_pdf(builder, prepared: dict[str, Any], version: str) -> bytes:
         plt.close(fig)
 
         # page 3: equidistant slice-check strip (reference: slice-check
-        # images, `report/plots/*`) — CT + tissue overlay at 12 positions
-        nz = builder._tissues.shape[2]
-        n_chk = min(12, nz)
-        chk = np.linspace(0, nz - 1, n_chk).round().astype(int)
+        # images, `report/plots/*`) — CT + tissue overlay at 12 positions.
+        # The slices were fetched by Builder.prepare on the MAIN thread
+        # (this renderer may run on the HostWorker; device dispatch must
+        # not happen here — utils/stages.py invariant).
+        sc = prepared["equidistant_slice_check"]
+        chk, mids = sc["check_idxs"], sc["mid_idxs"]
+        n_chk = len(chk)
         aggs = prepared["aggregated_measurements"]
-        mids = [int((lo + hi) // 2) for _, (lo, hi), *_ in aggs]
-        # ONE batched host/device slice fetch for strip + aggregation pages
-        all_idx = np.asarray(list(chk) + mids, np.int64)
-        ct_sl = builder.axial_ct_slices(all_idx)
-        overlays = axial_overlay(ct_sl, builder._tissues[:, :, all_idx])
+        overlays = axial_overlay(sc["ct_slices"], sc["tissue_slices"])
         fig, axes3 = plt.subplots(3, 4, figsize=(8.3, 11.7), facecolor=face)
         for k, ax in enumerate(axes3.ravel()):
             ax.axis("off")

@@ -388,9 +388,24 @@ class Builder:
                 columns={"25th_percentile_hu": "twentyfive_percentile_hu",
                          "75th_percentile_hu": "seventyfive_percentile_hu"})
 
+        # fetch the PDF overlay CT slices HERE: prepare runs on the main
+        # thread, while create_pdf may run on the HostWorker — device
+        # dispatch (a device-resident self._ct) must stay main-thread-only
+        # (utils/stages.py invariant)
+        nz = self._tissues.shape[2]
+        chk = np.linspace(0, nz - 1, min(12, nz)).round().astype(np.int64)
+        mids = [int((lo + hi) // 2) for _, (lo, hi), *_ in aggregations]
+        all_idx = np.concatenate([chk, np.asarray(mids, np.int64)])
+        slice_check = {
+            "check_idxs": chk,
+            "mid_idxs": mids,
+            "ct_slices": self.axial_ct_slices(all_idx),
+            "tissue_slices": self._tissues[:, :, all_idx],
+        }
+
         return {
             "aggregated_measurements": aggregations,
-            "equidistant_slice_check": None,
+            "equidistant_slice_check": slice_check,
             "image_summary": None,
             "other_findings": self.generate_secondary_findings(),
             "slicewise_measurements": df,

@@ -108,11 +108,15 @@ def run(argv: list[str] | None = None) -> None:
         args.skip_contrast_information
         or env_bool("SKIP_CONTRAST_INFORMATION", False))
 
-    if license_number and not is_valid_license(license_number):
+    license_valid = bool(license_number) and is_valid_license(license_number)
+    if license_number and not license_valid:
         raise ValueError("The provided license number is not valid.")
 
+    # pass the verdict through: with BOA_LICENSE_BACKEND set the check is
+    # a remote POST — don't pay (or race) it twice
     models_to_compute = resolve_models(args.models,
-                                       license_number=license_number)
+                                       license_number=license_number,
+                                       license_valid=license_valid)
 
     if "PREDICT_FAST" in os.environ:
         warnings.warn(

@@ -33,7 +33,8 @@ def pack_host(a: np.ndarray) -> np.ndarray:
     """(x, y, z) uint8 labels < 16 -> (x//2, y, z) packed bytes."""
     lib = _native_lib()
     if lib is not None and hasattr(lib, "boa_pack4_axis0") and \
-            a.dtype == np.uint8 and a.flags.c_contiguous:
+            a.dtype == np.uint8 and a.flags.c_contiguous and \
+            a.shape[0] % 2 == 0:  # match the numpy reshape's odd-dim error
         out = np.empty((a.shape[0] // 2, *a.shape[1:]), np.uint8)
         plane = int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1
         lib.boa_pack4_axis0(a.ctypes.data, a.shape[0] // 2, plane,

@@ -93,14 +93,21 @@ def _expand_bca(models: set[str]) -> set[str]:
 
 
 def resolve_models(
-    spec: str | None, strict: bool = False, license_number: str | None = None
+    spec: str | None, strict: bool = False,
+    license_number: str | None = None,
+    license_valid: bool | None = None,
 ) -> set[str]:
-    """Turn a ``+``-separated model spec into the set of models to run."""
+    """Turn a ``+``-separated model spec into the set of models to run.
+
+    ``license_valid`` lets a caller that already validated the key (the
+    CLI does, with a potentially remote check) pass the verdict through
+    instead of paying/racing a second backend round trip."""
     # falsy spec (None OR empty string, e.g. a docker-compose pass-through
     # of an unset host var) means "all", like the reference's `if not spec`
     if not spec or spec.lower() == "all":
         selected = set(ALL_MODELS)
-        if is_valid_license(license_number):
+        if (is_valid_license(license_number) if license_valid is None
+                else license_valid):
             selected |= LICENSE_MODELS
         return _expand_bca(selected)
 

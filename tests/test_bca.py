@@ -227,6 +227,40 @@ def test_vertebrae_info():
     assert "C7" not in info  # no neck detected
 
 
+def test_bca_real_model_path(tmp_path):
+    """Real (synthetic-weights) BCA model path: weight-store loading,
+    trainer-dir resolution (NoMirroring / 1500epochs_NoMirroring),
+    label_names plumbing, and the actual fold forward — coverage the CLI
+    e2e test lost when it moved onto the fake-predict anatomy hook."""
+    from boa_tpu.inference.pipeline import predict_image
+    from boa_tpu.weights.store import ModelStore, create_synthetic_model
+
+    wroot = tmp_path / "weights"
+    create_synthetic_model(
+        wroot, 542, "BCA_body_regions", num_classes=max(BodyRegion) + 1,
+        trainer="nnUNetTrainerNoMirroring", patch_size=(16, 16, 8),
+        spacing=(1.5, 1.5, 5.0), features=(4, 8),
+        label_names=["background"] + [r.name for r in
+                                      sorted(BodyRegion, key=int)])
+    create_synthetic_model(
+        wroot, 543, "BCA_body_parts", num_classes=max(BodyPart) + 1,
+        trainer="nnUNetTrainer_1500epochs_NoMirroring",
+        patch_size=(16, 16, 8), spacing=(1.5, 1.5, 5.0), features=(4, 8),
+        label_names=["background"] + [r.name for r in
+                                      sorted(BodyPart, key=int)])
+    store = ModelStore(wroot)
+    data = np.full((40, 36, 16), -1000, np.int16)
+    data[8:32, 8:28, :] = 40
+    img = NiftiImage(data=data, affine=np.diag([-1.5, -1.5, 3.0, 1.0]))
+    res_r = predict_image(img, "body_regions", store, fast=True)
+    assert res_r.seg.shape == data.shape
+    assert res_r.label_map[int(BodyRegion.ABDOMINAL_CAVITY)].upper() == \
+        BodyRegion.ABDOMINAL_CAVITY.name
+    res_p = predict_image(img, "body_parts", store, fast=True)
+    assert res_p.seg.shape == data.shape
+    assert res_p.label_map[int(BodyPart.TORSO)].upper() == BodyPart.TORSO.name
+
+
 def test_vertebrae_info_native_matches_numpy(rng, monkeypatch):
     """boa_label_z_presence path == the numpy range-mask/bincount path on
     a dense random seg covering in-range, out-of-range, and 0 labels."""

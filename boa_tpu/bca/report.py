@@ -189,14 +189,16 @@ class Builder:
         self._counts_nl = np.asarray(counts_nl, np.float64)
         self._husums_nl = np.asarray(husums_nl, np.float64)
 
-    def axial_ct_slices(self, idxs) -> np.ndarray:
-        """(x, y, len(idxs)) CT slices on host for the PDF overlay pages.
-        A device-resident CT downloads only the requested slices (one
-        small gather + transfer, not the full volume)."""
+    def axial_ct_slices(self, idxs, stride: int = 1) -> np.ndarray:
+        """(x/stride, y/stride, len(idxs)) CT slices on host for the PDF
+        overlay pages. A device-resident CT downloads only the requested
+        (optionally xy-downsampled) slices — one small gather + transfer,
+        not the full volume."""
         idxs = np.asarray(idxs, np.int64)
         if isinstance(self._ct, np.ndarray):
-            return np.ascontiguousarray(self._ct[:, :, idxs])
-        return np.asarray(jnp.take(self._ct, jnp.asarray(idxs), axis=2))
+            return np.ascontiguousarray(self._ct[::stride, ::stride, idxs])
+        sl = jnp.take(self._ct[::stride, ::stride], jnp.asarray(idxs), axis=2)
+        return np.asarray(sl)
 
     # -- per-z region histogram: every cavity range/volume derives from
     #    this ONE pass (replacing repeated full-volume isin/== scans)
@@ -396,11 +398,16 @@ class Builder:
         chk = np.linspace(0, nz - 1, min(12, nz)).round().astype(np.int64)
         mids = [int((lo + hi) // 2) for _, (lo, hi), *_ in aggregations]
         all_idx = np.concatenate([chk, np.asarray(mids, np.int64)])
+        # xy-downsample the overlay panels: ~18 full-res imshow rasters
+        # cost seconds of the single host core (the PDF renders on the
+        # HostWorker, contending with main-thread stages) and 4x the
+        # tunnel bytes, for no visual-check value
+        ds = max(1, min(self._tissues.shape[0], self._tissues.shape[1]) // 256)
         slice_check = {
             "check_idxs": chk,
             "mid_idxs": mids,
-            "ct_slices": self.axial_ct_slices(all_idx),
-            "tissue_slices": self._tissues[:, :, all_idx],
+            "ct_slices": self.axial_ct_slices(all_idx, stride=ds),
+            "tissue_slices": self._tissues[::ds, ::ds, all_idx],
         }
 
         return {

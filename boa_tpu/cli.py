@@ -175,7 +175,9 @@ def run(argv: list[str] | None = None) -> None:
 
     if args.use_study_prefix:
         prefix = args.input_image.name.removesuffix(".nii.gz") + "_"
-        for artifact in args.output_dir.iterdir():
+        # snapshot before renaming: a lazy scandir can re-surface renamed
+        # entries mid-iteration and double-prefix them
+        for artifact in sorted(args.output_dir.iterdir()):
             artifact.rename(artifact.with_name(prefix + artifact.name))
 
 

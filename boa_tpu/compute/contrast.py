@@ -256,7 +256,16 @@ def predict(ct_path: Path | str | nifti.NiftiImage,
             logger.info("No trained contrast model found; using heuristic "
                         "rules")
             phase_idx, phase_list = _heuristic_phase(feats)
-        git_idx, git_prob = _git_from_features(feats)
+        try:
+            git_idx, git_prob = _git_from_features(feats)
+        except FileNotFoundError:
+            # a typo'd BOA_GIT_MODEL must not take the already-computed IV
+            # phase down with it (analyze_ct's contrast guard would drop
+            # BOTH info-sheet rows); degrade to the heuristic LOUDLY
+            logger.exception(
+                "BOA_GIT_MODEL is set but unloadable; falling back to the "
+                "heuristic GIT rule for this study")
+            git_idx, git_prob = _heuristic_git(feats)
 
     return {
         "phase_ensemble_predicted_class": PHASES[phase_idx],

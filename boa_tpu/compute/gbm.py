@@ -64,7 +64,10 @@ def _best_split(x, g, h, idx, lam, min_child_weight):
             HL = hl + (Hm if dleft else 0.0)
             GR = gr + (0.0 if dleft else Gm)
             HR = hr + (0.0 if dleft else Hm)
-            gain = GL * GL / (HL + lam) + GR * GR / (HR + lam) - parent
+            # xgboost gain = 1/2 (GL²/(HL+λ) + GR²/(HR+λ) − parent): the
+            # 1/2 keeps the `gamma` pruning threshold on xgboost's scale
+            gain = 0.5 * (GL * GL / (HL + lam) + GR * GR / (HR + lam)
+                          - parent)
             gain[(HL < min_child_weight) | (HR < min_child_weight)] = -np.inf
             k = int(np.argmax(gain))
             if gain[k] > best_gain + 1e-12:

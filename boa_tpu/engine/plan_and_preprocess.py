@@ -109,6 +109,9 @@ def plan_and_preprocess(dataset_dir: str | Path, out_dir: str | Path,
                             hbm_target_gb=hbm_target_gb)
     props = plans["foreground_intensity_properties_per_channel"]["0"]
 
+    # resolve each requested configuration once (inheritance, spacing,
+    # target store) ...
+    targets: list[tuple[str, np.ndarray, "CaseStore"]] = []
     for config in configurations:
         if config not in plans["configurations"]:
             logger.info("configuration %r not planned for this dataset, "
@@ -124,29 +127,36 @@ def plan_and_preprocess(dataset_dir: str | Path, out_dir: str | Path,
             continue
         target = np.asarray(conf["spacing"], np.float64)
         sub = "cases" if config == "3d_fullres" else f"cases_{config}"
-        store = CaseStore(out_dir / sub)
-        for cid in ids:
-            img, seg = _load_case(dataset_dir, cid)
-            data = np.asarray(img.data, np.float32)
-            segd = np.asarray(seg.data) if seg is not None else \
-                np.zeros(data.shape, np.int8)
-            bbox = pp.nonzero_bbox(data)
-            sl = tuple(slice(b[0], b[1]) for b in bbox)
-            data, segd = data[sl], segd[sl]
-            # CT normalize with the dataset fingerprint
-            data = np.clip(data, props["percentile_00_5"],
-                           props["percentile_99_5"])
-            data = (data - props["mean"]) / max(props["std"], 1e-8)
-            cur = np.asarray(img.zooms, np.float64)
+        targets.append((config, target, CaseStore(out_dir / sub)))
+
+    # ... then load/crop/normalize each case ONCE and only resample per
+    # configuration — for cascade runs (fullres + lowres) this halves the
+    # heaviest host work (NIfTI reads + full-volume clip/normalize passes
+    # on the single slow core)
+    for cid in ids if targets else []:
+        img, seg = _load_case(dataset_dir, cid)
+        data = np.asarray(img.data, np.float32)
+        segd = np.asarray(seg.data) if seg is not None else \
+            np.zeros(data.shape, np.int8)
+        bbox = pp.nonzero_bbox(data)
+        sl = tuple(slice(b[0], b[1]) for b in bbox)
+        data, segd = data[sl], segd[sl]
+        # CT normalize with the dataset fingerprint
+        data = np.clip(data, props["percentile_00_5"],
+                       props["percentile_99_5"])
+        data = (data - props["mean"]) / max(props["std"], 1e-8)
+        cur = np.asarray(img.zooms, np.float64)
+        for config, target, store in targets:
             new_shape = rs.compute_new_shape(data.shape, cur, target)
+            d, s = data, segd
             if tuple(new_shape) != data.shape:
-                data = np.asarray(rs.resample_volume(
+                d = np.asarray(rs.resample_volume(
                     jnp.asarray(data), tuple(new_shape), order=3,
                     convention="resize"))
-                segd = np.asarray(rs.resample_nearest(
+                s = np.asarray(rs.resample_nearest(
                     jnp.asarray(segd), tuple(new_shape),
                     convention="resize"))
-            store.save_case(cid, data, segd)
+            store.save_case(cid, d, s)
             logger.info("preprocessed %s [%s] -> %s", cid, config,
                         tuple(new_shape))
     return plans

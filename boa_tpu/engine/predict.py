@@ -150,11 +150,18 @@ def predict_folder(
         prev_model_dir = None
         if model_dir is not None:
             # nnU-Net results layout: the previous stage's weights live in
-            # the sibling `...__<prev_conf>` folder — unless this folder
-            # itself carries fold checkpoints for both configurations
+            # the sibling `...__<prev_conf>` folder. A silent fallback to
+            # model_dir would load fullres checkpoints under the lowres
+            # plan — fail loudly instead.
             cand = Path(model_dir).parent / Path(model_dir).name.replace(
                 configuration, prev_conf)
-            prev_model_dir = cand if cand.is_dir() else Path(model_dir)
+            if cand == Path(model_dir) or not cand.is_dir():
+                raise FileNotFoundError(
+                    f"cascade needs the previous stage {prev_conf!r}: "
+                    f"expected the sibling model folder {cand}; predict "
+                    f"that stage first or pass "
+                    f"folder_with_segs_from_prev_stage")
+            prev_model_dir = cand
         prev_dir = out_dir / f"segs_from_prev_stage_{prev_conf}"
         logger.info("cascade: predicting previous stage %r into %s",
                     prev_conf, prev_dir)

@@ -204,14 +204,18 @@ class Predictor:
             return tuple(p)
         return (p[0], p[1], int(spatial[2]))
 
-    def _gauss(self, patch) -> np.ndarray:
+    def _gauss(self, patch):
         if not self.use_gaussian:
-            return np.ones(patch, np.float32)
+            return jnp.ones(patch, jnp.float32)
         if not self.two_d:
             return pp.gaussian_importance_map(patch)
-        # in-plane Gaussian, flat over z (slices don't overlap)
+        # in-plane Gaussian, flat over z (slices don't overlap). Broadcast
+        # ON DEVICE: the 2d "patch" spans the full z extent, so a host
+        # broadcast_to+ascontiguousarray materializes a (px, py, Z) volume
+        # (hundreds of MB) on the slow core and ships it through the
+        # tunnel; only the (px, py, 1) map needs to cross.
         g2 = pp.gaussian_importance_map((patch[0], patch[1], 1))
-        return np.ascontiguousarray(np.broadcast_to(g2, patch))
+        return jnp.broadcast_to(jnp.asarray(g2), tuple(patch))
 
     # ------------------------------------------------------------------
     def predict_logits(self, vol_cxyz: np.ndarray | jax.Array) -> jax.Array:

@@ -60,13 +60,26 @@ def build_trainer(out_dir: Path, patch, num_classes: int,
                       compute_dtype=compute_dtype)
     spec = VariantSpec()
     if trainer_name:
-        # the variant recipe (loss/optimizer/schedule/oversampling/DA
-        # markers); the caller's explicit epochs/iters keep loop control
-        cfg, spec = apply_variant(cfg, trainer_name, batch_size=batch_size)
-        import dataclasses
+        from boa_tpu.train.variants import get_variant
 
-        cfg = dataclasses.replace(cfg, num_epochs=epochs,
-                                  iters_per_epoch=iters)
+        if get_variant(trainer_name).primus is not None:
+            # Primus trainers swap the whole network family: build the
+            # ViT arch + AbstractPrimus recipe instead of the UNet above
+            from boa_tpu.train.variants import primus_train_config
+
+            cfg, spec = primus_train_config(
+                trainer_name, num_classes, input_channels=in_channels,
+                num_epochs=epochs, iters_per_epoch=iters,
+                batch_size=batch_size, compute_dtype=compute_dtype)
+        else:
+            # the variant recipe (loss/optimizer/schedule/oversampling/DA
+            # markers); the caller's explicit epochs/iters keep loop control
+            cfg, spec = apply_variant(cfg, trainer_name,
+                                      batch_size=batch_size)
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, num_epochs=epochs,
+                                      iters_per_epoch=iters)
 
     in_shardings = None
     mesh = None
@@ -93,7 +106,7 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
                  num_classes: int | None = None, epochs: int = 1000,
                  iters: int = 250, resume: bool = False,
                  mesh_shape=None, augment: bool = True,
-                 mirror_axes: tuple[int, ...] = (0, 1, 2), seed: int = 0,
+                 mirror_axes: "tuple[int, ...] | None" = None, seed: int = 0,
                  fold: "int | str" = "all",
                  validate: bool = False,
                  pretrained_weights: "str | Path | None" = None,
@@ -143,10 +156,22 @@ def run_training(cases_dir: str | Path, out_dir: str | Path,
                                         batch_size=batch_size,
                                         in_channels=in_channels)
     if trainer_name:
-        # variant DA/sampling markers drive the loader + augment stack
+        # variant DA/sampling markers drive the loader + augment stack;
+        # an EXPLICIT mirror_axes argument (e.g. --no-mirroring) wins over
+        # the variant default
         if spec.no_da:
             augment = False
-        mirror_axes = spec.mirror_axes
+        if mirror_axes is None:
+            mirror_axes = spec.mirror_axes
+        if spec.batch_size:
+            batch_size = spec.batch_size  # BS8 Primus trainers
+        if spec.aggressive_da and cascade:
+            logger.warning(
+                "%s: DA5 preset is not implemented for cascade "
+                "augmentations; using the default cascade stack",
+                trainer_name)
+    if mirror_axes is None:
+        mirror_axes = (0, 1, 2)
     if patch[2] == 1 and tuple(mirror_axes) == (0, 1, 2):
         mirror_axes = (0, 1)  # 2d configuration mirrors in-plane only
     # self-describing training output: weights/store.export_trained_model
@@ -366,7 +391,7 @@ def main(argv=None) -> None:
     run_training(args.cases_dir, args.out_dir, tuple(args.patch), args.batch,
                  args.num_classes, args.epochs, args.iters, args.resume,
                  mesh_shape, augment=not args.no_augment,
-                 mirror_axes=() if args.no_mirroring else (0, 1, 2),
+                 mirror_axes=() if args.no_mirroring else None,
                  fold=args.fold, validate=args.validate,
                  pretrained_weights=args.pretrained_weights,
                  trainer_name=args.trainer_name, cascade=args.cascade)

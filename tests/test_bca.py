@@ -348,6 +348,9 @@ def test_report_pdf_structure(synthetic_study, tmp_path):
     b.examined_body_part = (AggregatableBodyPart.ABDOMEN
                             | AggregatableBodyPart.THORAX)
     prepared = b.prepare(None, total=None, total_measurements=None)
+    # the PDF may render on the HostWorker: device access must all happen
+    # in prepare (main thread) — rendering with the CT gone proves it
+    b._ct = None
     pdf = b.create_pdf(**prepared)
     assert pdf.startswith(b"%PDF")
     n_pages = pdf.count(b"/Type /Page") - pdf.count(b"/Type /Pages")

@@ -71,6 +71,12 @@ def build_trainer(out_dir: Path, patch, num_classes: int,
                 trainer_name, num_classes, input_channels=in_channels,
                 num_epochs=epochs, iters_per_epoch=iters,
                 batch_size=batch_size, compute_dtype=compute_dtype)
+            import dataclasses
+
+            # the variant recipe sets its own epoch count; the caller's
+            # explicit loop control wins (same contract as the UNet branch)
+            cfg = dataclasses.replace(cfg, num_epochs=epochs,
+                                      iters_per_epoch=iters)
         else:
             # the variant recipe (loss/optimizer/schedule/oversampling/DA
             # markers); the caller's explicit epochs/iters keep loop control

@@ -243,3 +243,24 @@ def test_primus_smoke_train_step(rng):
     assert np.isfinite(float(metrics["loss"]))
     assert not np.array_equal(np.asarray(params2["blocks"][0]["qkv_w"]), p0)
     assert "step" in opt2  # AdamW state threaded, not SGD momentum
+
+
+def test_build_trainer_routes_primus(tmp_path):
+    """A Primus trainer name must build the ViT (not a UNet) and BS8
+    variants must carry their batch size in the spec — regression guard
+    for the silent-UNet bug."""
+    from boa_tpu.models.primus import PrimusConfig
+    from boa_tpu.train.run_training import build_trainer
+
+    trainer, mesh, spec = build_trainer(
+        tmp_path, (32, 32, 32), num_classes=3, epochs=2, iters=2,
+        trainer_name="nnUNet_Primus_M_Trainer_BS8")
+    assert isinstance(trainer.cfg.arch, PrimusConfig)
+    assert spec.primus == "M" and spec.batch_size == 8
+    assert trainer.cfg.num_epochs == 2 and trainer.cfg.iters_per_epoch == 2
+
+    trainer2, _, spec2 = build_trainer(
+        tmp_path / "u", (32, 32, 32), num_classes=3, epochs=2, iters=2,
+        trainer_name="nnUNetTrainerDA5")
+    assert not isinstance(trainer2.cfg.arch, PrimusConfig)
+    assert spec2.aggressive_da

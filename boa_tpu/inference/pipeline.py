@@ -375,6 +375,24 @@ def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
                  fake_predict, bucket: int | None = None,
                  save_probabilities: Path | None = None) -> np.ndarray:
     if fake_predict is not None:
+        if getattr(fake_predict, "run_real", False):
+            # honest-bench hook: run the REAL device predictor first (its
+            # full cost lands in this span), then discard its labels — with
+            # synthetic weights they are speckle that would give downstream
+            # host stages unrepresentative work — and let the realistic
+            # fake supply the labels instead. The swap trades the real
+            # path's packed seg download for the fake's host-label upload
+            # (symmetric-order tunnel cost).
+            from boa_tpu.inference.predictor import load_stacked_cached
+
+            plans, stacked = load_stacked_cached(store, task_id, task.trainer,
+                                                 task.model, folds)
+            predictor = Predictor(plans=plans, stacked_params=stacked,
+                                  tile_step_size=step_size,
+                                  compute_dtype=compute_dtype, bucket=bucket)
+            seg_real = predictor.predict(data_rsp, spacing, return_device=True)
+            np.asarray(seg_real[:1, :1, :1])  # sync the async dispatches
+            del seg_real
         if getattr(fake_predict, "wants_volume", True):
             vol = np.asarray(data_rsp)
         else:  # shape-only fakes skip the (tunnel-expensive) download

@@ -1,11 +1,12 @@
 """First-order + shape radiomics features per segmentation class.
 
 Parity: `totalsegmentator/statistics.py:16-61` `get_radiomics_features*` —
-the reference shells out to pyradiomics (optional dep). Here the common
-first-order features (energy, entropy, min/max/mean/median, percentiles,
-IQR, variance, skewness, kurtosis, MAD, RMS, uniformity) and basic shape
-features (voxel volume, surface-ish voxel count) are computed directly
-with on-device histograms; pyradiomics is not required.
+the reference shells out to pyradiomics (optional dep). Here the full
+first-order class (energy, total energy, entropy, min/max/mean/median,
+percentiles, IQR, variance, skewness, kurtosis, MAD, robust MAD, RMS,
+uniformity) is computed from on-device histograms and the full shape
+class (mesh volume/surface via marching cubes, axis lengths, diameters,
+sphericity — measure/shape.py) on the host; pyradiomics is not required.
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ def first_order_features(values: np.ndarray, ml_per_voxel: float) -> dict:
     p = hist / n
     p = p[p > 0]
     q10, q25, med, q75, q90 = np.percentile(v, [10, 25, 50, 75, 90])
+    robust = v[(v >= q10) & (v <= q90)]
     return {
         "present": True,
         "voxels": int(n),
@@ -47,6 +49,9 @@ def first_order_features(values: np.ndarray, ml_per_voxel: float) -> dict:
         "interquartile_range": float(q75 - q25),
         "range": float(v.max() - v.min()),
         "mean_absolute_deviation": float(np.abs(centered).mean()),
+        "robust_mean_absolute_deviation": float(
+            np.abs(robust - robust.mean()).mean()) if robust.size else 0.0,
+        "total_energy": float((v ** 2).sum() * ml_per_voxel * 1000.0),
         "root_mean_squared": float(np.sqrt((v ** 2).mean())),
         "variance": float(var),
         "skewness": float((centered ** 3).mean() / std ** 3) if std > 0 else 0.0,
@@ -97,6 +102,14 @@ def _features_from_hist(hist: np.ndarray, values: np.ndarray,
         return float(lo_v + (hi_v - lo_v) * (pos - lo_idx))
 
     q25, q75 = q(0.25), q(0.75)
+    q10v, q90v = q(0.10), q(0.90)
+    rm = (v >= q10v) & (v <= q90v)
+    rn = float(h[rm].sum())
+    if rn > 0:
+        rmean = float((h[rm] * v[rm]).sum() / rn)
+        robust_mad = float((h[rm] * np.abs(v[rm] - rmean)).sum() / rn)
+    else:
+        robust_mad = 0.0
     return {
         "present": True,
         "voxels": int(n),
@@ -112,6 +125,8 @@ def _features_from_hist(hist: np.ndarray, values: np.ndarray,
         "interquartile_range": float(q75 - q25),
         "range": float(vmax - vmin),
         "mean_absolute_deviation": float((h * np.abs(centered)).sum() / n),
+        "robust_mean_absolute_deviation": robust_mad,
+        "total_energy": float((h * v ** 2).sum() * ml_per_voxel * 1000.0),
         "root_mean_squared": float(np.sqrt((h * v ** 2).sum() / n)),
         "variance": var,
         "skewness": float((h * centered ** 3).sum() / n / std ** 3)
@@ -122,9 +137,33 @@ def _features_from_hist(hist: np.ndarray, values: np.ndarray,
     }
 
 
+def _add_shape_features(out: dict, seg_np: np.ndarray, spacing,
+                        label_map: dict[int, str]) -> None:
+    """Per-class pyradiomics shape features (measure/shape.py), bbox-scoped
+    via ONE scipy find_objects pass (host rule: never scan the volume per
+    label)."""
+    from scipy import ndimage
+
+    from boa_tpu.measure.shape import shape_features
+
+    objs = ndimage.find_objects(seg_np.astype(np.int32, copy=False),
+                                max_label=int(max(label_map)))
+    empty = shape_features(np.zeros((1, 1, 1), bool), spacing)
+    for label, name in label_map.items():
+        if label == 0 or name not in out:
+            continue
+        sl = objs[label - 1] if label - 1 < len(objs) else None
+        if sl is None:
+            out[name].update(empty)
+        else:
+            out[name].update(shape_features(seg_np[sl] == label, spacing))
+
+
 def get_radiomics_features(ct_data: np.ndarray, seg: np.ndarray,
-                           spacing, label_map: dict[int, str]) -> dict:
-    """Per-class first-order features.
+                           spacing, label_map: dict[int, str],
+                           with_shape: bool = True) -> dict:
+    """Per-class first-order + shape features (the two classes the
+    reference enables, `totalsegmentator/statistics.py:43-55`).
 
     Integer CTs within the HU histogram range [-1024, 3071] take the
     one-pass device path: a single per-class integer-HU histogram
@@ -156,11 +195,15 @@ def get_radiomics_features(ct_data: np.ndarray, seg: np.ndarray,
             if label == 0:
                 continue
             out[name] = _features_from_hist(hists[label], values, ml_per_voxel)
+        if with_shape:
+            _add_shape_features(out, np.asarray(seg), spacing, label_map)
         return out
     for label, name in label_map.items():
         if label == 0:
             continue
         out[name] = first_order_features(ct_data[seg == label], ml_per_voxel)
+    if with_shape:
+        _add_shape_features(out, np.asarray(seg), spacing, label_map)
     return out
 
 

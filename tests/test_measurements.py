@@ -240,7 +240,8 @@ def test_radiomics_hist_path_matches_direct(rng):
     seg = rng.integers(0, 4, shape).astype(np.uint8)
     label_map = {1: "a", 2: "b", 3: "c"}
     spacing = (1.0, 1.5, 2.0)
-    got = get_radiomics_features(ct, seg, spacing, label_map)
+    got = get_radiomics_features(ct, seg, spacing, label_map,
+                                 with_shape=False)
     mlpv = float(np.prod(spacing)) / 1000.0
     for lb, name in label_map.items():
         want = first_order_features(ct[seg == lb], mlpv)
@@ -255,7 +256,8 @@ def test_radiomics_hist_path_matches_direct(rng):
     # empty class
     got_e = get_radiomics_features(ct, np.zeros(shape, np.uint8), spacing,
                                    {1: "a"})
-    assert got_e["a"] == {"present": False}
+    assert got_e["a"]["present"] is False
+    assert got_e["a"]["shape_VoxelVolume"] == 0.0  # zeroed shape class
 
 
 def test_radiomics_out_of_range_falls_back_exact(rng):

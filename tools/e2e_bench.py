@@ -57,6 +57,48 @@ def ensure_weights(wroot: str) -> None:
                                       sorted(BodyPart, key=int)])
 
 
+def ensure_fullres_weights(wroot: str) -> None:
+    """Synthetic full-res models: the 5 `total` sub-models (task ids
+    291-295 @ 1.5 mm iso, the reference's default non-fast ensemble,
+    `totalsegmentator/python_api.py:168-214`) + 5-fold BCA models (full
+    BCA runs all folds, `infer/infer.py`). Flagship 6-stage arch at real
+    per-part class counts."""
+    from boa_tpu.bca.definitions import BodyPart, BodyRegion
+    from boa_tpu.tasks import class_maps
+    from boa_tpu.weights.store import create_synthetic_model
+
+    for tid in (291, 292, 293, 294, 295):
+        pm = class_maps.class_map_5_parts[class_maps.map_taskid_to_partname[tid]]
+        part = class_maps.map_taskid_to_partname[tid].replace(
+            "class_map_part_", "")
+        if os.path.exists(os.path.join(
+                wroot, f"Dataset{tid}_TotalSegmentator_{part}")):
+            continue
+        label_names = ["background"] + [pm[k] for k in sorted(pm)]
+        print(f"creating synthetic full-res model {tid} ({part}, "
+              f"{len(label_names)} classes)", flush=True)
+        create_synthetic_model(
+            wroot, tid, f"TotalSegmentator_{part}",
+            num_classes=len(label_names), trainer="nnUNetTrainerNoMirroring",
+            patch_size=(128, 128, 128), spacing=(1.5, 1.5, 1.5),
+            features=(32, 64, 128, 256, 320, 320), n_folds=1,
+            label_names=label_names)
+    for tid, name, enum, trainer in (
+            (542, "BCA_body_regions", BodyRegion, "nnUNetTrainerNoMirroring"),
+            (543, "BCA_body_parts", BodyPart,
+             "nnUNetTrainer_1500epochs_NoMirroring")):
+        if os.path.exists(os.path.join(
+                wroot, f"Dataset{tid}_{name}",
+                f"{trainer}__nnUNetPlans__3d_fullres", "fold_4")):
+            continue
+        print(f"creating synthetic 5-fold BCA model {tid}", flush=True)
+        create_synthetic_model(
+            wroot, tid, name, num_classes=max(enum) + 1, trainer=trainer,
+            patch_size=(160, 160, 48), spacing=(1.5, 1.5, 5.0),
+            features=(32, 64, 128, 256, 320), n_folds=5,
+            label_names=["background"] + [r.name for r in sorted(enum, key=int)])
+
+
 def synthetic_ct(path: str) -> None:
     from boa_tpu.io import nifti
 
@@ -83,6 +125,12 @@ def main() -> None:
                     "labels: measures the HOST pipeline on plausible "
                     "segmentations (device predict excluded; bench.py "
                     "measures that). This is the VERDICT r1 #3 metric.")
+    ap.add_argument("--full-res", action="store_true", dest="full_res",
+                    help="the TRUE north-star mode: non-fast total (5 sub-"
+                    "models @1.5mm) + non-fast BCA (5 folds), REAL device "
+                    "inference on synthetic full-res weights with realistic "
+                    "fake labels feeding the host stages (fake_predict."
+                    "run_real). Implies --realistic.")
     ap.add_argument("--slices", type=int, default=300,
                     help="z slices of the phantom (600 = the BASELINE.md "
                     "north-star 512x512x600 shape)")
@@ -96,6 +144,8 @@ def main() -> None:
     wroot = os.path.join(args.workdir, "weights")
     os.environ["BOA_WEIGHTS_PATH"] = wroot
     fake = None
+    if args.full_res:
+        args.realistic = True
     if args.realistic:
         from boa_tpu.io import nifti
         from boa_tpu.testing import anatomy
@@ -112,6 +162,9 @@ def main() -> None:
                     spacing=(1.5, 1.5, args.zspacing)),
                 affine=affine), ct_path)
         fake = anatomy.fake_predict_factory()
+        if args.full_res:
+            ensure_fullres_weights(wroot)
+            fake.run_real = True
     else:
         ensure_weights(wroot)
         ct_path = os.path.join(args.workdir, "image.nii.gz")
@@ -132,8 +185,8 @@ def main() -> None:
             input_folder=ct_path, processed_output_folder=out,
             excel_output_folder=out, models=["total", "bca"],
             compute_contrast_information=True, total_preview=True,
-            bca_pdf=True, fast_total=True, fast_bca=True,
-            fake_predict=fake)
+            bca_pdf=True, fast_total=not args.full_res,
+            fast_bca=not args.full_res, fake_predict=fake)
         wall = time.perf_counter() - t0
         print(f"run{run}: wall={wall:.1f}s stats=" + json.dumps(
             {k: round(v, 2) for k, v in stats.items()

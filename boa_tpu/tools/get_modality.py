@@ -72,6 +72,64 @@ def get_modality(data: np.ndarray,
             "features": features}
 
 
+# ROI-median features of the min-max-normalized image, in the exact
+# reference order (`totalseg_get_modality.py:76-81`)
+ROI_ORGANS = (
+    "brain", "esophagus", "colon", "spinal_cord",
+    "scapula_left", "scapula_right",
+    "femur_left", "femur_right", "hip_left", "hip_right",
+    "gluteus_maximus_left", "gluteus_maximus_right",
+    "autochthon_left", "autochthon_right",
+    "iliopsoas_left", "iliopsoas_right")
+
+_NORMALIZED_FOLDS = (
+    Path(__file__).resolve().parents[1] / "resources" /
+    "modality_classifiers_normalized_2025_02_24.json")
+
+
+@lru_cache(maxsize=1)
+def _normalized_ensemble():
+    if not Path(f"{_NORMALIZED_FOLDS}.0").exists():
+        return None
+    from boa_tpu.compute.xgb import load_fold_files
+
+    return load_fold_files(_NORMALIZED_FOLDS)
+
+
+def get_modality_from_rois(img, fake_predict=None) -> dict:
+    """Modality from normalized ROI-median intensities.
+
+    Parity: `totalseg_get_modality.py:67-111` — for images whose
+    intensities are no longer calibrated HU (normalized exports), run the
+    fast `total_mr` model with median statistics over the min-max-
+    normalized volume, take the 16 reference organs' intensities as
+    features, and score the vendored
+    `modality_classifiers_normalized_2025_02_24.json` 5-fold ensemble.
+
+    `img` is a NiftiImage or a path; `fake_predict` is the test hook
+    threaded into the pipeline.
+    """
+    from boa_tpu.python_api import totalsegmentator
+
+    folds = _normalized_ensemble()
+    if folds is None:
+        raise FileNotFoundError(
+            f"vendored normalized modality folds missing: {_NORMALIZED_FOLDS}.*")
+    _, stats = totalsegmentator(
+        img, None, ml=True, fast=True, statistics=True, task="total_mr",
+        roi_subset=None, statistics_exclude_masks_at_border=False,
+        quiet=True, stats_aggregation="median",
+        statistics_normalized_intensities=True, skip_saving=True,
+        fake_predict=fake_predict)
+    features = [float(stats[o]["intensity"]) for o in ROI_ORGANS]
+    labels = [float(fold.predict_label([features])[0]) for fold in folds]
+    mean_label = float(np.mean(labels))
+    modality = "ct" if mean_label < 0.5 else "mr"
+    probability = 1 - mean_label if modality == "ct" else mean_label
+    return {"modality": modality, "probability": round(probability, 4),
+            "features": features}
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -80,9 +138,15 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser("totalseg_get_modality")
     ap.add_argument("-i", "--input", type=Path, required=True)
     ap.add_argument("-o", "--output", type=Path, default=None)
+    ap.add_argument("-n", dest="normalized_intensities", action="store_true",
+                    help="use normalized ROI intensities (for images that "
+                    "no longer contain original HU values)", default=False)
     args = ap.parse_args(argv)
     img = nifti.load(args.input)
-    res = get_modality(np.asarray(img.data))
+    if args.normalized_intensities:
+        res = get_modality_from_rois(img)
+    else:
+        res = get_modality(np.asarray(img.data))
     print(json.dumps(res, indent=2))
     if args.output:
         args.output.write_text(json.dumps(res, indent=2))

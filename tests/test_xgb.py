@@ -333,3 +333,51 @@ def test_phase_bands_on_crafted_organ_vectors():
     assert pi_time_to_phase(mean_pi(arterial))[0].startswith("arterial")
     assert pi_time_to_phase(mean_pi(venous))[0] == "portal_venous"
     assert mean_pi(native) < mean_pi(arterial) < mean_pi(venous)
+
+
+@pytest.mark.skipif(
+    not (RES / "modality_classifiers_normalized_2025_02_24.json.0").exists(),
+    reason="vendored artifacts missing")
+def test_vendored_normalized_modality_folds_decode():
+    folds = load_fold_files(RES / "modality_classifiers_normalized_2025_02_24.json")
+    assert len(folds) == 5
+    for f in folds:
+        assert f.num_features == 16  # the 16 ROI-median features
+
+
+def test_get_modality_from_rois_pipeline():
+    """Plumbing test of the normalized-intensity modality path
+    (`totalseg_get_modality.py:67-111`): fake total_mr labels on a small
+    volume -> 16 normalized ROI medians in reference order -> 5-fold vote."""
+    import numpy as np
+
+    from boa_tpu.io.nifti import NiftiImage
+    from boa_tpu.tasks import class_maps
+    from boa_tpu.tools.get_modality import ROI_ORGANS, get_modality_from_rois
+
+    cm = class_maps.get_class_map("total_mr")
+    inv = {v: k for k, v in cm.items()}
+    organ_labels = [k for k, v in cm.items() if v in ROI_ORGANS]
+
+    rng = np.random.default_rng(3)
+    vol = rng.integers(0, 800, (40, 40, 32)).astype(np.int16)
+
+    def fake(data, spacing, task_id):
+        seg = np.zeros(data.shape, np.uint8)
+        flat = seg.reshape(-1)
+        # one 64-voxel block per organ so every ROI has a median
+        for i, lb in enumerate(sorted(organ_labels)):
+            flat[i * 64:(i + 1) * 64] = lb
+        return seg
+
+    fake.wants_volume = False
+    img = NiftiImage(data=vol, affine=np.diag([1.5, 1.5, 3.0, 1.0]))
+    res = get_modality_from_rois(img, fake_predict=fake)
+    assert res["modality"] in ("ct", "mr")
+    assert 0.5 <= res["probability"] <= 1.0
+    assert len(res["features"]) == 16
+    # normalized medians live in [0, 1]
+    assert all(0.0 <= f <= 1.0 for f in res["features"])
+    # feature order follows ROI_ORGANS, and labels were all present
+    assert set(cm[lb] for lb in organ_labels) == set(ROI_ORGANS)
+    assert inv["brain"] in organ_labels

@@ -74,6 +74,49 @@ def _raw_z_for_buckets(task, spacing, z_range, bucket) -> list[int]:
     return out
 
 
+def bake(store: ModelStore, tasks: list[tuple[str, bool]] | None = None,
+         *, xy: int = 512, z_range: tuple[int, int] = (200, 600),
+         bucket: int = 64,
+         spacing: tuple[float, float, float] = (1.5, 1.5, 3.0),
+         stamp: str | None = None) -> None:
+    """Deploy-time warmup over the serving task set (VERDICT r3 #9).
+
+    Populates the in-process jit cache AND the persistent compilation
+    cache (`~/.boa_tpu/jax_cache`) for every bucketed shape of the
+    default PACS workload (fast total + the two BCA models). With
+    `stamp`, a stamp file skips re-baking on subsequent boots of the
+    same image+cache volume (delete it to force).
+
+    Intended call sites: `deploy/entrypoint.sh` (BOA_WARMUP_ON_BOOT=1)
+    on first boot of a worker, or a manual `python -m boa_tpu.serve.warmup
+    --bake` right after weight installation. On standard TPU runtimes the
+    persistent cache then removes fresh-process compiles entirely; on
+    remote-compile backends (axon) only the partially-cacheable stages
+    hit, so the boot-time bake (which warms the live process serving the
+    first study when the worker preforks) is the reliable path.
+    """
+    from pathlib import Path
+
+    if stamp:
+        p = Path(stamp).expanduser()
+        if p.exists():
+            logger.info("warmup stamp %s present, skipping bake", p)
+            return
+    if tasks is None:
+        tasks = [("total", True), ("body_regions", True), ("body_parts", True)]
+    for name, fast in tasks:
+        try:
+            t = warmup_task(store, name, fast=fast, xy=xy, z_range=z_range,
+                            bucket=bucket, spacing=spacing)
+            logger.info("baked %s (%d shapes, %.1fs)", name, len(t), sum(t))
+        except FileNotFoundError as exc:  # weights not installed yet
+            logger.warning("skipping bake of %s: %s", name, exc)
+    if stamp:
+        p = Path(stamp).expanduser()
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text("baked\n")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--task", default="total")
@@ -83,9 +126,18 @@ def main(argv=None) -> None:
     ap.add_argument("--bucket", type=int, default=64)
     ap.add_argument("--spacing", type=float, nargs=3, default=(1.5, 1.5, 3.0))
     ap.add_argument("--weights", default=None, help="weights root override")
+    ap.add_argument("--bake", action="store_true",
+                    help="warm the full PACS task set (fast total + BCA)")
+    ap.add_argument("--stamp", default=None,
+                    help="stamp file: skip the bake when it exists")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     store = ModelStore(args.weights)
+    if args.bake:
+        bake(store, xy=args.xy, z_range=tuple(args.z_range),
+             bucket=args.bucket, spacing=tuple(args.spacing),
+             stamp=args.stamp)
+        return
     times = warmup_task(store, args.task, fast=args.fast, xy=args.xy,
                         z_range=tuple(args.z_range), bucket=args.bucket,
                         spacing=tuple(args.spacing))

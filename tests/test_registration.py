@@ -103,3 +103,51 @@ def test_atlas_evans_index_rotation_invariant():
     assert got["evans_index"] == pytest.approx(ref["evans_index"], abs=0.06)
     assert got["brain_diameter_mm"] == pytest.approx(
         ref["brain_diameter_mm"], rel=0.06)
+
+
+@pytest.mark.skipif(not ATLAS.exists(), reason="atlas not vendored")
+@pytest.mark.parametrize("deg,scale", [(15.0, 1.0), (-15.0, 1.0),
+                                       (0.0, 0.9), (0.0, 1.1),
+                                       (10.0, 1.05)])
+def test_atlas_registration_recovers_known_perturbation(deg, scale):
+    """VERDICT r3 #8: the NCC registration must recover known affine
+    perturbations of the REAL vendored atlas (rotations ±15°, scale ±10%)
+    to <2 mm mean landmark error — the reference's ANTs AffineFast
+    tolerance class (`totalsegmentator/registration.py:12+`)."""
+    from boa_tpu.io import nifti
+
+    atlas_img = nifti.load(ATLAS)
+    # 2 mm working grid keeps this CPU test fast
+    atlas = ndi.zoom(np.asarray(atlas_img.data, np.float32), 0.5, order=1)
+    atlas = np.clip(atlas, 0.0, 100.0)
+    sp_mm = 2.0
+
+    th = np.radians(deg)
+    rot = np.array([[np.cos(th), -np.sin(th), 0.0],
+                    [np.sin(th), np.cos(th), 0.0],
+                    [0.0, 0.0, 1.0]])
+    A = rot * scale  # moving(x) = atlas(A @ (x - c) + c + shift)
+    c = (np.asarray(atlas.shape, np.float64) - 1) / 2
+    shift = np.array([2.0, -1.5, 1.0])
+    offset = c + shift - A @ c
+    moving = ndi.affine_transform(atlas, A, offset=offset, order=1)
+
+    _, mat, ncc = register_affine(atlas, moving, levels=(4, 2),
+                                  steps_per_level=150)
+    assert ncc > 0.9
+
+    # ground truth fixed->moving map: R_true(x) = A^-1 @ (x - offset)
+    Ainv = np.linalg.inv(A)
+
+    def r_true(x):
+        return Ainv @ (x - offset)
+
+    def r_est(x):
+        return mat[:3, :3] @ x + mat[:3, 3]
+
+    # landmarks spread through the brain volume
+    marks = [c, c + (15, 0, 0), c - (15, 0, 0), c + (0, 15, 0),
+             c + (0, 0, 12), c + (10, 10, -8)]
+    errs = [np.linalg.norm(r_est(np.asarray(m)) - r_true(np.asarray(m)))
+            * sp_mm for m in marks]
+    assert float(np.mean(errs)) < 2.0, (deg, scale, errs)

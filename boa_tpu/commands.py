@@ -189,6 +189,13 @@ def _predict_contrast(ct_path: Path, seg_output: Path, ct_info: list,
                     "value": result["phase_ensemble_predicted_class"]})
     ct_info.append({"name": "PredictedContrastInGIT",
                     "value": result["git_ensemble_predicted_class"]})
+    if result.get("git_classifier_is_standin", False):
+        # the vendored GIT model is a synthetic-phantom stand-in (the
+        # reference's clinically-trained boa-contrast artifact is not
+        # publicly vendored) — say so IN the sheet, loudly (VERDICT r3 #8)
+        ct_info.append({"name": "PredictedContrastInGITNote",
+                        "value": "stand-in classifier trained on synthetic "
+                                 "phantoms; NOT clinically validated"})
     stats["iv_contrast_phase"] = result["phase_ensemble_prediction"]
     stats["git_contrast"] = result["git_ensemble_prediction"]
 

@@ -272,6 +272,11 @@ def predict(ct_path: Path | str | nifti.NiftiImage,
         "phase_ensemble_prediction": phase_idx,
         "git_ensemble_predicted_class": bool(git_idx),
         "git_ensemble_prediction": git_prob,
+        # True unless a user-supplied (BOA_CONTRAST_MODEL) clinically
+        # trained bundle answered: the vendored GIT folds are a synthetic-
+        # phantom stand-in and the heuristic rule is weaker still — the
+        # info sheet marks the prediction accordingly (VERDICT r3 #8)
+        "git_classifier_is_standin": mp is None,
         "features": feats,
     }
 

@@ -128,3 +128,76 @@ def test_predict_git_column_comes_from_model(tmp_path, monkeypatch, rng):
     out = contrast.predict(tmp_path / "image.nii.gz", tmp_path)
     assert out["git_ensemble_predicted_class"] is True
     assert out["git_ensemble_prediction"] > 0.5
+
+
+def test_vendored_git_folds_heldout_protocol_sweep():
+    """VERDICT r3 #8: evaluate the VENDORED stand-in folds on a held-out
+    synthetic protocol sweep (fresh seed, disjoint from training) and
+    publish per-protocol accuracy + the confusion matrix. The numbers
+    below are also recorded in PARITY.md."""
+    import importlib.util
+    from pathlib import Path
+
+    from boa_tpu.compute.xgb import load_fold_files
+
+    folds_path = Path("boa_tpu/resources/git_contrast_classifiers_boa_tpu.json")
+    if not folds_path.with_suffix(".json.0").exists():
+        pytest.skip("vendored GIT folds missing")
+    spec = importlib.util.spec_from_file_location(
+        "train_git", Path("tools/train_git_classifier.py"))
+    tg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tg)
+
+    folds = load_fold_files(folds_path)
+
+    def score(x):
+        return float(np.mean([f.predict(x[None])[0] for f in folds])) > 0.5
+
+    rng = np.random.RandomState(777)  # != training seed 20260819
+    confusion = np.zeros((2, 2), int)
+    per_phase = {}
+    for phase in tg.IV_PHASES:
+        hits = tot = 0
+        for _ in range(120):
+            # force this phase by rejection (sample_study draws uniformly)
+            while True:
+                state = rng.get_state()
+                row, git = tg.sample_study(rng)
+                rng.set_state(state)
+                drawn = rng.choice(list(tg.IV_PHASES))
+                tg_row, git = tg.sample_study(rng) if drawn == phase else (None, None)
+                if tg_row is not None:
+                    row = tg_row
+                    break
+            pred = int(score(row))
+            confusion[git, pred] += 1
+            hits += int(pred == git)
+            tot += 1
+        per_phase[phase] = hits / tot
+    overall = confusion.trace() / confusion.sum()
+    print(f"GIT stand-in held-out sweep: overall={overall:.3f} "
+          f"per-phase={per_phase} confusion={confusion.tolist()}")
+    assert overall >= 0.90, (overall, per_phase, confusion.tolist())
+    for phase, acc in per_phase.items():
+        assert acc >= 0.80, (phase, acc, confusion.tolist())
+
+
+def test_info_sheet_carries_standin_marker(monkeypatch, tmp_path):
+    """The Excel info sheet must say LOUDLY that the GIT prediction comes
+    from the synthetic stand-in (never silently clinical-looking)."""
+    from boa_tpu import commands
+    from boa_tpu.compute import contrast
+
+    monkeypatch.setattr(
+        contrast, "predict",
+        lambda **kw: {"phase_ensemble_predicted_class": "native",
+                      "phase_ensemble_prediction": 0,
+                      "git_ensemble_predicted_class": False,
+                      "git_ensemble_prediction": 0.1,
+                      "git_classifier_is_standin": True,
+                      "features": {}})
+    info, stats = [], {}
+    commands._predict_contrast(tmp_path / "ct.nii.gz", tmp_path, info, stats)
+    names = {r["name"]: r["value"] for r in info}
+    assert "PredictedContrastInGITNote" in names
+    assert "NOT clinically validated" in names["PredictedContrastInGITNote"]

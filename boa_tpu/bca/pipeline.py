@@ -58,6 +58,15 @@ def _finish_bca_task(task_name: str, res, label_map,
     calling thread dispatches the next model (`infer/infer.py:39-89`
     runs this serially on the reference's multi-core host)."""
     out = _postprocess_bca_task(task_name, res, label_map)
+    if task_name == "body_parts":
+        # pre-pack the torso mask for the report builder here, on the
+        # worker, overlapped — Builder.__init__ otherwise pays the two
+        # full-volume host passes (== TORSO, packbits) on the main thread
+        # (~1.5-2 s at 600 slices on this 1-core host)
+        from boa_tpu.bca.definitions import BodyPart
+
+        out._torso_packed = np.packbits(
+            (np.asarray(out.data) == int(BodyPart.TORSO)).reshape(-1))
     t0 = _time.perf_counter()
     nifti.save(out, output_file)
     logger.info("BCA %s saved in %.2fs", task_name,
@@ -196,7 +205,9 @@ def run_pipeline(
     spacing = ct_img.zooms
     builder = Builder(ct_img.device_data(), np.asarray(body_parts_img.data),
                       regions, tissues, spacing, theme,
-                      tissues_dev=tissues_dev, regions_dev=regions_dev)
+                      tissues_dev=tissues_dev, regions_dev=regions_dev,
+                      torso_packed=getattr(body_parts_img, "_torso_packed",
+                                           None))
     logger.info("BCA builder init in %.2fs", _time.perf_counter() - t0)
     if examined_body_region:
         body_part = AggregatableBodyPart[examined_body_region.upper()]

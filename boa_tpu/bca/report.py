@@ -161,7 +161,7 @@ class Builder:
     def __init__(self, ct_data: np.ndarray, body_parts: np.ndarray,
                  body_regions: np.ndarray, tissues: np.ndarray,
                  spacing: tuple[float, float, float], theme: str = "light",
-                 tissues_dev=None, regions_dev=None):
+                 tissues_dev=None, regions_dev=None, torso_packed=None):
         self._ct = ct_data  # np OR device array (jnp.asarray is a no-op)
         self._parts = np.asarray(body_parts)
         self._regions = np.asarray(body_regions)
@@ -176,9 +176,15 @@ class Builder:
         self._regions_dev = regions_dev
         self._region_zc: np.ndarray | None = None
 
-        torso = self._parts == int(BodyPart.TORSO)
-        torso_dev = _unpack_mask(jnp.asarray(np.packbits(torso.reshape(-1))),
-                                 torso.shape)
+        from boa_tpu.utils.timing import Spans
+
+        spans = Spans("builder_init")
+        if torso_packed is None:  # else prepacked on the worker, overlapped
+            torso_packed = np.packbits(
+                (self._parts == int(BodyPart.TORSO)).reshape(-1))
+        torso_dev = _unpack_mask(jnp.asarray(torso_packed),
+                                 self._parts.shape)
+        spans.mark("torso_pack+upload", sync=torso_dev)
         counts, husums, counts_nl, husums_nl = _slicewise_pass(
             jnp.asarray(self._ct),
             tissues_dev if tissues_dev is not None
@@ -188,6 +194,7 @@ class Builder:
         self._husums = np.asarray(husums, np.float64)
         self._counts_nl = np.asarray(counts_nl, np.float64)
         self._husums_nl = np.asarray(husums_nl, np.float64)
+        spans.mark("slicewise_pass+readback")
 
     def axial_ct_slices(self, idxs, stride: int = 1) -> np.ndarray:
         """(x/stride, y/stride, len(idxs)) CT slices on host for the PDF

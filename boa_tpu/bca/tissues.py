@@ -52,6 +52,9 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
     as raw ∘ (sparse ignore mask), and only a 1-bit-packed, mostly-zero
     mask crosses the tunnel.
     """
+    from boa_tpu.utils.timing import Spans
+
+    spans = Spans("tissues")
     ct = jnp.asarray(ct_data)
     if median_filtering:
         ct = median_filter_inplane(ct.astype(jnp.float32), 3)
@@ -71,6 +74,7 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
             mask_dev = packing.upload_mask(ignore)
             regions_dev = jnp.where(mask_dev != 0, jnp.uint8(IGNORE_XFER),
                                     regions_dev)
+        spans.mark("ignore_mask+upload", sync=regions_dev)
     else:
         xfer = body_regions
         if body_regions.dtype == np.uint8:
@@ -84,5 +88,7 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
                                 np.uint8(IGNORE_XFER), body_regions)
         regions_dev = packing.upload_labels(xfer)
     dev = _subclassify(ct, regions_dev)
+    spans.mark("subclassify", sync=dev)
     host = packing.download_labels(dev, _MAX_TISSUE)
+    spans.mark("download+unpack")
     return (host, dev, regions_dev) if return_device else host

@@ -141,10 +141,22 @@ def compute_all_models(
             crop_mask=crop_mask,
             statistics=chosen_task == "total",
             fake_predict=fake_predict,
+            # total's original-grid seg feeds the preview depth pass and
+            # the measurement engine on device: keeping the pipeline's
+            # device copy saves re-uploading a full-grid 117-label volume
+            # (not 4-bit packable; ~150 MB through the tunnel at 600
+            # slices). On the full-res path the copy is free (the back-
+            # resample already ran on device).
+            keep_device_seg=chosen_task == "total",
         )
         logger.info("Model %s predicted in %.2fs", chosen_task,
                     _time.perf_counter() - t_model)
         seg_cache[chosen_task] = res.seg
+        if res.seg_dev_full is not None:
+            # seed the NiftiImage device cache (identity-keyed tuple,
+            # io/nifti.py device_data) so preview/measurements reuse it
+            object.__setattr__(res.seg, "_device_data",
+                               (res.seg.data, res.seg_dev_full))
         if worker is not None:
             save_futures.append(worker.submit(
                 f"save-{seg_file.name}", nifti.save, res.seg, seg_file))

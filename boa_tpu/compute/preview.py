@@ -219,8 +219,13 @@ def generate_preview(ct_img, seg_img, label_map: dict[int, str],
     group_fronts = None
     if hasattr(seg_img, "device_data"):
         try:
-            group_fronts = _group_fronts_device(seg_img.device_data(), inv,
-                                                n_labels)
+            from boa_tpu.utils.timing import Spans
+
+            spans = Spans("preview")
+            seg_dev = seg_img.device_data()
+            spans.mark("seg_upload", sync=seg_dev)
+            group_fronts = _group_fronts_device(seg_dev, inv, n_labels)
+            spans.mark("depth_pass")
         except Exception:
             logger.debug("device depth pass failed; host fallback",
                          exc_info=True)

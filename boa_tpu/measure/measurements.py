@@ -206,6 +206,9 @@ def compute_measurements_arrays(
     device copies (the preview shares the same upload via
     NiftiImage.device_data).
     """
+    from boa_tpu.utils.timing import Spans
+
+    spans = Spans("measurements")
     measurements: dict[str, Any] = {"segmentations": {}, "info": {}}
     ml_per_voxel = float(np.prod(spacing)) / 1000.0
     if ct_dev is None or np.dtype(ct_dev.dtype) != np.int16:
@@ -227,8 +230,10 @@ def compute_measurements_arrays(
         seg_dev = (seg_devs or {}).get(model_name)
         if seg_dev is None:
             seg_dev = jnp.asarray(seg)
+        spans.mark(f"{model_name}.upload", sync=seg_dev)
         res = segmented_stats(seg_dev, ct_dev, num_classes, with_histogram=True)
         hists = np.asarray(res["hist"])
+        spans.mark(f"{model_name}.histogram")
 
         if model_name == "total":
             # autochthon mask built on device from the resident seg (a
@@ -236,6 +241,7 @@ def compute_measurements_arrays(
             auto_mask = ((seg_dev == label_map["autochthon_left"])
                          | (seg_dev == label_map["autochthon_right"]))
             autochthon_mean, autochthon_std = autochthon_reference(ct_dev, auto_mask)
+            spans.mark("autochthon")
 
         model_metrics: dict[str, Any] = {}
         for region, label in label_map.items():
@@ -285,6 +291,7 @@ def compute_measurements_arrays(
                         _cnr_adjusted_metrics(
                             ct_dev, seg_dev, regions, ml_per_voxel,
                             autochthon_mean, autochthon_std))
+                    spans.mark(f"{model_name}.cnr_adjusted")
 
     measurements["info"]["autochthon_mean"] = autochthon_mean
     measurements["info"]["autochthon_std"] = autochthon_std

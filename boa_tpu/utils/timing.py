@@ -38,6 +38,34 @@ class StageTimer:
         return dict(self.stats)
 
 
+class Spans:
+    """BOA_PIPELINE_TIMING=1: fine-grained wall spans inside a stage.
+
+    Same contract as the predict_image spans (inference/pipeline.py):
+    `sync=<device array>` forces a strided scalar readback first because
+    `block_until_ready` can return early on the tunneled backend; syncing
+    serializes the dispatch pipeline, so this is diagnostic-only.
+    """
+
+    def __init__(self, prefix: str) -> None:
+        import os
+
+        self.enabled = os.environ.get("BOA_PIPELINE_TIMING", "") not in ("", "0")
+        self.prefix = prefix
+        self.t = time.perf_counter()
+
+    def mark(self, label: str, sync=None) -> None:
+        if not self.enabled:
+            return
+        if sync is not None:
+            import jax.numpy as jnp
+
+            float(jnp.sum(sync.astype(jnp.float32).ravel()[::4096]))
+        logger.info("%s[%s]: %.3fs", self.prefix, label,
+                    time.perf_counter() - self.t)
+        self.t = time.perf_counter()
+
+
 @contextlib.contextmanager
 def maybe_profile(trace_dir: str | None):
     """jax.profiler trace wrapper (enabled with BOA_PROFILE_DIR)."""

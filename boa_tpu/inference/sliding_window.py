@@ -238,10 +238,12 @@ def _pad_classes(n_cls: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
-                                   "k", "channels_last", "n_cls_pad"),
+                                   "k", "channels_last", "n_cls_pad",
+                                   "xy_static"),
          donate_argnums=(0,))
 def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, z_base, *,
-                cfg, mirror_axes, compute_dtype, k, channels_last, n_cls_pad):
+                cfg, mirror_axes, compute_dtype, k, channels_last, n_cls_pad,
+                xy_static=None):
     """Forward K tiles (scan) + K unrolled in-place adds into `buf`.
 
     buf: (X,Y,Z,n_cls_pad) if channels_last else (n_cls,X,Y,pz), donated
@@ -250,6 +252,16 @@ def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, z_base, *,
     prediction is zeroed, the forward still runs). The network always reads
     the tile at its absolute start; the accumulator update rebases z by
     `z_base` (0 for a whole-volume buf, the row's z-start in row mode).
+
+    xy_static: row-mode fast path — a K-tuple of compile-time (x, y) tile
+    starts. All tiles of a z-row share z_base and the xy grid repeats per
+    row, so the accumulator updates become STATIC-index updates (the whole
+    index (0, x, y, 0) is constant): measured on v5e this drops the update
+    overhead from 2.2 ms/tile (dynamic-index chain: XLA re-materializes
+    window-sized copies, 31 GB accessed for a 25-tile row) to near the
+    ~0.4 ms read+add+write floor. The forward scan keeps the traced
+    starts_c (dynamic READS don't copy); only the updates use the static
+    coordinates, which must match starts_c[:, :2].
     """
     px, py, pz = gaussian.shape
     n_cls = cfg.num_classes
@@ -272,9 +284,13 @@ def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, z_base, *,
 
     win = (px, py, pz, n_cls_pad) if channels_last else (n_cls, px, py, pz)
     for i in range(k):  # straight-line: XLA updates the donated buf in place
-        s = starts_c[i]
-        idx = (s[0], s[1], s[2] - z_base, 0) if channels_last \
-            else (0, s[0], s[1], s[2] - z_base)
+        if xy_static is not None:
+            sx, sy = xy_static[i]
+            idx = (0, sx, sy, 0)
+        else:
+            s = starts_c[i]
+            idx = (s[0], s[1], s[2] - z_base, 0) if channels_last \
+                else (0, s[0], s[1], s[2] - z_base)
         cur = jax.lax.dynamic_slice(buf, idx, win)
         buf = jax.lax.dynamic_update_slice(
             buf, (cur.astype(jnp.float32) + ys[i].astype(jnp.float32)
@@ -345,7 +361,7 @@ def sliding_window_seg_chunked(
                   (n_cls_pad if channels_last else n_cls) *
                   jnp.dtype(accum_dtype).itemsize)
 
-    def run_chunks(buf, row_starts, z_base):
+    def run_chunks(buf, row_starts, z_base, static_xy=False):
         # per-chunk starts/valid stay host numpy: they ride along with the
         # dispatch instead of costing two device-slice round trips per
         # chunk (~30 ms each through the tunnel)
@@ -353,16 +369,26 @@ def sliding_window_seg_chunked(
         kk = k if k is not None else _auto_chunk(T, tile_bytes)
         n_chunks = -(-T // kk)
         starts_pad = np.full((n_chunks * kk, 3), z_base, np.int32)
+        if static_xy:  # padded tiles add zeros at a static (0, 0) corner
+            starts_pad[:, :2] = 0
         starts_pad[:T] = row_starts
         valid = np.zeros((n_chunks * kk,), np.float32)
         valid[:T] = 1.0
         for c in range(n_chunks):
+            sl = slice(c * kk, (c + 1) * kk)
+            # row mode: the xy grid repeats every z-row, so baking the
+            # update coordinates into the program keeps ONE compile per
+            # chunk position while making every accumulator update a
+            # static-index (true in-place) op — see _chunk_step
+            xy = tuple(map(tuple, starts_pad[sl, :2].tolist())) \
+                if static_xy else None
             buf = _chunk_step(
-                buf, fold_params, vol, starts_pad[c * kk:(c + 1) * kk],
-                valid[c * kk:(c + 1) * kk], gaussian, np.int32(z_base),
+                buf, fold_params, vol, starts_pad[sl],
+                valid[sl], gaussian, np.int32(z_base),
                 cfg=cfg, mirror_axes=tuple(mirror_axes),
                 compute_dtype=compute_dtype, k=kk,
-                channels_last=channels_last, n_cls_pad=n_cls_pad)
+                channels_last=channels_last, n_cls_pad=n_cls_pad,
+                xy_static=xy)
         return buf
 
     if channels_last:
@@ -379,7 +405,8 @@ def sliding_window_seg_chunked(
     carry = jnp.zeros_like(rowbuf)
     slabs = []
     for ri, z0 in enumerate(z_vals):
-        rowbuf = run_chunks(rowbuf, starts[starts[:, 2] == z0], int(z0))
+        rowbuf = run_chunks(rowbuf, starts[starts[:, 2] == z0], int(z0),
+                            static_xy=True)
         if ri + 1 < len(z_vals):
             d = int(z_vals[ri + 1] - z0)
             seg, carry, rowbuf = _row_finalize(rowbuf, carry, d=d,

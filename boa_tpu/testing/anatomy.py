@@ -206,6 +206,25 @@ def fake_parts_seg(shape, spacing) -> np.ndarray:
     return seg
 
 
+def fake_part_seg(shape, spacing, task_id: int) -> np.ndarray:
+    """One 5-part sub-model's output in PART-id space (task ids 291-295).
+
+    The multimodel pipeline LUT-remaps each sub-model's part ids into the
+    total class map (inference/pipeline.py merge loop), so the fake must
+    emit part-space labels — total-space ids would be misread as part ids.
+    """
+    from boa_tpu.tasks import class_maps
+
+    pm = class_maps.class_map_5_parts[class_maps.map_taskid_to_partname[task_id]]
+    inv = {v: k for k, v in pm.items()}
+    seg = np.zeros(shape, np.uint8)
+    for name, _, paint in _iter_structures(shape, spacing):
+        label = inv.get(name)
+        if label is not None:
+            paint(seg, label)
+    return seg
+
+
 def fake_predict_factory():
     """fake_predict(vol, spacing, task_id) covering total + BCA tasks."""
     def fake(vol: np.ndarray, spacing, task_id: int) -> np.ndarray:
@@ -214,6 +233,8 @@ def fake_predict_factory():
             return fake_regions_seg(shape, spacing)
         if task_id == 543:
             return fake_parts_seg(shape, spacing)
+        if task_id in (291, 292, 293, 294, 295):
+            return fake_part_seg(shape, spacing, task_id)
         return fake_total_seg(shape, spacing)
 
     fake.wants_volume = False  # shape-only: skip the volume download

@@ -252,3 +252,35 @@ def test_preview_shaded_surfaces(tmp_path):
     out = tmp_path / "preview.png"
     preview.generate_preview(ct_img, seg_img, get_class_map("total"), out)
     assert out.exists() and out.stat().st_size > 20000
+
+
+def test_fake_part_segs_merge_to_total():
+    """The 5-part fakes (anatomy.fake_part_seg, task ids 291-295) emit
+    PART-space ids that the multimodel merge LUT (pipeline merge loop)
+    maps back onto exactly the total-space fake — the honest full-res
+    bench (tools/e2e_bench.py --full-res) depends on this round trip."""
+    from boa_tpu.tasks import class_maps
+    from boa_tpu.tasks.class_maps import get_class_map
+    from boa_tpu.testing import anatomy
+
+    shape, spacing = (64, 64, 48), (6.0, 6.0, 6.0)
+    total = anatomy.fake_total_seg(shape, spacing)
+    inv_total = {v: k for k, v in get_class_map("total").items()}
+
+    merged = np.zeros(shape, np.uint8)
+    for tid in (291, 292, 293, 294, 295):
+        part_map = class_maps.class_map_5_parts[
+            class_maps.map_taskid_to_partname[tid]]
+        seg_part = anatomy.fake_part_seg(shape, spacing, tid)
+        assert seg_part.max() <= max(part_map)
+        lut = np.zeros(max(part_map) + 1, np.uint8)
+        for jdx, class_name in part_map.items():
+            lut[jdx] = inv_total[class_name]
+        merged = np.where(seg_part > 0, lut[seg_part], merged)
+    # every painted structure lands on its total-space id; where structures
+    # from different parts overlap the merge order (task-id order, exactly
+    # like the real merge loop) may differ from fake_total_seg's paint
+    # order, so compare up to a small overlap fraction
+    np.testing.assert_array_equal(merged > 0, total > 0)
+    assert (merged == total).mean() > 0.99
+    assert set(np.unique(merged)) == set(np.unique(total))

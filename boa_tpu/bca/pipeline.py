@@ -175,7 +175,8 @@ def run_pipeline(
     tissues, tissues_dev, regions_dev = subclassify_tissues(
         ct_img.device_data(), regions, median_filtering=median_filtering,
         return_device=True,
-        regions_dev_raw=getattr(body_regions_img, "_raw_device_seg", None))
+        regions_dev_raw=getattr(body_regions_img, "_raw_device_seg", None),
+        ct_host=np.asarray(ct_img.data))
     logger.info("Tissues subclassified in %.2fs", _time.perf_counter() - t0)
     tis_img = nifti.NiftiImage(data=tissues, affine=body_regions_img.affine)
     tis_img.set_label_map({int(k): v for v, k in

@@ -96,6 +96,11 @@ def get_lib() -> ctypes.CDLL | None:
             lib.boa_label_z_presence.argtypes = [
                 ctypes.c_void_p, *dims, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p]
+        if hasattr(lib, "boa_subclassify_lut"):
+            lib.boa_subclassify_lut.restype = None
+            lib.boa_subclassify_lut.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
         if hasattr(lib, "boa_parts_postprocess_label"):
             lib.boa_parts_postprocess_label.restype = ctypes.c_int64
             lib.boa_parts_postprocess_label.argtypes = [

@@ -482,6 +482,23 @@ void boa_unpack4_axis0(const uint8_t* p, int64_t n_pairs, int64_t plane,
   }
 }
 
+// Tissue subclassification as one fused LUT pass (bca/tissues.py):
+// out[i] = lut[regions[i] * 4096 + clamp(ct[i], -1024, 3071) + 1024].
+// The LUT rows encode the (region, HU-range) -> tissue rules exactly as
+// the device kernel applies them, so host and device tissue maps match
+// bit-for-bit for int16 CTs — this replaces downloading the 4-bit-packed
+// 157M-voxel tissue map through the tunnel (~5-7.5 s at 600 slices) with
+// a ~1-2 s local pass over data the host already holds.
+void boa_subclassify_lut(const int16_t* ct, const uint8_t* regions,
+                         const uint8_t* lut /* 256 x 4096 */, int64_t n,
+                         uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    int hu = (int)ct[i];
+    hu = hu < -1024 ? -1024 : (hu > 3071 ? 3071 : hu);
+    out[i] = lut[((int64_t)regions[i] << 12) + (hu + 1024)];
+  }
+}
+
 // Per-slice presence of labels in [vmin, vmax]: out[z * width + (v - vmin)]
 // = 1 for every voxel value v in range (width = vmax - vmin + 1). One read
 // pass over the (x, y, z) C-contiguous seg with a cache-resident output —

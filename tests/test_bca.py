@@ -119,6 +119,34 @@ def test_subclassify_tissues_device_raw_path(rng):
     np.testing.assert_array_equal(got2, subclassify_tissues(ct, raw))
 
 
+def test_subclassify_host_native_parity(rng):
+    """The native LUT host rebuild (boa_subclassify_lut) matches the
+    device download path bit-for-bit — incl. 255-ignore regions, region
+    ids outside every rule, and out-of-range HU values."""
+    from boa_tpu.bca import tissues as T
+
+    shape = (24, 16, 12)
+    ct = rng.integers(-2000, 4000, size=shape).astype(np.int16)
+    ct[0, 0, :4] = (-32768, -1024, 3071, 32767)  # clamp corners
+    regions = rng.integers(0, 16, size=shape).astype(np.uint8)
+    regions[5:7] = 255  # ignore fragments
+    native = T._subclassify_host_native(ct, regions)
+    if native is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    via_device = subclassify_tissues(ct, regions)  # download path
+    np.testing.assert_array_equal(native, via_device)
+    # the ct_host fast path is what the pipeline calls
+    fast = subclassify_tissues(ct, regions, ct_host=ct)
+    np.testing.assert_array_equal(fast, via_device)
+    # median filtering must NOT take the raw-HU host shortcut
+    med = subclassify_tissues(ct, regions, median_filtering=True,
+                              ct_host=ct)
+    med_ref = subclassify_tissues(ct, regions, median_filtering=True)
+    np.testing.assert_array_equal(med, med_ref)
+
+
 def test_upload_mask_roundtrip(rng):
     from boa_tpu.ops import packing
 

@@ -176,18 +176,38 @@ def run_pipeline(
         ct_img.device_data(), regions, median_filtering=median_filtering,
         return_device=True,
         regions_dev_raw=getattr(body_regions_img, "_raw_device_seg", None),
-        ct_host=np.asarray(ct_img.data))
+        ct_host=np.asarray(ct_img.data), defer_host=(worker is not None))
     logger.info("Tissues subclassified in %.2fs", _time.perf_counter() - t0)
-    tis_img = nifti.NiftiImage(data=tissues, affine=body_regions_img.affine)
-    tis_img.set_label_map({int(k): v for v, k in
-                           class_maps.bca_tissues().items()})
     t0 = _time.perf_counter()
-    if worker is not None:
-        save_futures.append(worker.submit(
-            "save-tissues.nii.gz", nifti.save, tis_img,
-            output_dir / "tissues.nii.gz"))
+    tissue_labels = {int(k): v for v, k in class_maps.bca_tissues().items()}
+    if callable(tissues):
+        # native host rebuild, deferred: runs on the worker (no device
+        # calls) fused with the gzip save; the main thread stays on the
+        # device path and never materializes the host tissue map (the PDF
+        # slices come from tissues_dev in Builder.prepare)
+        build_host = tissues
+        tissues = None
+
+        def _build_and_save(affine=body_regions_img.affine):
+            img = nifti.NiftiImage(data=build_host(), affine=affine)
+            img.set_label_map(tissue_labels)
+            nifti.save(img, output_dir / "tissues.nii.gz")
+            return img
+
+        tis_fut = worker.submit("tissues-host+save", _build_and_save)
+        save_futures.append(tis_fut)
+        tis_img = None
     else:
-        nifti.save(tis_img, output_dir / "tissues.nii.gz")
+        tis_img = nifti.NiftiImage(data=tissues,
+                                   affine=body_regions_img.affine)
+        tis_img.set_label_map(tissue_labels)
+        tis_fut = None
+        if worker is not None:
+            save_futures.append(worker.submit(
+                "save-tissues.nii.gz", nifti.save, tis_img,
+                output_dir / "tissues.nii.gz"))
+        else:
+            nifti.save(tis_img, output_dir / "tissues.nii.gz")
 
     # total segmentation + measurements (produced by the BOA orchestrator);
     # the in-memory seg from the orchestrator skips a 78 MB gunzip reload
@@ -260,14 +280,16 @@ def run_pipeline(
     (output_dir / "bca-measurements.json").write_text(
         json.dumps(json_data, indent=2))
     logger.info("BCA json in %.2fs", _time.perf_counter() - t0)
-    if images_out is not None:
-        images_out["body_parts"] = body_parts_img
-        images_out["body_regions"] = body_regions_img
-        images_out["tissues"] = tis_img
     # file contract for callers reading the segs back (the PDF may still
     # be rendering on the worker; analyze_ct reaps it)
     for fut in save_futures:
         fut.result()
+    if tis_fut is not None:
+        tis_img = tis_fut.result()
+    if images_out is not None:
+        images_out["body_parts"] = body_parts_img
+        images_out["body_regions"] = body_regions_img
+        images_out["tissues"] = tis_img
     return json_data
 
 

@@ -30,23 +30,35 @@ TISSUE_COLORS = {
 }
 
 
+def tissue_densities(tissues: np.ndarray, axis: int) -> np.ndarray:
+    """(n_tissues, h, w) float32 density fractions of each Tissue along
+    `axis`. measured: the 7 SIMD compare+reduce passes cost ~0.8 s/axis
+    here, ~10x FASTER than a combined-key np.bincount (whose int64 key
+    build alone writes a 630 MB temp) — the "one bincount pass" host rule
+    applies to per-label work with large label counts, not 7 tissues."""
+    depth = tissues.shape[axis]
+    return np.stack([(tissues == int(t)).sum(axis=axis,
+                                             dtype=np.float32) / depth
+                     for t in Tissue])
+
+
+def heatmap_rgb(density: np.ndarray) -> np.ndarray:
+    """Colorize a (n_tissues, h, w) density stack (tissue_densities or the
+    device-side twin in bca/report.py) with the fixed tissue colors."""
+    import matplotlib
+
+    rgb = np.zeros((*density.shape[1:], 3))
+    for i, t in enumerate(Tissue):
+        name = t.name.capitalize() if t in (Tissue.BONE, Tissue.MUSCLE) else t.name
+        color = np.array(matplotlib.colors.to_rgb(TISSUE_COLORS[name]))
+        rgb += density[i][..., None] * color[None, None]
+    return np.clip(rgb, 0, 1)
+
+
 def tissue_heatmap(tissues: np.ndarray, axis: int) -> np.ndarray:
     """Density projection of each tissue along `axis` (coronal: y, sagittal:
     x), parity in spirit with `report/plots/heatmaps.py:29-101`."""
-    import matplotlib
-
-    rgb = np.zeros((*np.delete(np.array(tissues.shape), axis), 3))
-    depth = tissues.shape[axis]
-    # measured: the 7 SIMD compare+reduce passes cost ~0.8 s/axis here,
-    # ~10x FASTER than a combined-key np.bincount (whose int64 key build
-    # alone writes a 630 MB temp) — the "one bincount pass" host rule
-    # applies to per-label work with large label counts, not 7 tissues
-    for t in Tissue:
-        name = t.name.capitalize() if t in (Tissue.BONE, Tissue.MUSCLE) else t.name
-        color = np.array(matplotlib.colors.to_rgb(TISSUE_COLORS[name]))
-        density = (tissues == int(t)).sum(axis=axis) / depth
-        rgb += density[..., None] * color[None, None]
-    return np.clip(rgb, 0, 1)
+    return heatmap_rgb(tissue_densities(tissues, axis))
 
 
 def axial_overlay(ct_slices: np.ndarray, tis_slices: np.ndarray) -> np.ndarray:
@@ -102,10 +114,13 @@ def render_report_pdf(builder, prepared: dict[str, Any], version: str) -> bytes:
         pdf.savefig(fig, facecolor=face)
         plt.close(fig)
 
-        # page 2: heatmaps
+        # page 2: heatmaps (densities precomputed by Builder.prepare on the
+        # main thread — from the device tissue map when the host one is
+        # still being rebuilt on the worker)
         fig, axes = plt.subplots(1, 2, figsize=(8.3, 11.7), facecolor=face)
+        densities = prepared["tissue_density"]
         for ax, (axis, name) in zip(axes, [(1, "coronal"), (0, "sagittal")]):
-            hm = tissue_heatmap(builder._tissues, axis)
+            hm = heatmap_rgb(densities[axis])
             ax.imshow(np.rot90(hm), interpolation="nearest", aspect="auto")
             ax.set_title(f"{name} tissue heatmap", color=txt)
             ax.axis("off")

@@ -146,6 +146,17 @@ def _unpack_mask(packed: jax.Array, shape: tuple[int, int, int]) -> jax.Array:
     return bits.reshape(-1)[:n].reshape(shape)
 
 
+@partial(jax.jit, static_argnames=("axis",))
+def _tissue_density_pass(tissues: jax.Array, axis: int) -> jax.Array:
+    """(n_tissues-1, h, w) float32 density fractions along `axis` on
+    device — the twin of bca/plots.tissue_densities for the deferred-host
+    case (one fused one-hot reduce; ~4 MB download per axis)."""
+    t = tissues.astype(jnp.int32)
+    oh = (t[..., None] == jnp.arange(1, _N_TISSUE, dtype=jnp.int32)
+          ).astype(jnp.float32)
+    return jnp.moveaxis(jnp.sum(oh, axis=axis) / t.shape[axis], -1, 0)
+
+
 @partial(jax.jit, static_argnames=("width",))
 def _region_z_pass(regions: jax.Array, width: int) -> jax.Array:
     """(nz, width) per-slice region-label counts on device (one-hot
@@ -165,7 +176,11 @@ class Builder:
         self._ct = ct_data  # np OR device array (jnp.asarray is a no-op)
         self._parts = np.asarray(body_parts)
         self._regions = np.asarray(body_regions)
-        self._tissues = np.asarray(tissues)
+        # tissues=None: the host map is being rebuilt on the HostWorker
+        # (bca/pipeline.py defer_host) — every consumer here works from
+        # tissues_dev instead (PDF slice panels gather on device)
+        self._tissues = None if tissues is None else np.asarray(tissues)
+        self._tissues_dev = tissues_dev
         self.spacing = tuple(float(s) for s in spacing)
         self.theme = theme
         self.examined_body_part = AggregatableBodyPart(0)
@@ -401,7 +416,7 @@ class Builder:
         # thread, while create_pdf may run on the HostWorker — device
         # dispatch (a device-resident self._ct) must stay main-thread-only
         # (utils/stages.py invariant)
-        nz = self._tissues.shape[2]
+        nz = self._regions.shape[2]
         chk = np.linspace(0, nz - 1, min(12, nz)).round().astype(np.int64)
         mids = [int((lo + hi) // 2) for _, (lo, hi), *_ in aggregations]
         all_idx = np.concatenate([chk, np.asarray(mids, np.int64)])
@@ -409,15 +424,37 @@ class Builder:
         # cost seconds of the single host core (the PDF renders on the
         # HostWorker, contending with main-thread stages) and 4x the
         # tunnel bytes, for no visual-check value
-        ds = max(1, min(self._tissues.shape[0], self._tissues.shape[1]) // 256)
+        ds = max(1, min(self._regions.shape[0], self._regions.shape[1]) // 256)
+        if self._tissues is not None:
+            tissue_slices = self._tissues[::ds, ::ds, all_idx]
+        else:  # host map deferred to the worker: gather the ~0.4 MB of
+            #    panel slices from the device copy instead
+            import jax.numpy as jnp
+
+            tissue_slices = np.asarray(jnp.take(
+                self._tissues_dev[::ds, ::ds], jnp.asarray(all_idx), axis=2))
         slice_check = {
             "check_idxs": chk,
             "mid_idxs": mids,
             "ct_slices": self.axial_ct_slices(all_idx, stride=ds),
-            "tissue_slices": self._tissues[::ds, ::ds, all_idx],
+            "tissue_slices": tissue_slices,
         }
 
+        # heatmap density stacks for the PDF's page 2 — on device when the
+        # host tissue map is deferred (the render runs on the HostWorker,
+        # which must not dispatch device ops)
+        if self._tissues is not None:
+            from boa_tpu.bca import plots as _plots
+
+            density = {ax: _plots.tissue_densities(self._tissues, ax)
+                       for ax in (1, 0)}
+        else:
+            density = {ax: np.asarray(
+                _tissue_density_pass(self._tissues_dev, ax))
+                for ax in (1, 0)}
+
         return {
+            "tissue_density": density,
             "aggregated_measurements": aggregations,
             "equidistant_slice_check": slice_check,
             "image_summary": None,

@@ -81,7 +81,8 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
                         median_filtering: bool = False,
                         return_device: bool = False,
                         regions_dev_raw=None,
-                        ct_host: np.ndarray | None = None):
+                        ct_host: np.ndarray | None = None,
+                        defer_host: bool = False):
     """ct_data, body_regions: (x, y, z) volumes on the same grid.
 
     return_device=True also returns the device-resident tissue map so
@@ -98,7 +99,14 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
     device upload). When given (and no median filter), the host tissue map
     is rebuilt locally by the native LUT kernel instead of downloading the
     full 4-bit-packed map — at 600 slices that download is 5-7.5 s of
-    serial tunnel time for bytes the host can recompute in ~1-2 s.
+    serial tunnel time for bytes the host can recompute in ~0.25 s.
+
+    defer_host: return a zero-arg CALLABLE in place of the host array when
+    the native rebuild is available — the caller runs it on the overlapped
+    HostWorker (it makes no device calls). Running the rebuild on the MAIN
+    thread measured 4.7-11 s wall at 600 slices: this single-core host
+    round-robins it against the worker's queued stages, where the old
+    download was idle tunnel time the worker drained for free.
     """
     from boa_tpu.utils.timing import Spans
 
@@ -138,9 +146,16 @@ def subclassify_tissues(ct_data: np.ndarray, body_regions: np.ndarray,
     dev = _subclassify(ct, regions_dev)
     spans.mark("subclassify", sync=dev)
     host = None
-    if not median_filtering and ct_host is not None \
-            and ct_host.dtype == np.int16 \
-            and ct_host.shape == body_regions.shape:
+    native_ok = (not median_filtering and ct_host is not None
+                 and ct_host.dtype == np.int16
+                 and ct_host.shape == body_regions.shape)
+    if native_ok and defer_host:
+        from boa_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "boa_subclassify_lut"):
+            host = partial(_subclassify_host_native, ct_host, body_regions)
+    if host is None and native_ok:
         host = _subclassify_host_native(ct_host, body_regions)
         spans.mark("host_rebuild")
     if host is None:

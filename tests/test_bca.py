@@ -145,6 +145,15 @@ def test_subclassify_host_native_parity(rng):
                               ct_host=ct)
     med_ref = subclassify_tissues(ct, regions, median_filtering=True)
     np.testing.assert_array_equal(med, med_ref)
+    # the device heatmap-density twin matches the host one
+    import jax.numpy as jnp
+
+    from boa_tpu.bca import plots, report
+
+    for axis in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(report._tissue_density_pass(jnp.asarray(native), axis)),
+            plots.tissue_densities(native, axis), rtol=0, atol=1e-6)
 
 
 def test_upload_mask_roundtrip(rng):
@@ -336,6 +345,45 @@ def test_run_pipeline_fake(tmp_path, synthetic_study):
     assert out["body_parts"]["abdomen"] is True
     saved = json.loads((tmp_path / "bca-measurements.json").read_text())
     assert saved["aggregated"]["whole_scan"]["num_slices"] == 120
+
+
+def test_run_pipeline_worker_deferred_tissues(tmp_path, synthetic_study):
+    """With a HostWorker the host tissue map is rebuilt on the worker
+    (defer_host) — artifacts must match the serial run bit-for-bit."""
+    from boa_tpu.bca.pipeline import run_pipeline
+    from boa_tpu.io import nifti
+    from boa_tpu.utils.stages import HostWorker
+
+    ct, parts, regions, tissues, spacing = synthetic_study
+    affine = np.diag([*spacing, 1.0])
+    img = NiftiImage(data=ct, affine=affine)
+
+    def fake(vol, sp, task_id):
+        src = parts if task_id == 543 else regions
+        if vol.shape == src.shape:
+            return src
+        from boa_tpu.ops import resample as rs
+
+        return np.asarray(rs.resample_nearest(src, vol.shape, "zoom"))
+
+    serial_dir = tmp_path / "serial"
+    worker_dir = tmp_path / "worker"
+    out_s = run_pipeline(img, serial_dir, store=ModelStore("/nonexistent"),
+                         save_pdf=True, fake_predict=fake)
+    worker = HostWorker()
+    try:
+        images: dict = {}
+        out_w = run_pipeline(img, worker_dir, store=ModelStore("/nonexistent"),
+                             save_pdf=True, fake_predict=fake, worker=worker,
+                             images_out=images)
+    finally:
+        worker.close()
+    np.testing.assert_array_equal(
+        np.asarray(nifti.load(serial_dir / "tissues.nii.gz").data),
+        np.asarray(nifti.load(worker_dir / "tissues.nii.gz").data))
+    assert out_s == out_w
+    assert images["tissues"] is not None
+    assert (worker_dir / "report.pdf").stat().st_size > 1000
 
 
 def test_breast_implant_findings_speckle_fast():

@@ -222,8 +222,10 @@ def generate_preview(ct_img, seg_img, label_map: dict[int, str],
             from boa_tpu.utils.timing import Spans
 
             spans = Spans("preview")
+            cache_hit = getattr(seg_img, "_device_data", None) is not None
             seg_dev = seg_img.device_data()
-            spans.mark("seg_upload", sync=seg_dev)
+            spans.mark("seg_sync(hit)" if cache_hit else "seg_upload",
+                       sync=seg_dev)
             group_fronts = _group_fronts_device(seg_dev, inv, n_labels)
             spans.mark("depth_pass")
         except Exception:

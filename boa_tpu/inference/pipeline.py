@@ -212,6 +212,7 @@ def predict_image(
                 lut[jdx] = inv[class_name]
             mapped = jnp.take(jnp.asarray(lut), seg_part.astype(jnp.int32))
             seg_combined = jnp.where(seg_part > 0, mapped, seg_combined)
+            spans.mark(f"predict_{tid}", sync=seg_combined)
         seg_host: np.ndarray | None = None
         seg_dev = seg_combined
     else:
@@ -292,6 +293,7 @@ def predict_image(
             exclude_masks_at_border=stats_exclude_border,
             metric=stats_aggregation,
             normalized_intensities=stats_normalized_intensities)
+        spans.mark("statistics")
 
     # --- back to the original grid. Host↔device transfer is the scarcest
     #     resource (tunneled TPU): when the model grid is COARSER than the

@@ -41,7 +41,8 @@ def _postprocess_bca_task(task_name: str, res, label_map) -> nifti.NiftiImage:
         seg = bca_pp.postprocess_region_segmentation(seg)
     logger.info("BCA %s postprocessed in %.2fs", task_name,
                 _time.perf_counter() - t0)
-    out = nifti.NiftiImage(data=seg, affine=res.seg.affine)
+    out = nifti.NiftiImage(data=seg, affine=res.seg.affine,
+                           crop_info=getattr(res.seg, "crop_info", None))
     out.set_label_map(label_map)
     if getattr(res, "seg_dev_full", None) is not None:
         # device twin of the PRE-postprocess seg: the tissue pass rebuilds
@@ -188,8 +189,10 @@ def run_pipeline(
         build_host = tissues
         tissues = None
 
-        def _build_and_save(affine=body_regions_img.affine):
-            img = nifti.NiftiImage(data=build_host(), affine=affine)
+        def _build_and_save(affine=body_regions_img.affine,
+                            ci=getattr(body_regions_img, "crop_info", None)):
+            img = nifti.NiftiImage(data=build_host(), affine=affine,
+                                   crop_info=ci)
             img.set_label_map(tissue_labels)
             nifti.save(img, output_dir / "tissues.nii.gz")
             return img
@@ -198,8 +201,9 @@ def run_pipeline(
         save_futures.append(tis_fut)
         tis_img = None
     else:
-        tis_img = nifti.NiftiImage(data=tissues,
-                                   affine=body_regions_img.affine)
+        tis_img = nifti.NiftiImage(
+            data=tissues, affine=body_regions_img.affine,
+            crop_info=getattr(body_regions_img, "crop_info", None))
         tis_img.set_label_map(tissue_labels)
         tis_fut = None
         if worker is not None:
@@ -214,6 +218,10 @@ def run_pipeline(
     total_path = output_dir / "total.nii.gz"
     if total_seg is None and total_path.exists():
         total_seg = np.asarray(nifti.load(total_path).data)
+        ci = getattr(ct_img, "crop_info", None)
+        if ci is not None and total_seg.shape[:2] != ct_img.shape[:2]:
+            # disk reload is on the full grid; this run is body-cropped
+            total_seg = total_seg[ci.x0:ci.x1, ci.y0:ci.y1]
     tm_path = output_dir / "total-measurements.json"
     total_measurements = json.loads(tm_path.read_text()) if tm_path.exists() else None
     logger.info("BCA tissues save + total reload in %.2fs",

@@ -95,6 +95,22 @@ def compute_all_models(
     range_warning(np.asarray(ct_img.data))
 
     shape, spacing = ct_img.shape, ct_img.zooms
+    # in-plane body crop before the first upload (ops/cropping.py:
+    # body_crop_xy): the tunnel and the MXU both pay per voxel, and the
+    # body typically covers <60% of a 512x512 FOV. Saved volumes are
+    # padded back to the full grid, so on-disk outputs are unchanged.
+    # Opt out with BOA_BODY_CROP=0.
+    import os as _os
+
+    if _os.environ.get("BOA_BODY_CROP", "1") != "0":
+        from boa_tpu.ops.cropping import body_crop_xy
+
+        ct_img, _crop = body_crop_xy(ct_img)
+        if _crop is not None:
+            logger.info(
+                "Body crop: x %d:%d y %d:%d (%.0f%% of the in-plane FOV)",
+                _crop.x0, _crop.x1, _crop.y0, _crop.y1,
+                100.0 * _crop.voxel_fraction)
     measurement_models = [m for m in models_to_compute if m not in BASE_MODELS]
     stats = {
         "num_voxels": int(shape[0]) * int(shape[1]) * int(shape[2]),

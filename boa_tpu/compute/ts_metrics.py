@@ -110,17 +110,28 @@ def _body_axes_cm(ct_path: Path, segmentation_folder: Path,
     only needed for its voxel spacing — header-only read."""
     seg_images = seg_images or {}
 
-    def _seg(name: str) -> np.ndarray | None:
+    def _seg(name: str):
         img = seg_images.get(name)
         if img is not None:
-            return np.asarray(img.data)
+            return np.asarray(img.data), getattr(img, "crop_info", None)
         path = segmentation_folder / f"{name}.nii.gz"
-        return np.asarray(nifti.load(path).data) if path.exists() else None
+        if not path.exists():
+            return None, None
+        return np.asarray(nifti.load(path).data), None
 
-    region_data = _seg("total")
-    body_data = _seg("body_parts")
+    region_data, region_ci = _seg("total")
+    body_data, body_ci = _seg("body_parts")
     if region_data is None or body_data is None:
         return None, None
+    if region_data.shape != body_data.shape:
+        # one seg is on the body-cropped grid, the other on the full
+        # grid (in-memory vs disk reload) — pad the cropped one back
+        from boa_tpu.ops.cropping import pad_back
+
+        if region_ci is not None:
+            region_data = pad_back(region_data, region_ci)
+        if body_ci is not None:
+            body_data = pad_back(body_data, body_ci)
     l3_label = {v: k for k, v in
                 class_maps.get_class_map("total").items()}["vertebrae_L3"]
     _, ct_affine = nifti.load_header(Path(ct_path))

@@ -151,6 +151,29 @@ def predict_image(
         img, bbox = cropping.crop_to_mask(img, crop_mask, addon_mm=addon,
                                           dtype=np.int32)
 
+    # --- in-plane body crop for direct callers (bench/serve/python_api):
+    #     the tunnel and the MXU pay per voxel, and the body covers <60%
+    #     of a typical 512x512 FOV. `analyze_ct` crops once at the study
+    #     level (compute/inference.py) — then `img.crop_info` is set and
+    #     this is skipped. The output is padded back below, so the
+    #     returned grid always equals the input grid. BOA_BODY_CROP=0
+    #     disables. (Behavioral kin: `bin/crop_to_body`, python_api
+    #     `body_seg=True`.)
+    body_info = None
+    if crop_mask is None and getattr(img, "crop_info", None) is None \
+            and os.environ.get("BOA_BODY_CROP", "1") != "0":
+        cached = getattr(img, "_body_cropped", None)
+        if cached is not None:
+            img, body_info = cached
+        else:
+            cropped, body_info = cropping.body_crop_xy(img)
+            if body_info is not None:
+                # cache on the parent so repeat predictions (fold loops,
+                # serving retries) reuse one upload
+                object.__setattr__(img, "_body_cropped",
+                                   (cropped, body_info))
+                img = cropped
+
     # --- canonical RAS: affine math on host, voxel flips/transpose on device
     import jax.numpy as jnp
 
@@ -340,9 +363,24 @@ def predict_image(
                 sd = rs.resample_nearest(sd, canon_shape, convention="zoom")
             seg_out_dev = nifti.apply_orientation_device(sd, inv)
     spans.mark("back_resample+orient")
-    seg_out = NiftiImage(data=seg_out_np, affine=img.affine.copy())
+    seg_out = NiftiImage(data=seg_out_np, affine=img.affine.copy(),
+                         crop_info=None if body_info is not None
+                         else getattr(img, "crop_info", None))
     if bbox is not None:
         seg_out = cropping.undo_crop(seg_out, img_orig, bbox)
+    if body_info is not None:
+        # internal body crop: zero-pad back so the contract (output grid
+        # == input grid) holds for direct callers; the device mirror is
+        # padded on device (a cheap HBM write vs re-uploading the seg)
+        seg_out = NiftiImage(
+            data=cropping.pad_back(np.asarray(seg_out.data), body_info),
+            affine=img_orig.affine.copy())
+        if seg_out_dev is not None:
+            import jax
+
+            full = jnp.zeros(img_orig.shape, seg_out_dev.dtype)
+            seg_out_dev = jax.lax.dynamic_update_slice(
+                full, seg_out_dev, (body_info.x0, body_info.y0, 0))
 
     if seg_out.shape != img_orig.shape:
         raise RuntimeError(

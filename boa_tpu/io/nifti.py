@@ -100,6 +100,10 @@ class NiftiImage:
     # scl_slope/scl_inter already applied by load(); kept for round-trip info
     extensions: list[tuple[int, bytes]] = field(default_factory=list)
     descrip: bytes = b"boa_tpu"
+    # set when this image lives on a body-cropped grid
+    # (ops/cropping.py:BodyCrop): save() zero-pads back to the original
+    # grid so on-disk volumes match the uncropped study
+    crop_info: object | None = None
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -301,6 +305,14 @@ def save(img: NiftiImage, path: str | Path) -> None:
     """Write a .nii or .nii.gz (by extension) with sform+qform set from affine."""
     path = Path(path)
     data = np.asanyarray(img.data)
+    if getattr(img, "crop_info", None) is not None:
+        # body-cropped study (ops/cropping.py): pad back to the original
+        # grid so on-disk outputs are grid-identical to an uncropped run
+        from boa_tpu.ops.cropping import pad_back
+
+        data = pad_back(data, img.crop_info)
+        img = NiftiImage(data=data, affine=img.crop_info.orig_affine,
+                         extensions=img.extensions, descrip=img.descrip)
     if data.dtype == np.bool_:
         data = data.astype(np.uint8)
     if np.dtype(data.dtype) not in _DTYPE_CODES:

@@ -354,6 +354,12 @@ def compute_measurements(
             if not p.exists():
                 continue
             seg_img = nifti.load(p)
+            ci = getattr(ct_img, "crop_info", None)
+            if ci is not None and seg_img.shape != ct_img.shape:
+                # disk segs are on the full grid; this run is body-cropped
+                seg_img = nifti.NiftiImage(
+                    data=np.asarray(seg_img.data)[ci.x0:ci.x1, ci.y0:ci.y1],
+                    affine=ct_img.affine.copy())
         if not np.allclose(seg_img.zooms, ct_img.zooms):
             raise ValueError(
                 "The spacing of the image and of the segmentation should be the same")
@@ -367,12 +373,17 @@ def compute_measurements(
                                       else None,
                                       seg_devs=seg_devs)
     if "total" in segmentations:
+        from boa_tpu.utils.timing import Spans
+
+        spans = Spans("measurements")
         if "total" in seg_devs and hasattr(ct_img, "device_data") and \
                 np.dtype(ct_img.data.dtype) == np.int16:
             pfav = _pfav_mask_device(ct_img.device_data(), seg_devs["total"])
         else:
             pfav = compute_pfav_mask(ct_data, segmentations["total"])
-        img = nifti.NiftiImage(data=pfav, affine=ct_img.affine)
+        spans.mark("pfav")
+        img = nifti.NiftiImage(data=pfav, affine=ct_img.affine,
+                               crop_info=getattr(ct_img, "crop_info", None))
         pfav_path = Path(segmentation_folder) / "ct_pfav.nii.gz"
         if worker is not None:
             worker.submit("save-ct_pfav.nii.gz", nifti.save, img, pfav_path)

@@ -12,7 +12,11 @@ from boa_tpu.compute.gbm import fit_gbtree, save_model_doc
 from boa_tpu.compute.xgb import TreeEnsemble
 
 
-def test_fit_gbtree_learns_and_roundtrips(tmp_path, rng):
+def test_fit_gbtree_learns_and_roundtrips(tmp_path):
+    # local fixed seed: the session-scoped `rng` fixture's state depends on
+    # which tests ran before, and the 0.95 accuracy bound is tight enough
+    # that an unlucky draw flakes the assertion (seen in full-suite runs)
+    rng = np.random.default_rng(7)
     x = rng.normal(0, 1, (500, 6)).astype(np.float32)
     y = ((x[:, 0] + 0.5 * x[:, 2]) > 0).astype(int)
     doc = fit_gbtree(x, y, n_rounds=30, max_depth=3)

@@ -187,18 +187,59 @@ def predict_image(
     resample = task.resample
     if task.resample_only_thickness and resample is not None:
         resample = (canon_zooms[0], canon_zooms[1], resample[2])
+    # Body-crop sampling transparency: the zoom coordinate map depends on
+    # the FULL extents, so resampling a crop with its own extents would
+    # shift every sample sub-voxel-wise (enough to move label borders and
+    # break erosion-sensitive downstream metrics). Windowed operators
+    # (ops/resample.py `_axis_op_windowed`) slice the full-grid operator
+    # instead, making the cropped model grid an EXACT subgrid of the
+    # uncropped one; the fake_predict hook then paints on the full grid
+    # and slices the same window.
+    _ci = getattr(img, "crop_info", None)
+    crop_axes = None if _ci is None else _canonical_crop_axes(_ci, ornt)
+    fwd_windows = bwd_windows = fake_geom = None
     if resample is not None and not np.allclose(canon_zooms, resample):
         out_shape, zoom, new_spacing = rs.change_spacing_shape(
             canon_shape, canon_zooms, resample)
+        if crop_axes is not None:
+            full_c, off_c = crop_axes
+            full_out = rs.zoom_output_shape(full_c, zoom)
+            out0 = [min(max(int(round(off_c[p] * float(zoom[p]))), 0),
+                        full_out[p] - out_shape[p]) for p in range(3)]
+            fwd_windows = tuple(
+                None if (full_c[p] == canon_shape[p]
+                         and full_out[p] == out_shape[p]) else
+                (full_c[p], full_out[p], off_c[p], out0[p])
+                for p in range(3))
+            bwd_windows = tuple(None if w is None else (w[1], w[0], w[3], w[2])
+                                for w in fwd_windows)
+            fake_geom = (tuple(int(n) for n in full_out), tuple(out0))
         data_rsp = rs.resample_volume(data_dev, out_shape,
-                                      order=3, convention="zoom"
-                                      ).astype(jnp.int32)
+                                      order=3, convention="zoom",
+                                      windows=fwd_windows).astype(jnp.int32)
         rsp_affine = rs.rescale_affine(canon_affine, zoom)
+        if fwd_windows is not None:
+            # exact model-grid origin: the full-grid rescaled affine
+            # evaluated at voxel out0 (the naive rescale of the cropped
+            # affine is off by the sub-voxel window phase)
+            full_affine = np.copy(canon_affine)
+            full_affine[:3, 3] = (canon_affine @ np.array(
+                [-off_c[0], -off_c[1], -off_c[2], 1.0]))[:3]
+            full_rsp = rs.rescale_affine(full_affine, zoom)
+            rsp_affine = np.copy(full_rsp)
+            rsp_affine[:3, 3] = (full_rsp @ np.array(
+                [out0[0], out0[1], out0[2], 1.0]))[:3]
         rsp_spacing = tuple(float(s) for s in new_spacing)
     else:
         data_rsp = data_dev.astype(jnp.int32)
         rsp_affine = canon_affine
         rsp_spacing = canon_zooms
+        if crop_axes is not None:
+            # unresampled: the crop IS an exact subgrid already
+            fake_geom = (tuple(int(n) for n in crop_axes[0]),
+                         tuple(crop_axes[1]))
+    if fake_predict is None:
+        fake_geom = None
 
     spans.mark("upload+orient+resample", sync=data_rsp)
 
@@ -226,7 +267,8 @@ def predict_image(
             seg_part = _predict_one(data_rsp, rsp_spacing, tid, task, use_folds,
                                     step_size, store, compute_dtype,
                                     fake_predict, bucket,
-                                    save_probabilities=probs_path)
+                                    save_probabilities=probs_path,
+                                    fake_geom=fake_geom)
             seg_part = jnp.asarray(seg_part)
             part_map = class_maps.class_map_5_parts[
                 class_maps.map_taskid_to_partname[tid]]
@@ -242,7 +284,8 @@ def predict_image(
         seg_any = _predict_one(data_rsp, rsp_spacing, task.task_ids[0], task,
                                use_folds, step_size, store, compute_dtype,
                                fake_predict, bucket,
-                               save_probabilities=save_probabilities)
+                               save_probabilities=save_probabilities,
+                               fake_geom=fake_geom)
         # the seg stays wherever it was produced (device for the real
         # predictor, host for the fake_predict test hook) and converts
         # lazily below, at most once per direction, 4-bit packed over the
@@ -334,21 +377,24 @@ def predict_image(
         # `nnunet_resampling` flag) — costlier but smoother label borders
         n_cls = int(max(label_map) + 1)
         seg_canon_dev = rs.resample_seg_onehot(
-            _seg_dev(), canon_shape, n_cls, order=1, convention="zoom")
+            _seg_dev(), canon_shape, n_cls, order=1, convention="zoom",
+            windows=bwd_windows)
         seg_out_dev = nifti.apply_orientation_device(
             seg_canon_dev.astype(jnp.uint8), inv)
         seg_out_np = np.asarray(seg_out_dev)
     elif resample is not None and rsp_shape != tuple(canon_shape) and \
             np.prod(rsp_shape) > np.prod(canon_shape):
         seg_canon_dev = rs.resample_nearest(_seg_dev(), canon_shape,
-                                            convention="zoom")
+                                            convention="zoom",
+                                            windows=bwd_windows)
         seg_out_dev = nifti.apply_orientation_device(seg_canon_dev, inv)
         seg_out_np = np.asarray(seg_out_dev)
     else:
         seg_small = _seg_host()
         if resample is not None and seg_small.shape != canon_shape:
             seg_canon_np = rs.resample_nearest_host(seg_small, canon_shape,
-                                                    convention="zoom")
+                                                    convention="zoom",
+                                                    windows=bwd_windows)
         else:
             seg_canon_np = seg_small
         seg_out_np = np.ascontiguousarray(
@@ -360,7 +406,8 @@ def predict_image(
             # device consumers skip re-uploading the full-grid seg
             sd = _seg_dev()
             if resample is not None and tuple(sd.shape) != tuple(canon_shape):
-                sd = rs.resample_nearest(sd, canon_shape, convention="zoom")
+                sd = rs.resample_nearest(sd, canon_shape, convention="zoom",
+                                         windows=bwd_windows)
             seg_out_dev = nifti.apply_orientation_device(sd, inv)
     spans.mark("back_resample+orient")
     seg_out = NiftiImage(data=seg_out_np, affine=img.affine.copy(),
@@ -410,10 +457,29 @@ def predict_image(
                               seg_dev_full=seg_out_dev)
 
 
+def _canonical_crop_axes(ci, ornt: np.ndarray) -> tuple[list, list]:
+    """(full canonical shape, crop offsets) of an in-plane body crop.
+
+    Maps `ops/cropping.py:BodyCrop` (original array axes) through the
+    canonical reorientation (`io/nifti.py:io_orientation` rows are
+    input-axis → (output axis, flip); flips apply before the transpose)."""
+    lo = (ci.x0, ci.y0, 0)
+    hi = (ci.x1, ci.y1, int(ci.orig_shape[2]))
+    full_c = [0, 0, 0]
+    off_c = [0, 0, 0]
+    for i in range(3):
+        p = int(ornt[i, 0])
+        ext = int(ci.orig_shape[i])
+        full_c[p] = ext
+        off_c[p] = (ext - hi[i]) if ornt[i, 1] < 0 else lo[i]
+    return full_c, off_c
+
+
 def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
                  step_size: float, store: ModelStore, compute_dtype: str,
                  fake_predict, bucket: int | None = None,
-                 save_probabilities: Path | None = None) -> np.ndarray:
+                 save_probabilities: Path | None = None,
+                 fake_geom: tuple | None = None) -> np.ndarray:
     if fake_predict is not None:
         if getattr(fake_predict, "run_real", False):
             # honest-bench hook: run the REAL device predictor first (its
@@ -433,11 +499,21 @@ def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
             seg_real = predictor.predict(data_rsp, spacing, return_device=True)
             np.asarray(seg_real[:1, :1, :1])  # sync the async dispatches
             del seg_real
+        full_shape = data_rsp.shape if fake_geom is None else fake_geom[0]
         if getattr(fake_predict, "wants_volume", True):
             vol = np.asarray(data_rsp)
+            if fake_geom is not None:  # re-embed in the full FOV as air
+                full = np.full(full_shape, np.int32(-1024))
+                o = fake_geom[1]
+                full[o[0]:o[0] + vol.shape[0], o[1]:o[1] + vol.shape[1],
+                     o[2]:o[2] + vol.shape[2]] = vol
+                vol = full
         else:  # shape-only fakes skip the (tunnel-expensive) download
-            vol = np.broadcast_to(np.int32(0), data_rsp.shape)
+            vol = np.broadcast_to(np.int32(0), full_shape)
         seg = np.asarray(fake_predict(vol, spacing, task_id))
+        if fake_geom is not None:
+            o, s = fake_geom[1], data_rsp.shape
+            seg = seg[o[0]:o[0] + s[0], o[1]:o[1] + s[1], o[2]:o[2] + s[2]]
         if save_probabilities is not None:  # one-hot stand-in probabilities
             n_cls = int(seg.max()) + 1
             probs = np.zeros((n_cls,) + seg.shape, np.float16)

@@ -103,50 +103,102 @@ def _apply3(vol: jax.Array, mx: jax.Array, my: jax.Array, mz: jax.Array,
     return out
 
 
+def _axis_op_windowed(n_in: int, n_out: int, order: int, convention: str,
+                      window) -> np.ndarray:
+    """Axis operator, optionally sliced out of a FULL-grid operator.
+
+    `window = (full_in, full_out, in0, out0)` makes a cropped volume's
+    resample an *exact subgrid* of the full-grid resample: both the zoom
+    and resize coordinate maps depend on the full extents, so resampling
+    a crop with its own extents shifts every sample sub-voxel-wise. The
+    sliced rows' support can extend past the crop columns; with the body
+    crop's air margin the truncated weights act on constant air (and the
+    cubic prefilter's IIR tail decays ~0.268^d), so results match the
+    full-grid resample to fp32 rounding inside the window.
+    """
+    if window is None:
+        return axis_operator(n_in, n_out, order, convention)
+    full_in, full_out, in0, out0 = window
+    rows = axis_operator(full_in, full_out, order, convention)[
+        out0:out0 + n_out]
+    mat = np.ascontiguousarray(rows[:, in0:in0 + n_in])
+    # fold the dropped columns' weights onto the window-edge columns
+    # (nearest-extension): rows near the window edge have kernel support
+    # outside it; the crop margin guarantees the outside content equals
+    # the edge content (air), so this reproduces the full-grid values
+    if in0 > 0:
+        mat[:, 0] += rows[:, :in0].sum(axis=1)
+    if in0 + n_in < full_in:
+        mat[:, -1] += rows[:, in0 + n_in:].sum(axis=1)
+    return mat
+
+
+def _axis_idx_windowed(n_in: int, n_out: int, convention: str,
+                       window) -> np.ndarray:
+    """Nearest-index vector, optionally sliced from the full-grid map."""
+    if window is None:
+        return axis_nearest_indices(n_in, n_out, convention)
+    full_in, full_out, in0, out0 = window
+    idx = axis_nearest_indices(full_in, full_out, convention)
+    return np.clip(idx[out0:out0 + n_out] - in0, 0, n_in - 1).astype(np.int32)
+
+
 def resample_volume(vol: jax.Array | np.ndarray, new_shape: tuple[int, int, int],
                     order: int = 3, convention: str = "zoom",
-                    separate_z_order: int | None = None) -> jax.Array:
+                    separate_z_order: int | None = None,
+                    windows=None) -> jax.Array:
     """Resample the last 3 axes of ``vol`` to ``new_shape``.
 
     separate_z_order: if not None, in-plane (x,y) uses ``order`` and the z
     axis uses this order — nnU-Net's anisotropic separate-z mode
     (`default_resampling.py:33-67`; order_z=0 by default).
+    windows: optional per-axis (full_in, full_out, in0, out0) triple-slice
+    spec (see `_axis_op_windowed`) aligning a cropped resample to the
+    full-grid sample positions.
     """
     vol = jnp.asarray(vol)
     in_shape = vol.shape[-3:]
     z_order = order if separate_z_order is None else separate_z_order
-    mx = jnp.asarray(axis_operator(in_shape[0], new_shape[0], order, convention))
-    my = jnp.asarray(axis_operator(in_shape[1], new_shape[1], order, convention))
-    mz = jnp.asarray(axis_operator(in_shape[2], new_shape[2], z_order, convention))
+    w = windows or (None, None, None)
+    mx = jnp.asarray(_axis_op_windowed(in_shape[0], new_shape[0], order,
+                                       convention, w[0]))
+    my = jnp.asarray(_axis_op_windowed(in_shape[1], new_shape[1], order,
+                                       convention, w[1]))
+    mz = jnp.asarray(_axis_op_windowed(in_shape[2], new_shape[2], z_order,
+                                       convention, w[2]))
     return _apply3(vol.astype(jnp.float32), mx, my, mz)
 
 
 def resample_nearest(vol: jax.Array | np.ndarray, new_shape: tuple[int, int, int],
-                     convention: str = "zoom") -> jax.Array:
+                     convention: str = "zoom", windows=None) -> jax.Array:
     """Order-0 resample of the last 3 axes (labels); pure gather, any dtype."""
     vol = jnp.asarray(vol)
     in_shape = vol.shape[-3:]
-    ix = jnp.asarray(axis_nearest_indices(in_shape[0], new_shape[0], convention))
-    iy = jnp.asarray(axis_nearest_indices(in_shape[1], new_shape[1], convention))
-    iz = jnp.asarray(axis_nearest_indices(in_shape[2], new_shape[2], convention))
+    w = windows or (None, None, None)
+    ix = jnp.asarray(_axis_idx_windowed(in_shape[0], new_shape[0], convention, w[0]))
+    iy = jnp.asarray(_axis_idx_windowed(in_shape[1], new_shape[1], convention, w[1]))
+    iz = jnp.asarray(_axis_idx_windowed(in_shape[2], new_shape[2], convention, w[2]))
     out = jnp.take(vol, ix, axis=-3)
     out = jnp.take(out, iy, axis=-2)
     return jnp.take(out, iz, axis=-1)
 
 
 def resample_nearest_host(vol: np.ndarray, new_shape: tuple[int, int, int],
-                          convention: str = "zoom") -> np.ndarray:
+                          convention: str = "zoom", windows=None) -> np.ndarray:
     """Order-0 resample on the HOST (pure np.take gathers, same cached index
     vectors as the device path — bit-identical results). Used when the label
     volume is already host-side and an extra device round-trip would cost
     more than the gather (host↔device bandwidth is ~20-80 MB/s through the
     TPU tunnel)."""
     in_shape = vol.shape[-3:]
+    w = windows or (None, None, None)
     out = vol
     for axis, (n_in, n_out) in enumerate(zip(in_shape, new_shape)):
-        if n_in == n_out:
+        if n_in == n_out and w[axis] is None:
             continue  # identity axis: np.take would still copy ~50 MB here
-        idx = axis_nearest_indices(n_in, n_out, convention)
+        idx = _axis_idx_windowed(n_in, n_out, convention, w[axis])
+        if n_in == n_out and np.array_equal(idx, np.arange(n_in)):
+            continue
         out = np.take(out, idx, axis=axis - 3)
     return out
 
@@ -154,7 +206,8 @@ def resample_nearest_host(vol: np.ndarray, new_shape: tuple[int, int, int],
 def resample_seg_onehot(seg: jax.Array | np.ndarray, new_shape: tuple[int, int, int],
                         num_classes: int, order: int = 1,
                         convention: str = "resize",
-                        separate_z_order: int | None = None) -> jax.Array:
+                        separate_z_order: int | None = None,
+                        windows=None) -> jax.Array:
     """Segmentation resampling via per-class linear interpolation + argmax.
 
     Parity: batchgenerators ``resize_segmentation`` (used by nnU-Net's
@@ -164,7 +217,7 @@ def resample_seg_onehot(seg: jax.Array | np.ndarray, new_shape: tuple[int, int, 
     seg = jnp.asarray(seg)
     oh = jax.nn.one_hot(seg.astype(jnp.int32), num_classes, axis=0, dtype=jnp.float32)
     res = resample_volume(oh, new_shape, order=order, convention=convention,
-                          separate_z_order=separate_z_order)
+                          separate_z_order=separate_z_order, windows=windows)
     return jnp.argmax(res, axis=0).astype(seg.dtype)
 
 

@@ -129,6 +129,77 @@ def test_analyze_ct_outputs_grid_identical_with_and_without_crop(tmp_path):
     np.testing.assert_array_equal(da[body], db[body])
 
 
+def test_windowed_resample_is_exact_subgrid():
+    """The crop-window operators (ops/resample.py `_axis_op_windowed`)
+    must reproduce the FULL-grid sample positions: resampling a cropped
+    volume with windows == slicing the full-grid resample, to fp32
+    rounding inside the margin (the zoom coordinate map depends on the
+    full extents, so unwindowed crop resampling shifts sub-voxel-wise)."""
+    from boa_tpu.ops import resample as rs
+
+    rng = np.random.default_rng(0)
+    full_in, zoom = 160, 2.5 / 3.0
+    full_out = rs.zoom_output_shape((full_in,), (zoom,))[0]
+    vol = np.full((full_in, 8, 8), -1000.0, np.float32)
+    vol[40:120] = rng.normal(40, 30, (80, 8, 8)).astype(np.float32)
+    x0, x1 = 32, 128  # crop with >= 8 voxels of air margin
+    o0 = int(round(x0 * zoom))
+    w = rs.zoom_output_shape((x1 - x0,), (zoom,))[0]
+
+    ref = np.asarray(rs.resample_volume(vol, (full_out, 8, 8), order=3))
+    win = ((full_in, full_out, x0, o0), None, None)
+    got = np.asarray(rs.resample_volume(vol[x0:x1], (w, 8, 8), order=3,
+                                        windows=win))
+    # 0.1 HU: the prefilter's IIR tail reaches past the air margin with
+    # ~0.268^d weights; downstream casts to int32 HU anyway
+    np.testing.assert_allclose(got, ref[o0:o0 + w], rtol=0, atol=0.1)
+
+    seg = (vol > -300).astype(np.uint8) * 7
+    ref_n = np.asarray(rs.resample_nearest(seg, (full_out, 8, 8)))
+    got_n = np.asarray(rs.resample_nearest(seg[x0:x1], (w, 8, 8),
+                                           windows=win))
+    np.testing.assert_array_equal(got_n, ref_n[o0:o0 + w])
+
+    # back direction: model grid -> original grid window
+    bwin = ((full_out, full_in, o0, x0), None, None)
+    back_ref = np.asarray(rs.resample_nearest(ref_n, (full_in, 8, 8)))
+    back_got = rs.resample_nearest_host(np.asarray(got_n), (x1 - x0, 8, 8),
+                                        windows=bwin)
+    np.testing.assert_array_equal(back_got, back_ref[x0:x1])
+
+
+def test_cropped_run_fake_path_is_bit_identical(tmp_path):
+    """Full-pipeline transparency: with the anatomy fake (painted on the
+    full model grid, sliced to the crop window) the saved total.nii.gz of
+    a cropped run equals the uncropped run EXACTLY — windowed resampling
+    makes the crop an exact subgrid, so label borders cannot shift."""
+    import os
+
+    from boa_tpu.commands import analyze_ct
+    from boa_tpu.testing.anatomy import fake_predict_factory, synth_ct
+
+    shape, spacing = (96, 96, 24), (2.5, 2.5, 6.0)
+    affine = np.diag([spacing[0], spacing[1], spacing[2], 1.0])
+    img = nifti.NiftiImage(data=synth_ct(shape=shape, spacing=spacing),
+                           affine=affine)
+    nifti.save(img, tmp_path / "study.nii.gz")
+
+    segs = {}
+    for flag in ("0", "1"):
+        os.environ["BOA_BODY_CROP"] = flag
+        try:
+            out = tmp_path / f"o{flag}"
+            analyze_ct(input_folder=tmp_path / "study.nii.gz",
+                       processed_output_folder=out, excel_output_folder=out,
+                       models=["total"], bca_pdf=False, total_preview=False,
+                       compute_contrast_information=False, fast_total=True,
+                       fake_predict=fake_predict_factory())
+            segs[flag] = np.asarray(nifti.load(out / "total.nii.gz").data)
+        finally:
+            os.environ.pop("BOA_BODY_CROP", None)
+    np.testing.assert_array_equal(segs["0"], segs["1"])
+
+
 def test_predict_image_internal_crop_pads_back():
     """Direct predict_image callers (bench, serve) get the crop + pad-back
     transparently: output grid == input grid, labels where the fake put

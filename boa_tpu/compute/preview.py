@@ -140,12 +140,19 @@ def _group_fronts_device(seg_dev, inv: dict[str, int], n_labels: int
     if _FRONTS is None:
         _FRONTS = _fronts_jit()
 
+    from boa_tpu.utils.timing import Spans
+
+    spans = Spans("preview.fronts")
     group_labels = {g: tuple(inv[r] for r in rois if r in inv)
                     for g, rois in ROI_GROUPS.items()}
     groups = tuple(v for v in group_labels.values() if v)
     fr_dev, wh_dev = _FRONTS(seg_dev, groups)
+    spans.mark("dispatch")
+    spans.mark("exec", sync=fr_dev)
     fr_all = np.asarray(fr_dev).astype(np.float32)
+    spans.mark("download_fr")
     wh_all = np.asarray(wh_dev)
+    spans.mark("download_wh")
     out: dict[str, tuple | None] = {}
     gi = 0
     for group, labels in group_labels.items():

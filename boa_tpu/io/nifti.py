@@ -305,12 +305,20 @@ def save(img: NiftiImage, path: str | Path) -> None:
     """Write a .nii or .nii.gz (by extension) with sform+qform set from affine."""
     path = Path(path)
     data = np.asanyarray(img.data)
-    if getattr(img, "crop_info", None) is not None:
+    crop = getattr(img, "crop_info", None)
+    if crop is not None:
         # body-cropped study (ops/cropping.py): pad back to the original
-        # grid so on-disk outputs are grid-identical to an uncropped run
-        from boa_tpu.ops.cropping import pad_back
+        # grid so on-disk outputs are grid-identical to an uncropped run.
+        # 3-D volumes pad per-slice in the streaming writer below (no
+        # 150+ MB intermediate, and — critically — no single numpy op
+        # that holds the GIL for seconds: saves run on the HostWorker
+        # thread, and a long GIL hold there stalls the main thread's
+        # device dispatches mid-pipeline).
+        if data.ndim != 3:
+            from boa_tpu.ops.cropping import pad_back
 
-        data = pad_back(data, img.crop_info)
+            data = pad_back(data, crop)
+            crop = None
         img = NiftiImage(data=data, affine=img.crop_info.orig_affine,
                          extensions=img.extensions, descrip=img.descrip)
     if data.dtype == np.bool_:
@@ -320,7 +328,10 @@ def save(img: NiftiImage, path: str | Path) -> None:
     dt_code = _DTYPE_CODES[np.dtype(data.dtype)]
     bitpix = data.dtype.itemsize * 8
     ndim = data.ndim
-    dim = [ndim] + list(data.shape) + [1] * (7 - ndim)
+    out_shape = list(data.shape)
+    if crop is not None:
+        out_shape[:2] = list(crop.orig_shape[:2])
+    dim = [ndim] + out_shape + [1] * (7 - ndim)
 
     aff = np.asarray(img.affine, dtype=np.float64)
     zooms = [float(np.linalg.norm(aff[:3, i])) for i in range(min(3, ndim))]
@@ -364,16 +375,36 @@ def save(img: NiftiImage, path: str | Path) -> None:
     struct.pack_into("<4s", hdr, 344, b"n+1\x00")
 
     ext_flag = b"\x01\x00\x00\x00" if ext_blocks else b"\x00\x00\x00\x00"
-    body = bytes(hdr) + ext_flag + ext_blocks + data.tobytes(order="F")
+    head = bytes(hdr) + ext_flag + ext_blocks
 
-    if path.suffix == ".gz" or str(path).endswith(".nii.gz"):
-        # mtime=0 for deterministic outputs
-        gz = _io.BytesIO()
-        with gzip.GzipFile(fileobj=gz, mode="wb", compresslevel=1, mtime=0) as f:
-            f.write(body)
-        path.write_bytes(gz.getvalue())
-    else:
-        path.write_bytes(body)
+    # Streaming writer: 3-D volumes serialize per z-slice (pad-back, the
+    # F-order transpose copy, and the gzip compress all happen in ≲1 MB
+    # steps). One-shot `data.tobytes(order="F")` on a 150+ MB C-order
+    # volume holds the GIL for seconds — measured stalling concurrent
+    # main-thread TPU dispatches 50x when saves run on the HostWorker.
+    def _write_body(f) -> None:
+        f.write(head)
+        if ndim != 3:
+            f.write(data.tobytes(order="F"))
+            return
+        pad2d = None
+        if crop is not None:
+            pad2d = np.zeros(tuple(crop.orig_shape[:2]), dtype=data.dtype)
+        for k in range(data.shape[2]):
+            sl = data[:, :, k]
+            if pad2d is not None:
+                pad2d[crop.x0:crop.x1, crop.y0:crop.y1] = sl
+                sl = pad2d
+            f.write(sl.tobytes(order="F"))
+
+    with open(path, "wb") as raw:
+        if path.suffix == ".gz" or str(path).endswith(".nii.gz"):
+            # mtime=0 for deterministic outputs
+            with gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=1,
+                               mtime=0) as f:
+                _write_body(f)
+        else:
+            _write_body(raw)
 
 
 # ---------------------------------------------------------------------------

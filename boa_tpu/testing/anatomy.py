@@ -212,17 +212,23 @@ def fake_part_seg(shape, spacing, task_id: int) -> np.ndarray:
     The multimodel pipeline LUT-remaps each sub-model's part ids into the
     total class map (inference/pipeline.py merge loop), so the fake must
     emit part-space labels — total-space ids would be misread as part ids.
+
+    Derived as an inverse-LUT slice of `fake_total_seg` (NOT painted
+    per-part): on voxels where structures of different parts overlap,
+    per-part painting and the pipeline's 291→295 merge order would pick
+    different winners, so slicing the total fake is the only convention
+    that makes all three routes agree exactly — per-part host fakes,
+    the pipeline's `total_space` single-upload path, and the fast
+    single-model total.
     """
     from boa_tpu.tasks import class_maps
 
     pm = class_maps.class_map_5_parts[class_maps.map_taskid_to_partname[task_id]]
-    inv = {v: k for k, v in pm.items()}
-    seg = np.zeros(shape, np.uint8)
-    for name, _, paint in _iter_structures(shape, spacing):
-        label = inv.get(name)
-        if label is not None:
-            paint(seg, label)
-    return seg
+    inv_total = {v: k for k, v in get_class_map("total").items()}
+    lut = np.zeros(max(inv_total.values()) + 1, np.uint8)
+    for pid, name in pm.items():
+        lut[inv_total[name]] = pid
+    return lut[fake_total_seg(shape, spacing)]
 
 
 def fake_predict_factory():
@@ -238,4 +244,8 @@ def fake_predict_factory():
         return fake_total_seg(shape, spacing)
 
     fake.wants_volume = False  # shape-only: skip the volume download
+    # the 5-part sub-model fakes are exact inverse-LUT slices of the total
+    # fake (both paint the same structures), so the pipeline may upload
+    # the total fake ONCE and split it on device (task_id -1 -> total)
+    fake.total_space = True
     return fake

@@ -35,7 +35,9 @@ logger = logging.getLogger(__name__)
 
 
 def range_warning(ct_image_data: np.ndarray) -> None:
-    lo, hi = ct_image_data.min(), ct_image_data.max()
+    from boa_tpu.ops.connected_components import minmax
+
+    lo, hi = minmax(ct_image_data)
     if lo < -1024 or hi > 3071:
         logger.warning(
             "Unexpected CT values found in input image: got %s-%s, expected "
@@ -86,6 +88,7 @@ def compute_all_models(
     segmentation_folder = pathlib.Path(segmentation_folder)
     segmentation_folder.mkdir(parents=True, exist_ok=True)
 
+    t_load = _time.perf_counter()
     ct_img = nifti.load(pathlib.Path(ct_path))
     if ct_img.data.ndim != 3:
         raise ValueError(f"Only 3D CT scans are supported not {ct_img.data.ndim}D.")
@@ -93,6 +96,8 @@ def compute_all_models(
     logger.info("Image size:    %s", ct_img.shape)
     logger.info("Voxel spacing: %s", ct_img.zooms)
     range_warning(np.asarray(ct_img.data))
+    logger.info("CT load + range check in %.2fs",
+                _time.perf_counter() - t_load)
 
     shape, spacing = ct_img.shape, ct_img.zooms
     # in-plane body crop before the first upload (ops/cropping.py:
@@ -105,7 +110,10 @@ def compute_all_models(
     if _os.environ.get("BOA_BODY_CROP", "1") != "0":
         from boa_tpu.ops.cropping import body_crop_xy
 
+        t_crop = _time.perf_counter()
         ct_img, _crop = body_crop_xy(ct_img)
+        logger.info("Body-crop detection in %.2fs",
+                    _time.perf_counter() - t_crop)
         if _crop is not None:
             logger.info(
                 "Body crop: x %d:%d y %d:%d (%.0f%% of the in-plane FOV)",

@@ -91,6 +91,12 @@ def get_lib() -> ctypes.CDLL | None:
                 fn.restype = None
                 fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.c_int64, ctypes.c_void_p]
+        for name in ("boa_minmax_i16", "boa_minmax_f32"):
+            if hasattr(lib, name):
+                fn = getattr(lib, name)
+                fn.restype = None
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_void_p, ctypes.c_void_p]
         if hasattr(lib, "boa_label_z_presence"):
             lib.boa_label_z_presence.restype = None
             lib.boa_label_z_presence.argtypes = [

@@ -88,6 +88,33 @@ def histogram_u8(data: np.ndarray) -> np.ndarray:
     return np.bincount(flat.ravel().astype(np.intp), minlength=256)[:256]
 
 
+def minmax(data: np.ndarray) -> tuple[float, float]:
+    """Fused single-pass (min, max) of an int16/float32 array (native;
+    numpy's separate .min()/.max() walk the volume twice — ~4 s on a
+    300 MB CT at this host's ~150 MB/s)."""
+    lib = native.get_lib()
+    # ravel(order="K") walks memory order: a no-copy view for C- OR
+    # F-contiguous inputs (nifti.load yields F-order views), and min/max
+    # are order-invariant. Non-contiguous arrays skip to the numpy path
+    # rather than pay ravel's hidden copy.
+    if data.flags.c_contiguous or data.flags.f_contiguous:
+        flat = np.ravel(data, order="K")
+    else:
+        flat = data
+    if lib is not None and flat.ndim == 1 and flat.size > 0:
+        if flat.dtype == np.int16 and hasattr(lib, "boa_minmax_i16"):
+            out = np.empty(2, np.int16)
+            lib.boa_minmax_i16(flat.ctypes.data, flat.size,
+                               out[0:].ctypes.data, out[1:].ctypes.data)
+            return float(out[0]), float(out[1])
+        if flat.dtype == np.float32 and hasattr(lib, "boa_minmax_f32"):
+            out = np.empty(2, np.float32)
+            lib.boa_minmax_f32(flat.ctypes.data, flat.size,
+                               out[0:].ctypes.data, out[1:].ctypes.data)
+            return float(out[0]), float(out[1])
+    return float(data.min()), float(data.max())
+
+
 def keep_largest_lut_inplace(seg: np.ndarray, lut: np.ndarray,
                              connectivity: int = 3,
                              ignore_value: int = 255) -> bool:

@@ -435,6 +435,51 @@ int64_t boa_parts_postprocess_label(
 
 extern "C" {
 
+// Fused single-pass min+max over a contiguous int16/float32 buffer.
+// numpy's `arr.min(); arr.max()` walks the volume twice; on this host's
+// ~150 MB/s memory a 300 MB CT costs ~4 s that way (compute/inference.py
+// range_warning). One auto-vectorized pass halves the traffic and the
+// ctypes call releases the GIL.
+void boa_minmax_i16(const int16_t* p, int64_t n, int16_t* out_min,
+                    int16_t* out_max) {
+  int16_t mn0 = INT16_MAX, mn1 = INT16_MAX, mn2 = INT16_MAX, mn3 = INT16_MAX;
+  int16_t mx0 = INT16_MIN, mx1 = INT16_MIN, mx2 = INT16_MIN, mx3 = INT16_MIN;
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    mn0 = p[i] < mn0 ? p[i] : mn0;         mx0 = p[i] > mx0 ? p[i] : mx0;
+    mn1 = p[i + 1] < mn1 ? p[i + 1] : mn1; mx1 = p[i + 1] > mx1 ? p[i + 1] : mx1;
+    mn2 = p[i + 2] < mn2 ? p[i + 2] : mn2; mx2 = p[i + 2] > mx2 ? p[i + 2] : mx2;
+    mn3 = p[i + 3] < mn3 ? p[i + 3] : mn3; mx3 = p[i + 3] > mx3 ? p[i + 3] : mx3;
+  }
+  for (; i < n; ++i) {
+    mn0 = p[i] < mn0 ? p[i] : mn0;
+    mx0 = p[i] > mx0 ? p[i] : mx0;
+  }
+  mn0 = mn1 < mn0 ? mn1 : mn0; mn2 = mn3 < mn2 ? mn3 : mn2;
+  mx0 = mx1 > mx0 ? mx1 : mx0; mx2 = mx3 > mx2 ? mx3 : mx2;
+  *out_min = mn2 < mn0 ? mn2 : mn0;
+  *out_max = mx2 > mx0 ? mx2 : mx0;
+}
+
+// float32 variant; NaNs are ignored (comparison-false), matching what the
+// range check wants (a NaN voxel is caught by downstream clipping).
+void boa_minmax_f32(const float* p, int64_t n, float* out_min,
+                    float* out_max) {
+  float mn0 = 3.4e38f, mn1 = 3.4e38f;
+  float mx0 = -3.4e38f, mx1 = -3.4e38f;
+  int64_t i = 0;
+  for (; i + 2 <= n; i += 2) {
+    mn0 = p[i] < mn0 ? p[i] : mn0;         mx0 = p[i] > mx0 ? p[i] : mx0;
+    mn1 = p[i + 1] < mn1 ? p[i + 1] : mn1; mx1 = p[i + 1] > mx1 ? p[i + 1] : mx1;
+  }
+  for (; i < n; ++i) {
+    mn0 = p[i] < mn0 ? p[i] : mn0;
+    mx0 = p[i] > mx0 ? p[i] : mx0;
+  }
+  *out_min = mn1 < mn0 ? mn1 : mn0;
+  *out_max = mx1 > mx0 ? mx1 : mx0;
+}
+
 // 256-bin histogram of a uint8 volume (label discovery without the
 // int64 upcast np.bincount forces — that temp alone is 8x the volume).
 void boa_histogram_u8(const uint8_t* data, int64_t n, int64_t* out256) {

@@ -260,14 +260,18 @@ def _render_montage(ct: np.ndarray | None,
 
     cmap = colormaps["turbo"]
     n = len(ROI_GROUPS)
+    slab = None
+    if ct is not None:
+        # one sagittal MIP slab shared by every panel (recomputing it per
+        # group costs 5 full slab passes on the single-core host)
+        mid = ct.shape[0] // 2
+        slab = np.clip(ct[max(0, mid - 10):mid + 10].max(axis=0),
+                       -200, 500).T
     fig, axes = plt.subplots(1, n, figsize=(3.2 * n, 6), facecolor="black")
     for ax, group in zip(np.atleast_1d(axes), ROI_GROUPS):
         ax.set_facecolor("black")
-        if ct is not None:
-            mid = ct.shape[0] // 2
-            slab = ct[max(0, mid - 10):mid + 10].max(axis=0)
-            ax.imshow(np.clip(slab, -200, 500).T, cmap="gray",
-                      origin="lower", aspect=aspect)
+        if slab is not None:
+            ax.imshow(slab, cmap="gray", origin="lower", aspect=aspect)
         entry = group_fronts.get(group)
         if entry is not None:
             front, which, labels = entry

@@ -385,14 +385,14 @@ def predict_image(
             windows=bwd_windows)
         seg_out_dev = nifti.apply_orientation_device(
             seg_canon_dev.astype(jnp.uint8), inv)
-        seg_out_np = np.asarray(seg_out_dev)
+        seg_out_np = packing.download_labels(seg_out_dev, max_label)
     elif resample is not None and rsp_shape != tuple(canon_shape) and \
             np.prod(rsp_shape) > np.prod(canon_shape):
         seg_canon_dev = rs.resample_nearest(_seg_dev(), canon_shape,
                                             convention="zoom",
                                             windows=bwd_windows)
         seg_out_dev = nifti.apply_orientation_device(seg_canon_dev, inv)
-        seg_out_np = np.asarray(seg_out_dev)
+        seg_out_np = packing.download_labels(seg_out_dev, max_label)
     else:
         seg_small = _seg_host()
         if resample is not None and seg_small.shape != canon_shape:
@@ -521,7 +521,8 @@ def _predict_one(data_rsp, spacing, task_id: int, task: TaskConfig, folds,
                     o, s = fake_geom[1], data_rsp.shape
                     seg_total = seg_total[o[0]:o[0] + s[0], o[1]:o[1] + s[1],
                                           o[2]:o[2] + s[2]]
-                dev_total = jnp.asarray(np.ascontiguousarray(seg_total))
+                dev_total = packing.upload_labels_wide(
+                    np.ascontiguousarray(seg_total, dtype=np.uint8))
                 fake_cache["dev_total"] = dev_total
             pm = class_maps.class_map_5_parts[
                 class_maps.map_taskid_to_partname[task_id]]

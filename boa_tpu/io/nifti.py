@@ -137,7 +137,15 @@ class NiftiImage:
 
         cached = getattr(self, "_device_data", None)
         if cached is None or cached[0] is not self.data:
-            cached = (self.data, jnp.asarray(self.data))
+            if isinstance(self.data, np.ndarray) and self.data.dtype == np.int16:
+                # int16 CT rides the transfer codec (BOA_CT_CODEC knob,
+                # ops/packing.py) — lossless, raw by default
+                from boa_tpu.ops import packing
+
+                dev = packing.upload_ct(self.data)
+            else:
+                dev = jnp.asarray(self.data)
+            cached = (self.data, dev)
             # freeze the host buffer: an in-place mutation after upload
             # would silently desync host and device copies — make it fail
             # loudly instead (replace img.data, don't mutate)

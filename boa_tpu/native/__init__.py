@@ -91,6 +91,20 @@ def get_lib() -> ctypes.CDLL | None:
                 fn.restype = None
                 fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.c_int64, ctypes.c_void_p]
+        if hasattr(lib, "boa_pack12_axis0"):
+            lib.boa_pack12_axis0.restype = None
+            lib.boa_pack12_axis0.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                             ctypes.c_int64, ctypes.c_void_p]
+            lib.boa_unpack12_axis0.restype = None
+            lib.boa_unpack12_axis0.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_int64,
+                                               ctypes.c_int64, ctypes.c_void_p]
+        for name in ("boa_xordelta_enc_u8", "boa_xordelta_dec_u8"):
+            if hasattr(lib, name):
+                fn = getattr(lib, name)
+                fn.restype = None
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_void_p]
         for name in ("boa_minmax_i16", "boa_minmax_f32"):
             if hasattr(lib, name):
                 fn = getattr(lib, name)

@@ -14,6 +14,8 @@ notes)."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,23 +75,191 @@ def unpack_device(p: jax.Array) -> jax.Array:
 
 
 def upload_labels(a: np.ndarray, max_label: int | None = None) -> jax.Array:
-    """Host->device upload of a label volume, packed when possible."""
+    """Host->device upload of a label volume, packed when possible; wide
+    label counts (>15) ride the XOR-delta codec instead."""
     if max_label is None:
         max_label = int(a.max()) if a.size else 0
     if a.dtype == np.uint8 and packable(a.shape, max_label):
         return unpack_device(jnp.asarray(pack_host(a)))
+    if a.dtype == np.uint8:
+        return upload_labels_wide(a)
     return jnp.asarray(a)
 
 
 def download_labels(dev: jax.Array, max_label: int) -> np.ndarray:
-    """Device->host download of a label volume, packed when possible."""
+    """Device->host download of a label volume, packed when possible; wide
+    label counts (>15) ride the XOR-delta codec instead."""
     if dev.dtype == jnp.uint8 and packable(dev.shape, max_label):
         return unpack_host(np.asarray(pack_device(dev)))
+    if dev.dtype == jnp.uint8:
+        return download_labels_wide(dev)
     return np.asarray(dev)
 
 
 def bit_packable(shape: tuple[int, ...]) -> bool:
     return len(shape) >= 1 and shape[0] % 8 == 0
+
+
+# ---- wide-label codec: XOR-delta along the contiguous minor axis ---------
+# Label volumes with >15 classes (the 117-class `total` model grid) don't
+# fit the 4-bit packer, but they are piecewise-CONSTANT along every axis:
+# XOR-ing each voxel with its minor-axis predecessor yields ~97% zero
+# bytes, which the tunnel's link compressor moves nearly free. Same byte
+# count, ~4-10x less post-compression payload (measured in
+# tools/transfer_bench.py). Device side is one elementwise op (encode) or
+# a log-depth associative scan (decode); host side is a single-pass C
+# kernel (native/transfer.cpp, GIL-released via ctypes).
+
+
+@jax.jit
+def xordelta_enc_device(a: jax.Array) -> jax.Array:
+    return jnp.concatenate([a[..., :1], a[..., 1:] ^ a[..., :-1]], axis=-1)
+
+
+@jax.jit
+def xordelta_dec_device(d: jax.Array) -> jax.Array:
+    return jax.lax.associative_scan(jnp.bitwise_xor, d, axis=-1)
+
+
+def xordelta_enc_host(a: np.ndarray) -> np.ndarray:
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    lib = _native_lib()
+    n = a.shape[-1]
+    rows = a.size // max(n, 1)
+    if lib is not None and hasattr(lib, "boa_xordelta_enc_u8") and n:
+        out = np.empty_like(a)
+        lib.boa_xordelta_enc_u8(a.ctypes.data, rows, n, out.ctypes.data)
+        return out
+    out = a.copy()
+    out[..., 1:] ^= a[..., :-1]
+    return out
+
+
+def xordelta_dec_host(d: np.ndarray) -> np.ndarray:
+    d = np.ascontiguousarray(d, dtype=np.uint8)
+    lib = _native_lib()
+    n = d.shape[-1]
+    rows = d.size // max(n, 1)
+    if lib is not None and hasattr(lib, "boa_xordelta_dec_u8") and n:
+        out = np.empty_like(d)
+        lib.boa_xordelta_dec_u8(d.ctypes.data, rows, n, out.ctypes.data)
+        return out
+    return np.bitwise_xor.accumulate(d, axis=-1)
+
+
+def download_labels_wide(dev: jax.Array) -> np.ndarray:
+    """Device->host download of a uint8 label volume with any label count:
+    device XOR-delta encode, download the (mostly-zero) delta volume,
+    single-pass host decode. BOA_SEG_CODEC=raw disables."""
+    if dev.dtype != jnp.uint8 or \
+            os.environ.get("BOA_SEG_CODEC", "xdelta") == "raw":
+        return np.asarray(dev)
+    return xordelta_dec_host(np.asarray(xordelta_enc_device(dev)))
+
+
+def upload_labels_wide(a: np.ndarray) -> jax.Array:
+    """Host->device upload of a uint8 label volume with any label count
+    (host XOR-delta encode, device prefix-XOR decode)."""
+    if a.dtype != np.uint8 or \
+            os.environ.get("BOA_SEG_CODEC", "xdelta") == "raw":
+        return jnp.asarray(a)
+    return xordelta_dec_device(jnp.asarray(xordelta_enc_host(a)))
+
+
+# ---- CT upload codec ------------------------------------------------------
+# The int16 CT volume is the single largest tunnel payload of a study.
+# Two lossless transforms (native/transfer.cpp) cut its cost:
+#   pack12: HU in [-1024, 3071] fits 12 bits -> 25% fewer raw bytes
+#     (plane-separated nibble layout so the link compressor still sees
+#     coherent byte planes).
+#   delta16: wrapping int16 difference along the contiguous z axis —
+#     anatomy is smooth in z, so high bytes become ~0x00/0xFF and the
+#     link compressor collapses them; device decode is a log-depth
+#     wrapping-add scan.
+# Which wins depends on tunnel weather; BOA_CT_CODEC ∈ {raw, pack12,
+# delta16} selects (default measured in tools/transfer_bench.py).
+
+
+@jax.jit
+def unpack12_device(p: jax.Array) -> jax.Array:
+    """(3k, ...) uint8 byte-planes -> (2k, ...) int16 HU (inverse of
+    native boa_pack12_axis0)."""
+    r = p.reshape(p.shape[0] // 3, 3, *p.shape[1:]).astype(jnp.int32)
+    u0 = (r[:, 0] << 4) | (r[:, 1] >> 4)
+    u1 = ((r[:, 1] & 0xF) << 8) | r[:, 2]
+    out = jnp.stack([u0, u1], axis=1).reshape(-1, *p.shape[1:])
+    return (out - 1024).astype(jnp.int16)
+
+
+def pack12_host(a: np.ndarray) -> np.ndarray:
+    """(2k, ...) int16 in [-1024, 3071] -> (3k, ...) uint8 byte-planes."""
+    lib = _native_lib()
+    assert a.dtype == np.int16 and a.shape[0] % 2 == 0
+    a = np.ascontiguousarray(a)
+    plane = int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1
+    out = np.empty((a.shape[0] // 2 * 3, *a.shape[1:]), np.uint8)
+    if lib is not None and hasattr(lib, "boa_pack12_axis0"):
+        lib.boa_pack12_axis0(a.ctypes.data, a.shape[0] // 2, plane,
+                             out.ctypes.data)
+        return out
+    r = (a.reshape(a.shape[0] // 2, 2, *a.shape[1:]).astype(np.int32) + 1024)
+    u0, u1 = r[:, 0], r[:, 1]
+    pr = out.reshape(a.shape[0] // 2, 3, *a.shape[1:])
+    pr[:, 0] = u0 >> 4
+    pr[:, 1] = ((u0 & 0xF) << 4) | (u1 >> 8)
+    pr[:, 2] = u1 & 0xFF
+    return out
+
+
+def unpack12_host(p: np.ndarray) -> np.ndarray:
+    lib = _native_lib()
+    p = np.ascontiguousarray(p, dtype=np.uint8)
+    plane = int(np.prod(p.shape[1:], dtype=np.int64)) if p.ndim > 1 else 1
+    out = np.empty((p.shape[0] // 3 * 2, *p.shape[1:]), np.int16)
+    if lib is not None and hasattr(lib, "boa_unpack12_axis0"):
+        lib.boa_unpack12_axis0(p.ctypes.data, p.shape[0] // 3, plane,
+                               out.ctypes.data)
+        return out
+    r = p.reshape(p.shape[0] // 3, 3, *p.shape[1:]).astype(np.int32)
+    o = out.reshape(p.shape[0] // 3, 2, *p.shape[1:])
+    o[:, 0] = ((r[:, 0] << 4) | (r[:, 1] >> 4)) - 1024
+    o[:, 1] = (((r[:, 1] & 0xF) << 8) | r[:, 2]) - 1024
+    return out
+
+
+@jax.jit
+def delta16_dec_device(d: jax.Array) -> jax.Array:
+    """Inverse of a wrapping int16 difference along the last axis."""
+    return jax.lax.associative_scan(jnp.add, d, axis=-1)
+
+
+def delta16_enc_host(a: np.ndarray) -> np.ndarray:
+    a = np.ascontiguousarray(a, dtype=np.int16)
+    out = a.copy()
+    # wrapping int16 subtract (numpy wraps on overflow for same-dtype ops)
+    np.subtract(a[..., 1:], a[..., :-1], out=out[..., 1:],
+                casting="unsafe", dtype=np.int16)
+    return out
+
+
+def upload_ct(a: np.ndarray, known_range: tuple[int, int] | None = None) -> jax.Array:
+    """Host->device upload of an int16 CT volume, transform-coded when the
+    BOA_CT_CODEC knob (default raw) and the data allow it. `known_range`
+    skips the gating min/max pass when the caller already ran the CT
+    range check (compute/inference.py)."""
+    codec = os.environ.get("BOA_CT_CODEC", "raw")
+    if a.dtype != np.int16 or codec == "raw":
+        return jnp.asarray(a)
+    if codec == "delta16":
+        return delta16_dec_device(jnp.asarray(delta16_enc_host(a)))
+    if codec == "pack12" and a.shape[0] % 2 == 0:
+        if known_range is None:
+            from boa_tpu.ops.connected_components import minmax
+
+            known_range = minmax(a)
+        if known_range[0] >= -1024 and known_range[1] <= 3071:
+            return unpack12_device(jnp.asarray(pack12_host(a)))
+    return jnp.asarray(a)
 
 
 @jax.jit

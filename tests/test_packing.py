@@ -97,6 +97,93 @@ def test_download_mask_roundtrip_and_fallback(rng):
     np.testing.assert_array_equal(packing.download_mask(jnp.asarray(odd)), odd)
 
 
+def test_xordelta_host_device_parity(rng):
+    import jax.numpy as jnp
+
+    labels = rng.integers(0, 118, (16, 12, 33)).astype(np.uint8)
+    enc_h = packing.xordelta_enc_host(labels)
+    enc_d = np.asarray(packing.xordelta_enc_device(jnp.asarray(labels)))
+    np.testing.assert_array_equal(enc_h, enc_d)
+    np.testing.assert_array_equal(packing.xordelta_dec_host(enc_h), labels)
+    np.testing.assert_array_equal(
+        np.asarray(packing.xordelta_dec_device(jnp.asarray(enc_h))), labels)
+
+
+def test_xordelta_native_matches_numpy(rng, monkeypatch):
+    from boa_tpu import native
+
+    if native.get_lib() is None or \
+            not hasattr(native.get_lib(), "boa_xordelta_enc_u8"):
+        pytest.skip("native lib unavailable")
+    labels = rng.integers(0, 118, (8, 9, 21)).astype(np.uint8)
+    enc_nat = packing.xordelta_enc_host(labels)
+    dec_nat = packing.xordelta_dec_host(enc_nat)
+    monkeypatch.setattr(packing, "_native_lib", lambda: None)
+    np.testing.assert_array_equal(enc_nat, packing.xordelta_enc_host(labels))
+    np.testing.assert_array_equal(dec_nat, packing.xordelta_dec_host(enc_nat))
+    np.testing.assert_array_equal(dec_nat, labels)
+
+
+def test_wide_label_roundtrip(rng):
+    """117-class seg (the full-res `total` model grid) roundtrips through
+    the XOR-delta upload/download codec bit-exactly."""
+    labels = rng.integers(0, 118, (24, 10, 40)).astype(np.uint8)
+    dev = packing.upload_labels(labels, 117)
+    np.testing.assert_array_equal(np.asarray(dev), labels)
+    np.testing.assert_array_equal(packing.download_labels(dev, 117), labels)
+
+
+def test_pack12_roundtrip_and_device(rng, monkeypatch):
+    import jax.numpy as jnp
+
+    ct = rng.integers(-1024, 3072, (16, 9, 7)).astype(np.int16)
+    packed = packing.pack12_host(ct)
+    assert packed.shape == (24, 9, 7) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(packing.unpack12_host(packed), ct)
+    np.testing.assert_array_equal(
+        np.asarray(packing.unpack12_device(jnp.asarray(packed))), ct)
+    # numpy fallbacks match the native kernels
+    from boa_tpu import native
+
+    if native.get_lib() is not None and \
+            hasattr(native.get_lib(), "boa_pack12_axis0"):
+        monkeypatch.setattr(packing, "_native_lib", lambda: None)
+        np.testing.assert_array_equal(packed, packing.pack12_host(ct))
+        np.testing.assert_array_equal(packing.unpack12_host(packed), ct)
+
+
+def test_delta16_roundtrip(rng):
+    import jax.numpy as jnp
+
+    ct = rng.integers(-1024, 3072, (8, 5, 31)).astype(np.int16)
+    enc = packing.delta16_enc_host(ct)
+    np.testing.assert_array_equal(
+        np.asarray(packing.delta16_dec_device(jnp.asarray(enc))), ct)
+
+
+@pytest.mark.parametrize("codec", ["raw", "pack12", "delta16"])
+def test_upload_ct_lossless(codec, rng, monkeypatch):
+    monkeypatch.setenv("BOA_CT_CODEC", codec)
+    ct = rng.integers(-1024, 3072, (16, 9, 7)).astype(np.int16)
+    np.testing.assert_array_equal(np.asarray(packing.upload_ct(ct)), ct)
+    # out-of-range HU (range_warning case): pack12 must fall back, and the
+    # upload stays lossless for every codec
+    hot = ct.copy()
+    hot[0, 0, 0] = 32000
+    hot[1, 0, 0] = -32000
+    np.testing.assert_array_equal(np.asarray(packing.upload_ct(hot)), hot)
+
+
+def test_device_data_uses_ct_codec(rng, monkeypatch):
+    """NiftiImage.device_data routes int16 through upload_ct losslessly."""
+    from boa_tpu.io.nifti import NiftiImage
+
+    monkeypatch.setenv("BOA_CT_CODEC", "delta16")
+    ct = rng.integers(-1024, 3072, (16, 9, 8)).astype(np.int16)
+    img = NiftiImage(data=ct.copy(), affine=np.eye(4))
+    np.testing.assert_array_equal(np.asarray(img.device_data()), ct)
+
+
 def test_tissue_pass_encodes_ignore_fragments(rng):
     """255-ignore fragments (bca/postprocess.py) ride the tunnel as the
     packable stand-in 15; the tissue map itself is unchanged."""

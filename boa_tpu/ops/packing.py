@@ -150,18 +150,24 @@ def xordelta_dec_host(d: np.ndarray) -> np.ndarray:
 def download_labels_wide(dev: jax.Array) -> np.ndarray:
     """Device->host download of a uint8 label volume with any label count:
     device XOR-delta encode, download the (mostly-zero) delta volume,
-    single-pass host decode. BOA_SEG_CODEC=raw disables."""
+    single-pass host decode. BOA_SEG_DOWN_CODEC ∈ {raw, xdelta}.
+
+    Default raw: measured (tools/transfer_bench.py) the link compressor
+    already squeezes piecewise-constant label volumes about as well as
+    the XOR-delta form, so the extra device pass + host decode don't pay
+    on normal weather. The knob stays for degraded-tunnel sessions."""
     if dev.dtype != jnp.uint8 or \
-            os.environ.get("BOA_SEG_CODEC", "xdelta") == "raw":
+            os.environ.get("BOA_SEG_DOWN_CODEC", "raw") != "xdelta":
         return np.asarray(dev)
     return xordelta_dec_host(np.asarray(xordelta_enc_device(dev)))
 
 
 def upload_labels_wide(a: np.ndarray) -> jax.Array:
     """Host->device upload of a uint8 label volume with any label count
-    (host XOR-delta encode, device prefix-XOR decode)."""
+    (host XOR-delta encode, device prefix-XOR decode).
+    BOA_SEG_UP_CODEC ∈ {raw, xdelta}; raw default (see download note)."""
     if a.dtype != np.uint8 or \
-            os.environ.get("BOA_SEG_CODEC", "xdelta") == "raw":
+            os.environ.get("BOA_SEG_UP_CODEC", "raw") != "xdelta":
         return jnp.asarray(a)
     return xordelta_dec_device(jnp.asarray(xordelta_enc_host(a)))
 
@@ -244,10 +250,17 @@ def delta16_enc_host(a: np.ndarray) -> np.ndarray:
 
 def upload_ct(a: np.ndarray, known_range: tuple[int, int] | None = None) -> jax.Array:
     """Host->device upload of an int16 CT volume, transform-coded when the
-    BOA_CT_CODEC knob (default raw) and the data allow it. `known_range`
-    skips the gating min/max pass when the caller already ran the CT
-    range check (compute/inference.py)."""
-    codec = os.environ.get("BOA_CT_CODEC", "raw")
+    BOA_CT_CODEC knob and the data allow it. `known_range` skips the
+    gating min/max pass when the caller already ran the CT range check
+    (compute/inference.py).
+
+    Default pack12: CT noise keeps the link compressor near 1:1, so the
+    25% raw-byte cut shows up almost fully in transfer time (measured
+    2.63 s vs 3.35 s raw for a 147 MB post-crop volume,
+    tools/transfer_bench.py); the host pack pass costs ~40 ms. delta16
+    LOST to raw (3.74 s) — the compressor can't use small-magnitude
+    int16 deltas as well as pack12's dense nibble planes."""
+    codec = os.environ.get("BOA_CT_CODEC", "pack12")
     if a.dtype != np.int16 or codec == "raw":
         return jnp.asarray(a)
     if codec == "delta16":

@@ -34,21 +34,29 @@ logger = logging.getLogger(__name__)
 
 
 def warmup_task(store: ModelStore, task_name: str, *, fast: bool = False,
-                xy: int = 512, z_range: tuple[int, int] = (200, 600),
+                xy: int | tuple[int, int] = 512,
+                z_range: tuple[int, int] = (200, 600),
                 bucket: int = 64,
                 spacing: tuple[float, float, float] = (1.5, 1.5, 3.0),
                 dtype: str = "bfloat16") -> list[float]:
     """Run one tiny-content study per bucketed shape so every program in
     the serving path (resample, chunked sliding window, argmax) lands in
-    the in-process jit cache AND the persistent compilation cache."""
+    the in-process jit cache AND the persistent compilation cache.
+
+    `xy` may be a (nx, ny) pair to warm a body-cropped in-plane extent
+    (ops/cropping.py 64-buckets crops, so a handful of pairs covers the
+    production shape set). The zero-HU warm volume never triggers the
+    crop itself (0 HU > the -500 body threshold everywhere), so the
+    requested shape is exactly the shape compiled."""
     # resolve through the SAME helper predict_image uses
     task = resolve_task(task_name, fast=fast)
+    nx, ny = (xy, xy) if isinstance(xy, int) else xy
     # model-grid z extent for a raw z: the pipeline resamples spacing[2] ->
     # task resample z (warmup must enumerate MODEL-GRID buckets, which is
     # what the predictor pads)
     times = []
     for z_raw in _raw_z_for_buckets(task, spacing, z_range, bucket):
-        vol = np.zeros((xy, xy, z_raw), np.int16)
+        vol = np.zeros((nx, ny, z_raw), np.int16)
         affine = np.diag([-spacing[0], -spacing[1], spacing[2], 1.0])
         img = NiftiImage(data=vol, affine=affine)
         t0 = time.perf_counter()
@@ -78,7 +86,7 @@ def bake(store: ModelStore, tasks: list[tuple[str, bool]] | None = None,
          *, xy: int = 512, z_range: tuple[int, int] = (200, 600),
          bucket: int = 64,
          spacing: tuple[float, float, float] = (1.5, 1.5, 3.0),
-         stamp: str | None = None) -> None:
+         stamp: str | None = None, full: bool = False) -> None:
     """Deploy-time warmup over the serving task set (VERDICT r3 #9).
 
     Populates the in-process jit cache AND the persistent compilation
@@ -104,13 +112,30 @@ def bake(store: ModelStore, tasks: list[tuple[str, bool]] | None = None,
             return
     if tasks is None:
         tasks = [("total", True), ("body_regions", True), ("body_parts", True)]
+        if full:
+            # full-res serving set (VERDICT r4 #6): the 5-sub-model total
+            # ensemble + 5-fold BCA programs, which otherwise cost a
+            # ~20-min compile storm on the first non-fast study. The
+            # non-fast z sweep is capped to the coarse buckets (every
+            # distinct model-grid z is a separate accumulator program).
+            tasks += [("total", False), ("body_regions", False),
+                      ("body_parts", False)]
+    # in-plane extents to warm: the uncropped FOV plus the most common
+    # body-crop buckets (ops/cropping.py aligns crops to 64-multiples;
+    # a whole-torso 512-FOV study typically crops to ~384x320)
+    xys: list[int | tuple[int, int]] = [xy]
+    if full and xy == 512:
+        xys.append((384, 320))
     for name, fast in tasks:
-        try:
-            t = warmup_task(store, name, fast=fast, xy=xy, z_range=z_range,
-                            bucket=bucket, spacing=spacing)
-            logger.info("baked %s (%d shapes, %.1fs)", name, len(t), sum(t))
-        except FileNotFoundError as exc:  # weights not installed yet
-            logger.warning("skipping bake of %s: %s", name, exc)
+        for shape_xy in (xys if not fast else xys[:1]):
+            try:
+                t = warmup_task(store, name, fast=fast, xy=shape_xy,
+                                z_range=z_range, bucket=bucket,
+                                spacing=spacing)
+                logger.info("baked %s xy=%s (%d shapes, %.1fs)", name,
+                            shape_xy, len(t), sum(t))
+            except FileNotFoundError as exc:  # weights not installed yet
+                logger.warning("skipping bake of %s: %s", name, exc)
     if stamp:
         p = Path(stamp).expanduser()
         p.parent.mkdir(parents=True, exist_ok=True)
@@ -128,6 +153,10 @@ def main(argv=None) -> None:
     ap.add_argument("--weights", default=None, help="weights root override")
     ap.add_argument("--bake", action="store_true",
                     help="warm the full PACS task set (fast total + BCA)")
+    ap.add_argument("--full", action="store_true",
+                    help="with --bake: also warm the non-fast programs "
+                    "(5-sub-model total ensemble + 5-fold BCA, cropped "
+                    "and uncropped in-plane shapes) — long, deploy-time")
     ap.add_argument("--stamp", default=None,
                     help="stamp file: skip the bake when it exists")
     args = ap.parse_args(argv)
@@ -136,7 +165,7 @@ def main(argv=None) -> None:
     if args.bake:
         bake(store, xy=args.xy, z_range=tuple(args.z_range),
              bucket=args.bucket, spacing=tuple(args.spacing),
-             stamp=args.stamp)
+             stamp=args.stamp, full=args.full)
         return
     times = warmup_task(store, args.task, fast=args.fast, xy=args.xy,
                         z_range=tuple(args.z_range), bucket=args.bucket,

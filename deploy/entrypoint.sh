@@ -5,7 +5,11 @@
 # bake runs once per cache volume; see boa_tpu/serve/warmup.py).
 set -e
 if [ "${BOA_WARMUP_ON_BOOT:-0}" = "1" ]; then
-  python -m boa_tpu.serve.warmup --bake \
+  # BOA_WARMUP_FULL=1 also bakes the non-fast (full-res ensemble + 5-fold
+  # BCA) programs — much longer, for deployments serving non-fast studies
+  WARMUP_FLAGS=""
+  [ "${BOA_WARMUP_FULL:-0}" = "1" ] && WARMUP_FLAGS="--full"
+  python -m boa_tpu.serve.warmup --bake $WARMUP_FLAGS \
     --stamp "${BOA_WARMUP_STAMP:-$HOME/.boa_tpu/warmup.stamp}" || true
 fi
 if [ -d /storage_directory ] && [ -n "$DOCKER_USER" ]; then

@@ -16,6 +16,27 @@ def test_raw_z_bucket_enumeration():
     assert models[0] == 256 and models[-1] == 640
 
 
+def test_full_bake_covers_nonfast_and_cropped_shapes(tmp_path, monkeypatch):
+    """--full extends the bake to the 5-sub-model total ensemble + 5-fold
+    BCA programs, at both the uncropped FOV and the common body-crop
+    bucket (VERDICT r4 #6)."""
+    calls = []
+
+    def record(store, name, *, fast, xy, **kw):
+        calls.append((name, fast, xy))
+        return [0.0]
+
+    monkeypatch.setattr(warmup, "warmup_task", record)
+    warmup.bake(ModelStore(tmp_path / "w"), full=True)
+    assert ("total", False, 512) in calls
+    assert ("total", False, (384, 320)) in calls
+    assert ("body_regions", False, (384, 320)) in calls
+    assert ("body_parts", False, 512) in calls
+    # the fast set still warms, uncropped-only
+    assert ("total", True, 512) in calls
+    assert ("total", True, (384, 320)) not in calls
+
+
 def test_bake_stamp_skips_and_tolerates_missing_weights(tmp_path, caplog):
     store = ModelStore(tmp_path / "empty")
     stamp = tmp_path / "warm.stamp"

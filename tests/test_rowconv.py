@@ -1,0 +1,87 @@
+"""Row-conv Pallas kernel (ops/rowconv.py): parity vs the XLA reference.
+
+Interpret mode on the CPU mesh; the TPU measurement lives in
+tools/rowconv_bench.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from boa_tpu.ops import rowconv
+
+
+def _xla_reference(x_zxcy, norm, w_dzdxdy, b, slope):
+    """conv3d(act(IN(x))) on the (Z, X, C, Y) layout via XLA."""
+    x = jnp.asarray(x_zxcy, jnp.float32)
+    xn = (x - norm.mean.reshape(1, 1, -1, 1)) * (
+        norm.inv_std * norm.gamma).reshape(1, 1, -1, 1) \
+        + norm.beta.reshape(1, 1, -1, 1)
+    if slope != 1.0:
+        xn = jnp.where(xn >= 0, xn, xn * slope)
+    # the kernel quantizes normalized activations AND weights to bf16
+    # before the MXU matmuls (f32 accumulate); mirror that so the
+    # comparison isolates the conv math, not the rounding points
+    xn = xn.astype(jnp.bfloat16).astype(jnp.float32)
+    # to NHWC-ish: (1, Z, X, Y, C)
+    v = jnp.transpose(xn, (0, 1, 3, 2))[None]
+    k = jnp.asarray(w_dzdxdy, jnp.bfloat16).astype(jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        v, k, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))[0]
+    y = y + jnp.asarray(b, jnp.float32)
+    return jnp.transpose(y, (0, 1, 3, 2))  # back to (Z, X, C, Y)
+
+
+@pytest.mark.parametrize("cin,cout,slope", [(32, 32, 0.01), (8, 16, 1.0)])
+def test_rowconv_parity(cin, cout, slope, rng):
+    Z, X, Y = 6, 16, 128
+    x = rng.normal(size=(Z, X, cin, Y)).astype(np.float32) * 2.0 + 0.3
+    w = (rng.normal(size=(3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
+    b = (rng.normal(size=(cout,)) * 0.1).astype(np.float32)
+    norm = rowconv.NormAct(
+        mean=jnp.asarray(rng.normal(size=(cin,)), jnp.float32),
+        inv_std=jnp.asarray(1.0 + rng.random(cin), jnp.float32),
+        gamma=jnp.asarray(1.0 + 0.1 * rng.normal(size=(cin,)), jnp.float32),
+        beta=jnp.asarray(0.1 * rng.normal(size=(cin,)), jnp.float32),
+        slope=slope)
+
+    # kernel consumes bf16 activations; quantize the reference input the
+    # same way so the comparison isolates the kernel math
+    xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    ref = np.asarray(_xla_reference(xq, norm, w, b, slope))
+
+    y, sums = rowconv.conv3d_rows(jnp.asarray(x), norm, jnp.asarray(w),
+                                  jnp.asarray(b), slope=slope,
+                                  out_dtype=jnp.float32, interpret=True,
+                                  bx=8)
+    got = np.asarray(y)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    # stats: Σy / Σy² over the full output
+    np.testing.assert_allclose(np.asarray(sums[0]), ref.sum(axis=(0, 1, 3)),
+                               rtol=2e-2, atol=2e-1)
+    np.testing.assert_allclose(np.asarray(sums[1]),
+                               (ref * ref).sum(axis=(0, 1, 3)),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_rowconv_x_pad_stats(rng):
+    """X not divisible by bx: padded rows are dropped AND excluded from
+    the instance-norm sums."""
+    Z, X, Y, c = 4, 11, 128, 8
+    x = rng.normal(size=(Z, X, c, Y)).astype(np.float32)
+    w = (rng.normal(size=(3, 3, 3, c, c)) * 0.2).astype(np.float32)
+    b = np.zeros(c, np.float32)
+    norm = rowconv.identity_normact(c)
+    xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    ref = np.asarray(_xla_reference(xq, norm, w, b, 1.0))
+    y, sums = rowconv.conv3d_rows(jnp.asarray(x), norm, jnp.asarray(w),
+                                  jnp.asarray(b), slope=1.0,
+                                  out_dtype=jnp.float32, interpret=True,
+                                  bx=8)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sums[0]), ref.sum(axis=(0, 1, 3)),
+                               rtol=2e-2, atol=2e-1)

@@ -1,0 +1,102 @@
+"""Row-conv kernel vs XLA on the r4 roofline floor stages (real TPU).
+
+Times conv+IN-stats+LReLU at the flagship co=32 @128³ shapes named in the
+README roofline (enc0.conv2 / dec4.conv1 / dec4.conv2) with on-device
+inputs (no tunnel bulk transfers), scan-of-N inside one jit, scalar
+readback sync, dispatch subtracted via an empty scan.
+
+Run from the repo root: python tools/rowconv_bench.py [--iters 10]
+"""
+import argparse
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--bx", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from boa_tpu.ops import rowconv
+
+    Z = X = Y = 128
+
+    def stage(cin, cout, label):
+        key = jax.random.key(0)
+        xp = jax.random.normal(key, (Z + 2, X + 2, cin, Y), jnp.bfloat16)
+        w = jax.random.normal(key, (3, 3, 3, cin, cout), jnp.float32) * 0.1
+        wp = jnp.asarray(rowconv.pack_weights_rows(
+            np.asarray(w), cin, cout), jnp.bfloat16)
+        norm_mat = jnp.stack([jnp.zeros(cin), jnp.ones(cin),
+                              jnp.ones(cin), jnp.zeros(cin)]).astype(
+            jnp.float32)
+        bias = jnp.zeros((1, cout), jnp.float32)
+
+        @jax.jit
+        def run_kernel(xp):
+            def body(c, _):
+                y, s = rowconv._rowconv(
+                    xp, norm_mat, wp, bias, slope=0.01,
+                    out_dtype=jnp.bfloat16, interpret=False, Z=Z, X=X, Y=Y,
+                    cin_p=cin, cout_p=cout, bx=args.bx)
+                return c + jnp.sum(s[0]), None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                  length=args.iters)
+            return out
+
+        # XLA reference: same semantics (norm+act fused into conv by XLA),
+        # z-major batched-2D decomposition is the shipped fast path — use
+        # the plain NDHWC conv AND report both
+        x_nhwc = jax.random.normal(key, (1, Z, X, Y, cin), jnp.bfloat16)
+        k = w.astype(jnp.bfloat16)
+
+        @jax.jit
+        def run_xla(v):
+            def body(c, _):
+                y = jax.lax.conv_general_dilated(
+                    v, k, (1, 1, 1), "SAME",
+                    dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+                    preferred_element_type=jnp.float32)
+                y = jnp.where(y >= 0, y, y * 0.01).astype(jnp.bfloat16)
+                return c + jnp.sum(y[0, 0, 0, 0]).astype(jnp.float32), None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                  length=args.iters)
+            return out
+
+        @jax.jit
+        def empty(v):
+            return jnp.sum(v[0, 0, 0]).astype(jnp.float32)
+
+        float(empty(xp))  # warm dispatch
+        t0 = time.perf_counter(); float(empty(xp))
+        disp = time.perf_counter() - t0
+
+        float(run_kernel(xp))  # compile
+        t0 = time.perf_counter(); float(run_kernel(xp))
+        tk = (time.perf_counter() - t0 - disp) / args.iters
+
+        float(run_xla(x_nhwc))
+        t0 = time.perf_counter(); float(run_xla(x_nhwc))
+        tx = (time.perf_counter() - t0 - disp) / args.iters
+
+        gflop = 2 * 27 * cin * cout * Z * X * Y / 1e9
+        print(f"{label}: kernel {tk*1e3:.2f} ms ({gflop/tk/1e3:.1f} TF/s)  "
+              f"xla {tx*1e3:.2f} ms ({gflop/tx/1e3:.1f} TF/s)", flush=True)
+
+    stage(32, 32, "c32->c32 @128^3 (enc0.conv2/dec4.conv2)")
+    stage(64, 32, "c64->c32 @128^3 (dec4.conv1)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,8 @@
 # parity: reference Makefile static checks + test targets
-.PHONY: test test-fast bench compose-check lint
+# (reference Makefile:20-42: sh-check + compose-check + docker-check;
+# tools/deploy_check.py falls back to in-repo validators when the docker
+# CLI is absent)
+.PHONY: test test-fast bench check sh-check compose-check dockerfile-check lint
 
 test:
 	python -m pytest tests/ -q
@@ -10,8 +13,14 @@ test-fast:
 bench:
 	python bench.py
 
-compose-check:
-	docker compose -f deploy/docker-compose.yml config -q
+sh-check compose-check dockerfile-check:
+	python -c "import sys; sys.path.insert(0, '.'); \
+	  from tools import deploy_check as d; \
+	  sys.exit(1 if d.$(subst -,_,$@)() else 0)"
+
+check:
+	python tools/deploy_check.py
+	python -m compileall -q boa_tpu
 
 lint:
 	python -m compileall -q boa_tpu

@@ -123,19 +123,17 @@ def _rowconv_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
     r_ref[:, :, 1 * cin_p:2 * cin_p] = xn.astype(jnp.bfloat16)
     r_ref[:, :, 2 * cin_p:3 * cin_p] = yp.astype(jnp.bfloat16)
 
-    # --- 9 matmuls per output row, accumulated in f32
+    # --- 9 matmuls per output row, accumulated in f32 (taps statically
+    #     unrolled so Mosaic can software-pipeline the MXU issues)
     def row(xo, _):
-        def tap(t, acc):
-            dz = t // 3
-            dx = jax.lax.rem(t, 3)
-            rs = r_ref[dz, xo + dx]                 # (3*cin_p, Y)
-            return acc + jax.lax.dot_general(
-                w_ref[t], rs,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        acc = jax.lax.fori_loop(0, 9, tap,
-                                jnp.zeros((cout_p, Y), jnp.float32))
+        acc = jnp.zeros((cout_p, Y), jnp.float32)
+        for dz in range(3):
+            for dx in range(3):
+                rs = r_ref[dz, xo + dx]             # (3*cin_p, Y)
+                acc = acc + jax.lax.dot_general(
+                    w_ref[dz * 3 + dx], rs,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         acc = acc + bias_ref[0, :].reshape(cout_p, 1)
         out_ref[0, xo] = acc.astype(out_dtype)
         # x-pad rows (X % bx != 0) are sliced off the output but must not

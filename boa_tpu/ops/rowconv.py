@@ -246,3 +246,311 @@ def conv3d_rows(x: jax.Array, norm: NormAct, w: jax.Array | None,
                        out_dtype=out_dtype, interpret=interpret,
                        Z=Z, X=X, Y=Y, cin_p=cin_p, cout_p=cout_p, bx=bx)
     return y[:, :, :cout], sums[:, :cout]
+
+
+# ---------------------------------------------------------------------------
+# Stride-2 down-conv: the enc*.conv1 roofline floor (XLA computes the DENSE
+# conv and discards 7/8 of it — 13 TF/s measured). Reads the rowconv layout,
+# deinterleaves y by exact 0/1 selection MATMULS (S_dy[y, yo] = δ(y =
+# 2yo+dy-1) — a stride-2 lane gather would be a relayout; on the MXU it is
+# free throughput), computes only the needed outputs, and emits
+# (Z/2, X/2, cout_p, Y/2); the consumer's (C, Y) → (Y, C) flip is a cheap
+# XLA transpose at the 8x-smaller output scale.
+# ---------------------------------------------------------------------------
+
+
+def _stride2_kernel(norm_ref, w_ref, s_ref, bias_ref, x_hbm, out_ref,
+                    part_ref, r_ref, win_ref, sem, *, bx2, cin_p, cout_p,
+                    Z, X, Y, slope, out_dtype):
+    z2 = pl.program_id(0)
+    xb = pl.program_id(1)
+    nxb = pl.num_programs(1)
+    step = z2 * nxb + xb
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+    wx = 2 * bx2 + 1  # input x rows feeding bx2 stride-2 output rows
+
+    @pl.when(step == 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(2 * z2, 3), pl.ds(xb * 2 * bx2, wx)],
+            win_ref.at[slot], sem.at[slot]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nxb)
+    def _():
+        nz = (step + 1) // nxb
+        nx = jax.lax.rem(step + 1, nxb)
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(2 * nz, 3), pl.ds(nx * 2 * bx2, wx)],
+            win_ref.at[nslot], sem.at[nslot]).start()
+
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(2 * z2, 3), pl.ds(xb * 2 * bx2, wx)],
+        win_ref.at[slot], sem.at[slot]).wait()
+
+    xw = win_ref[slot].astype(jnp.float32)          # (3, wx, cin_p, Y)
+    mean = norm_ref[0, :].reshape(cin_p, 1)
+    scale = (norm_ref[1, :] * norm_ref[2, :]).reshape(cin_p, 1)
+    beta = norm_ref[3, :].reshape(cin_p, 1)
+    xn = (xw - mean) * scale + beta
+    if slope != 1.0:
+        xn = jnp.where(xn >= 0, xn, xn * slope)
+    gz = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 0) + 2 * z2
+    gx = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1) + xb * 2 * bx2
+    valid = ((gz >= 1) & (gz < Z + 1) & (gx >= 1) & (gx < X + 1))
+    xn = jnp.where(valid, xn, 0.0).astype(jnp.bfloat16)
+
+    # R2 rows: y-deinterleaved taps, (3, wx, 3*cin_p, Y//2)
+    for dy in range(3):
+        r_ref[:, :, dy * cin_p:(dy + 1) * cin_p] = jax.lax.dot_general(
+            xn, s_ref[dy],
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def row(xo, _):
+        acc = jnp.zeros((cout_p, Y // 2), jnp.float32)
+        for dz in range(3):
+            for dx in range(3):
+                rs = r_ref[dz, 2 * xo + dx]
+                acc = acc + jax.lax.dot_general(
+                    w_ref[dz * 3 + dx], rs,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        acc = acc + bias_ref[0, :].reshape(cout_p, 1)
+        out_ref[0, xo] = acc.astype(out_dtype)
+        live = (xb * bx2 + xo < X // 2).astype(jnp.float32)
+        part_ref[0, 0, 0] += live * jnp.sum(acc, axis=1)
+        part_ref[0, 0, 1] += live * jnp.sum(acc * acc, axis=1)
+        return 0
+
+    part_ref[0, 0, 0] = jnp.zeros((cout_p,), jnp.float32)
+    part_ref[0, 0, 1] = jnp.zeros((cout_p,), jnp.float32)
+    jax.lax.fori_loop(0, bx2, row, 0, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "slope", "out_dtype", "interpret", "Z", "X", "Y", "cin_p", "cout_p",
+    "bx2"))
+def _stride2(xp, norm_mat, w_packed, s_mats, bias, *, slope, out_dtype,
+             interpret, Z, X, Y, cin_p, cout_p, bx2):
+    Z2, X2, Y2 = Z // 2, X // 2, Y // 2
+    nxb = pl.cdiv(X2, bx2)
+    pad_x = nxb * bx2 * 2 - X
+    if pad_x:
+        xp = jnp.pad(xp, ((0, 0), (0, pad_x), (0, 0), (0, 0)))
+    kern = functools.partial(
+        _stride2_kernel, bx2=bx2, cin_p=cin_p, cout_p=cout_p, Z=Z, X=X,
+        Y=Y, slope=slope, out_dtype=out_dtype)
+    wx = 2 * bx2 + 1
+    y, partials = pl.pallas_call(
+        kern,
+        grid=(Z2, nxb),
+        in_specs=[
+            pl.BlockSpec((4, cin_p), lambda z, x: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 3 * cin_p, cout_p), lambda z, x: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Y, Y2), lambda z, x: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout_p), lambda z, x: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bx2, cout_p, Y2), lambda z, x: (z, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, cout_p),
+                         lambda z, x: (z * pl.num_programs(1) + x, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Z2, nxb * bx2, cout_p, Y2), out_dtype),
+            jax.ShapeDtypeStruct((Z2 * nxb, 1, 2, cout_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, wx, 3 * cin_p, Y2), jnp.bfloat16),
+            pltpu.VMEM((2, 3, wx, cin_p, Y), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(norm_mat, w_packed, s_mats, bias, xp)
+    return y[:, :X2], jnp.sum(partials, axis=0)[0]
+
+
+def conv3d_rows_stride2(x: jax.Array, norm: NormAct, w: jax.Array,
+                        b: jax.Array | None, *, slope: float = 1.0,
+                        out_dtype=jnp.bfloat16, interpret: bool = False,
+                        bx2: int = 8):
+    """Stride-2 'same' conv on the rowconv layout: (Z, X, C, Y) →
+    (Z/2, X/2, cout_p, Y/2) + (2, cout) sums. Even extents required.
+    Output center convention matches torch Conv3d(stride=2, padding=1):
+    out[o] = Σ_d w[d]·in[2o+d-1]."""
+    Z, X, cin, Y = x.shape
+    cout = w.shape[-1]
+    if Y != LANES or Z % 2 or X % 2 or Y % 2:
+        raise ValueError(f"stride-2 rowconv needs Y == {LANES}, even dims")
+    cin_p = -(-cin // 8) * 8
+    cout_p = -(-cout // 8) * 8
+    xq = x.astype(jnp.bfloat16)
+    if cin_p != cin:
+        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
+    xp = jnp.pad(xq, ((1, 1), (1, 1), (0, 0), (0, 0)))
+
+    def _expand(v, fill):
+        return jnp.full((cin_p,), fill, jnp.float32).at[:cin].set(
+            v.astype(jnp.float32))
+
+    norm_mat = jnp.stack([
+        _expand(norm.mean, 0.0), _expand(norm.inv_std, 1.0),
+        _expand(norm.gamma, 0.0), _expand(norm.beta, 0.0)])
+    w_packed = jnp.asarray(
+        pack_weights_rows(np.asarray(w, np.float32), cin_p, cout_p),
+        jnp.bfloat16)
+    # S_dy[y, yo] = δ(y == 2*yo + dy - 1): exact 0/1 deinterleave matrices
+    s = np.zeros((3, Y, Y // 2), np.float32)
+    for dy in range(3):
+        for yo in range(Y // 2):
+            yi = 2 * yo + dy - 1
+            if 0 <= yi < Y:
+                s[dy, yi, yo] = 1.0
+    s_mats = jnp.asarray(s, jnp.bfloat16)
+    bias_c = (b if b is not None else jnp.zeros((cout,), jnp.float32))
+    bias_l = jnp.zeros((1, cout_p), jnp.float32).at[0, :cout].set(
+        bias_c.astype(jnp.float32))
+    y, sums = _stride2(xp, norm_mat, w_packed, s_mats, bias_l, slope=slope,
+                       out_dtype=out_dtype, interpret=interpret, Z=Z, X=X,
+                       Y=Y, cin_p=cin_p, cout_p=cout_p, bx2=bx2)
+    return y[:, :, :cout], sums[:, :cout]
+
+
+# ---------------------------------------------------------------------------
+# 2x2x2 stride-2 transposed conv (decoder upsample): each output voxel
+# receives exactly ONE tap, so the op is 8 per-parity matmuls plus a y
+# interleave — which XLA lowers as a relayout chain (1.9 ms for 2.2 GFLOP,
+# r4 roofline). Here the interleave is an exact 0/1 matmul E_p[y, yout] =
+# δ(yout = 2y+p). Input is the (Z, X, C, Y) layout (one cheap XLA
+# transpose of the 8x-smaller 64³ activation), output is rowconv layout
+# at 2x resolution — ready for the dec4 rowconv stages.
+# ---------------------------------------------------------------------------
+
+
+def _transp_kernel(w_ref, e_ref, x_hbm, out_ref, r_ref, win_ref, sem, *,
+                   bx, cin_p, cout_p, Y, out_dtype):
+    z = pl.program_id(0)
+    xb = pl.program_id(1)
+    nxb = pl.num_programs(1)
+    step = z * nxb + xb
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(z, 1), pl.ds(xb * bx, bx)],
+            win_ref.at[slot], sem.at[slot]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nxb)
+    def _():
+        nz = (step + 1) // nxb
+        nx = jax.lax.rem(step + 1, nxb)
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(nz, 1), pl.ds(nx * bx, bx)],
+            win_ref.at[nslot], sem.at[nslot]).start()
+
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(z, 1), pl.ds(xb * bx, bx)],
+        win_ref.at[slot], sem.at[slot]).wait()
+
+    # R rows: y-interleaved input, (bx, 2*cin_p, 2Y):
+    # rows [p*cin_p + ci], cols yout — R[p·cin+ci, yout] = in[ci, y]·δ(yout=2y+p)
+    xw = win_ref[slot][0].astype(jnp.bfloat16)      # (bx, cin_p, Y)
+    for p in range(2):
+        r_ref[:, p * cin_p:(p + 1) * cin_p] = jax.lax.dot_general(
+            xw, e_ref[p],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def row(xo, _):
+        rs = r_ref[xo]                               # (2*cin_p, 2Y)
+        for a in range(2):
+            for bb in range(2):
+                out_ref[a, 2 * xo + bb] = jax.lax.dot_general(
+                    w_ref[a * 2 + bb], rs,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(out_dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bx, row, 0, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_dtype", "interpret", "Z", "X", "Y", "cin_p", "cout_p", "bx"))
+def _transp(xt, w_packed, e_mats, *, out_dtype, interpret, Z, X, Y,
+            cin_p, cout_p, bx):
+    nxb = pl.cdiv(X, bx)
+    pad_x = nxb * bx - X
+    if pad_x:
+        xt = jnp.pad(xt, ((0, 0), (0, pad_x), (0, 0), (0, 0)))
+    kern = functools.partial(_transp_kernel, bx=bx, cin_p=cin_p,
+                             cout_p=cout_p, Y=Y, out_dtype=out_dtype)
+    y = pl.pallas_call(
+        kern,
+        grid=(Z, nxb),
+        in_specs=[
+            pl.BlockSpec((4, 2 * cin_p, cout_p), lambda z, x: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Y, 2 * Y), lambda z, x: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((2, 2 * bx, cout_p, 2 * Y),
+                               lambda z, x: (z, x, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * Z, 2 * nxb * bx, cout_p, 2 * Y),
+                                       out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bx, 2 * cin_p, 2 * Y), jnp.bfloat16),
+            pltpu.VMEM((2, 1, bx, cin_p, Y), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(w_packed, e_mats, xt)
+    return y[:, :2 * X]
+
+
+def transpconv2_rows(x: jax.Array, w: jax.Array, *,
+                     out_dtype=jnp.bfloat16, interpret: bool = False,
+                     bx: int = 8):
+    """2x2x2 stride-2 transposed conv: (Z, X, C, Y) → (2Z, 2X, cout_p, 2Y).
+
+    w: (2, 2, 2, cin, cout) with taps (a=z, b=x, p=y):
+    out[2z+a, 2x+b, co, 2y+p] = Σ_ci x[z, x, ci, y] · w[a, b, p, ci, co].
+    2Y must equal 128 lanes (i.e. the 64³ → 128³ decoder upsample)."""
+    Z, X, cin, Y = x.shape
+    cout = w.shape[-1]
+    if 2 * Y != LANES:
+        raise ValueError(f"transpconv2_rows needs 2*Y == {LANES}")
+    cin_p = -(-cin // 8) * 8
+    cout_p = -(-cout // 8) * 8
+    xq = x.astype(jnp.bfloat16)
+    if cin_p != cin:
+        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
+    # weights: (a, b) → (2·cin_p, cout_p) with rows (p·cin_p + ci)
+    wp = np.zeros((4, 2 * cin_p, cout_p), np.float32)
+    wn = np.asarray(w, np.float32)
+    for a in range(2):
+        for bb in range(2):
+            for p in range(2):
+                wp[a * 2 + bb, p * cin_p:p * cin_p + cin, :cout] = wn[a, bb, p]
+    e = np.zeros((2, Y, 2 * Y), np.float32)
+    for p in range(2):
+        for y in range(Y):
+            e[p, y, 2 * y + p] = 1.0
+    y = _transp(xq, jnp.asarray(wp, jnp.bfloat16), jnp.asarray(e, jnp.bfloat16),
+                out_dtype=out_dtype, interpret=interpret, Z=Z, X=X, Y=Y,
+                cin_p=cin_p, cout_p=cout_p, bx=bx)
+    return y[:, :, :cout]

@@ -68,6 +68,55 @@ def test_rowconv_parity(cin, cout, slope, rng):
                                rtol=2e-2, atol=2e-1)
 
 
+def test_stride2_parity(rng):
+    """Stride-2 rowconv == torch-convention Conv3d(stride=2, padding=1)
+    computed via the dense XLA conv + slicing."""
+    Z, X, Y, cin, cout = 8, 16, 128, 8, 16
+    x = rng.normal(size=(Z, X, cin, Y)).astype(np.float32)
+    w = (rng.normal(size=(3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
+    b = (rng.normal(size=(cout,)) * 0.1).astype(np.float32)
+    norm = rowconv.NormAct(
+        mean=jnp.asarray(rng.normal(size=(cin,)), jnp.float32),
+        inv_std=jnp.asarray(1.0 + rng.random(cin), jnp.float32),
+        gamma=jnp.asarray(1.0 + 0.1 * rng.normal(size=(cin,)), jnp.float32),
+        beta=jnp.asarray(0.1 * rng.normal(size=(cin,)), jnp.float32),
+        slope=0.01)
+    xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    dense = np.asarray(_xla_reference(xq, norm, w, b, 0.01))
+    ref = dense[::2, ::2, :, ::2]  # out[o] = Σ w[d]·in[2o+d-1] ✓ SAME conv
+
+    y, sums = rowconv.conv3d_rows_stride2(
+        jnp.asarray(x), norm, jnp.asarray(w), jnp.asarray(b), slope=0.01,
+        out_dtype=jnp.float32, interpret=True, bx2=4)
+    got = np.asarray(y)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sums[0]), ref.sum(axis=(0, 1, 3)),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_transpconv_parity(rng):
+    """2x2x2 stride-2 transposed conv == the scatter definition."""
+    Z, X, Y, cin, cout = 6, 10, 64, 16, 8
+    x = rng.normal(size=(Z, X, cin, Y)).astype(np.float32)
+    w = (rng.normal(size=(2, 2, 2, cin, cout)) * 0.3).astype(np.float32)
+
+    xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    wq = np.asarray(jnp.asarray(w, jnp.bfloat16), np.float32)
+    ref = np.zeros((2 * Z, 2 * X, cout, 2 * Y), np.float32)
+    for a in range(2):
+        for bb in range(2):
+            for p in range(2):
+                # out[2z+a, 2x+b, co, 2y+p] = Σ_ci in[z,x,ci,y]·w[a,b,p,ci,co]
+                contrib = np.einsum("zxcy,cd->zxdy", xq, wq[a, bb, p])
+                ref[a::2, bb::2, :, p::2] = contrib
+    y = rowconv.transpconv2_rows(jnp.asarray(x), jnp.asarray(w),
+                                 out_dtype=jnp.float32, interpret=True, bx=4)
+    got = np.asarray(y)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_rowconv_x_pad_stats(rng):
     """X not divisible by bx: padded rows are dropped AND excluded from
     the instance-norm sums."""

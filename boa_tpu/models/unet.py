@@ -427,6 +427,157 @@ def _block_zm(p: dict, xz: jax.Array, stride, kernel,
     return _lrelu(xz, cfg.nonlin_slope)
 
 
+def _rowconv_enabled() -> bool:
+    import os
+
+    return os.environ.get("BOA_ROWCONV", "0") not in ("", "0")
+
+
+def _rowconv_eligible(cfg: ArchConfig, shape) -> bool:
+    """The Pallas row-conv path covers the plain-conv flagship patch
+    geometry: stage-0 and last-decoder-stage convs at Y=128 lanes plus
+    the stride-2 boundary (ops/rowconv.py docstring)."""
+    n, X, Y, Z, C = shape
+    return (not cfg.residual_encoder and not cfg.two_d
+            and cfg.n_stages >= 2 and n == 1
+            and cfg.kernel_sizes[0] == (3, 3, 3)
+            and cfg.kernel_sizes[1] == (3, 3, 3)
+            and cfg.strides[0] == (1, 1, 1)
+            and cfg.strides[1] == (2, 2, 2)
+            and cfg.n_conv_per_stage[0] == 2
+            and cfg.n_conv_per_stage_decoder[cfg.n_stages - 2] == 2
+            and Y == 128 and X % 2 == 0 and Z % 2 == 0)
+
+
+def _rowconv_forward(params: dict, x: jax.Array, cfg: ArchConfig) -> jax.Array:
+    """Flagship forward with the roofline-floor stages on Pallas kernels.
+
+    Stage 0 (two co=32 convs @128³), the stride-2 encoder boundary, the
+    decoder 2x upsample and the last decoder stage run in the (Z, X, C, Y)
+    row layout (`ops/rowconv.py`); interior stages keep the z-major XLA
+    path. Instance-norm statistics ride the kernels' fused Σ/Σ² outputs,
+    so normalized activations never materialize in HBM at 128³.
+    """
+    import os
+
+    from boa_tpu.ops import rowconv as rc
+
+    interp = os.environ.get("BOA_ROWCONV") == "interpret"  # CPU tests
+    dt = x.dtype
+    n, X, Y, Z, C = x.shape
+    eps = cfg.norm_eps
+    slope = cfg.nonlin_slope
+
+    def wr(p):
+        return jnp.transpose(p["w"], (2, 0, 1, 3, 4))  # (kz, kx, ky, ci, co)
+
+    def normact(p, sums, count, c):
+        mean, inv_std = rc.stats_from_sums(sums, count, eps)
+        gamma = p.get("norm_scale")
+        beta = p.get("norm_bias")
+        return rc.NormAct(
+            mean, inv_std,
+            gamma.astype(jnp.float32) if gamma is not None else jnp.ones(c),
+            beta.astype(jnp.float32) if beta is not None else jnp.zeros(c),
+            slope)
+
+    # ---- stage 0 in row layout
+    x0 = jnp.transpose(x[0], (2, 0, 3, 1))           # (Z, X, C, Y)
+    enc0 = params["encoder"][0]
+    c0 = cfg.features_per_stage[0]
+    cnt0 = Z * X * Y
+    y1, s1 = rc.conv3d_rows(x0, rc.identity_normact(C), wr(enc0[0]),
+                            enc0[0].get("b"), slope=1.0, out_dtype=dt,
+                            interpret=interp)
+    na1 = normact(enc0[0], s1, cnt0, c0)
+    y2, s2 = rc.conv3d_rows(y1, na1, wr(enc0[1]), enc0[1].get("b"),
+                            slope=slope, out_dtype=dt, interpret=interp)
+    na2 = normact(enc0[1], s2, cnt0, c0)
+
+    # ---- stride-2 boundary into the z-major interior
+    enc1 = params["encoder"][1]
+    c1 = cfg.features_per_stage[1]
+    y3, s3 = rc.conv3d_rows_stride2(y2, na2, wr(enc1[0]), enc1[0].get("b"),
+                                    slope=slope, out_dtype=dt,
+                                    interpret=interp)
+    Z2, X2, Y2 = Z // 2, X // 2, Y // 2
+    cnt1 = Z2 * X2 * Y2
+    m3, isd3 = rc.stats_from_sums(s3, cnt1, eps)
+    xz = jnp.transpose(y3, (0, 1, 3, 2))[None]       # (1, Z2, X2, Y2, c1)
+    xf = (xz.astype(jnp.float32) - m3) * isd3
+    if enc1[0].get("norm_scale") is not None:
+        xf = xf * enc1[0]["norm_scale"].astype(jnp.float32)
+    if enc1[0].get("norm_bias") is not None:
+        xf = xf + enc1[0]["norm_bias"].astype(jnp.float32)
+    xz = _lrelu(xf.astype(dt), slope)
+
+    # ---- interior: existing z-major XLA path
+    skips = [None]  # stage-0 skip stays in row layout (y2 raw + na2)
+    for b, block in enumerate(params["encoder"][1]):
+        if b == 0:
+            continue
+        xz = _block_zm(block, xz, (1, 1, 1), cfg.kernel_sizes[1], cfg)
+    skips.append(xz)
+    for s in range(2, cfg.n_stages):
+        for b, block in enumerate(params["encoder"][s]):
+            stride = cfg.strides[s] if b == 0 else (1, 1, 1)
+            xz = _block_zm(block, xz, stride, cfg.kernel_sizes[s], cfg)
+        skips.append(xz)
+
+    y = skips[-1]
+    n_dec = len(params["decoder"])
+    for i, stage in enumerate(params["decoder"][:-1]):
+        s = cfg.n_stages - 1 - i
+        y = _transpconv_zm(y, stage["transp"]["w"], stage["transp"].get("b"),
+                           cfg.strides[s])
+        y = jnp.concatenate([y, skips[s - 1]], axis=-1)
+        for block in stage["convs"]:
+            y = _block_zm(block, y, (1, 1, 1), cfg.kernel_sizes[s - 1], cfg)
+
+    # ---- last decoder stage back in row layout
+    stage = params["decoder"][-1]
+    yt = jnp.transpose(y[0], (0, 1, 3, 2))           # (Z2, X2, c1, Y2)
+    # transpconv weight: XYZOI (kx, ky, kz, co, ci) consumed with
+    # transpose_kernel=True == no spatial flip for kernel==stride; adapter
+    # to (a=z, b=x, p=y, ci, co)
+    wt = jnp.transpose(stage["transp"]["w"], (2, 0, 1, 4, 3))
+    up = rc.transpconv2_rows(yt, wt, out_dtype=dt, interpret=interp)   # (Z, X, c0p, Y)
+    bup = stage["transp"].get("b")
+    if bup is not None:
+        up = up + bup.astype(dt)[None, None, :, None]
+    cat = jnp.concatenate([up[:, :, :c0], y2], axis=2)
+    zeros, ones = jnp.zeros(c0, jnp.float32), jnp.ones(c0, jnp.float32)
+    na_cat = rc.NormAct(
+        mean=jnp.concatenate([zeros, na2.mean]),
+        inv_std=jnp.concatenate([ones, na2.inv_std]),
+        gamma=jnp.concatenate([ones, na2.gamma]),
+        beta=jnp.concatenate([zeros, na2.beta]), slope=1.0)
+    slope_vec = jnp.concatenate([ones, jnp.full(c0, slope, jnp.float32)])
+    convs = stage["convs"]
+    y4, s4 = rc.conv3d_rows(cat, na_cat, wr(convs[0]), convs[0].get("b"),
+                            slope=slope_vec, out_dtype=dt, interpret=interp)
+    na4 = normact(convs[0], s4, cnt0, c0)
+    y5, s5 = rc.conv3d_rows(y4, na4, wr(convs[1]), convs[1].get("b"),
+                            slope=slope, out_dtype=dt, interpret=interp)
+
+    # ---- 1x1x1 head on the row layout (einsum keeps lanes=Y)
+    m5, isd5 = rc.stats_from_sums(s5, cnt0, eps)
+    xf = (y5.astype(jnp.float32) - m5[None, None, :, None]) \
+        * isd5[None, None, :, None]
+    if convs[1].get("norm_scale") is not None:
+        xf = xf * convs[1]["norm_scale"].astype(jnp.float32)[None, None, :,
+                                                             None]
+    if convs[1].get("norm_bias") is not None:
+        xf = xf + convs[1]["norm_bias"].astype(jnp.float32)[None, None, :,
+                                                            None]
+    xn5 = _lrelu(xf.astype(dt), slope)
+    head = params["seg_heads"][n_dec - 1]
+    out = jnp.einsum("zxcy,cd->zxyd", xn5, head["w"][0, 0, 0].astype(dt))
+    if head.get("b") is not None:
+        out = out + head["b"].astype(dt)
+    return jnp.transpose(out, (1, 2, 0, 3))[None]    # (1, X, Y, Z, ncls)
+
+
 def unet_forward(params: dict, x: jax.Array, cfg: ArchConfig,
                  *, all_heads: bool = False):
     """Forward pass.
@@ -435,7 +586,12 @@ def unet_forward(params: dict, x: jax.Array, cfg: ArchConfig,
     of deep-supervision outputs (highest resolution first) when
     ``cfg.deep_supervision and all_heads``. Both encoder families run the
     z-major fast path (one layout transpose in, one per head out).
+    BOA_ROWCONV=1 routes the roofline-floor stages through the Pallas
+    row-conv kernels when the geometry qualifies (inference heads only).
     """
+    if not all_heads and _rowconv_enabled() \
+            and _rowconv_eligible(cfg, x.shape):
+        return _rowconv_forward(params, x, cfg)
     xz = jnp.transpose(x, (0, 3, 1, 2, 4))
     skips = []
     if cfg.residual_encoder:

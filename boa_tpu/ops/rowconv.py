@@ -41,18 +41,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from boa_tpu.ops.pallas_conv import NormAct, identity_normact  # noqa: F401
+from boa_tpu.ops.pallas_conv import (NormAct, identity_normact,  # noqa: F401
+                                     stats_from_sums)
 
 LANES = 128
 
 
-def pack_weights_rows(w: np.ndarray, cin_p: int, cout_p: int) -> np.ndarray:
+def pack_weights_rows(w, cin_p: int, cout_p: int):
     """(3,3,3, cin, cout) [taps ordered (dz, dx, dy)] → (9, 3·cin_p, cout_p).
 
     Tap t = dz*3 + dx; the dy taps stack into the K axis in the same
-    (dy, ci) order the kernel builds R: K row dy*cin_p + ci.
-    """
-    cin, cout = w.shape[3], w.shape[4]
+    (dy, ci) order the kernel builds R: K row dy*cin_p + ci. Accepts a
+    numpy array (host path) or a traced jax array (the fold-scan inside
+    `unet_forward` passes per-fold weights as tracers)."""
+    cin, cout = int(w.shape[3]), int(w.shape[4])
+    if isinstance(w, (jax.Array, jax.core.Tracer)):
+        wf = w.astype(jnp.float32)
+        rows = []
+        for dz in range(3):
+            for dx in range(3):
+                blocks = [jnp.pad(wf[dz, dx, dy],
+                                  ((0, cin_p - cin), (0, cout_p - cout)))
+                          for dy in range(3)]
+                rows.append(jnp.concatenate(blocks, axis=0))
+        return jnp.stack(rows)
     out = np.zeros((9, 3 * cin_p, cout_p), np.float32)
     w = np.asarray(w, np.float32)
     for dz in range(3):
@@ -104,11 +116,13 @@ def _rowconv_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
     scale = (norm_ref[1, :] * norm_ref[2, :]).reshape(cin_p, 1)
     beta = norm_ref[3, :].reshape(cin_p, 1)
     xn = (xw - mean) * scale + beta
-    if slope != 1.0:
+    if slope is None:  # per-channel slope vector (norm row 4)
+        xn = jnp.where(xn >= 0, xn, xn * norm_ref[4, :].reshape(cin_p, 1))
+    elif slope != 1.0:
         xn = jnp.where(xn >= 0, xn, xn * slope)
-    # halo validity by GLOBAL coords in the padded array: padded z row r is
-    # real iff 1 <= z+r-? ... window covers padded rows z..z+2 (output z
-    # maps to padded z+1), real input z ∈ [1, Z+1); same for x.
+    # halo validity by GLOBAL coords in the padded array: the window covers
+    # padded rows z..z+2 (output z maps to padded z+1); real input z is in
+    # [1, Z+1), same for x.
     gz = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 0) + z
     gx = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1) + xb * bx
     valid = ((gz >= 1) & (gz < Z + 1) & (gx >= 1) & (gx < X + 1))
@@ -164,7 +178,7 @@ def _rowconv(xp, norm_mat, w_packed, bias, *, slope, out_dtype, interpret,
         kern,
         grid=(Z, nxb),
         in_specs=[
-            pl.BlockSpec((4, cin_p), lambda z, x: (0, 0),
+            pl.BlockSpec((5, cin_p), lambda z, x: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, 3 * cin_p, cout_p), lambda z, x: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,16 +242,19 @@ def conv3d_rows(x: jax.Array, norm: NormAct, w: jax.Array | None,
 
     def _expand(v, fill):
         return jnp.full((cin_p,), fill, jnp.float32).at[:cin].set(
-            v.astype(jnp.float32))
+            jnp.asarray(v).astype(jnp.float32))
 
+    slope_static = slope if np.isscalar(slope) else None
+    slope_row = (_expand(jnp.broadcast_to(jnp.float32(1.0), (cin,)), 1.0)
+                 if slope_static is not None else _expand(slope, 1.0))
     norm_mat = jnp.stack([
         _expand(norm.mean, 0.0), _expand(norm.inv_std, 1.0),
         _expand(norm.gamma, 0.0),  # padded channels → xn = 0
-        _expand(norm.beta, 0.0)])
+        _expand(norm.beta, 0.0), slope_row])
+    slope = slope_static
     if w_packed is None:
         w_packed = jnp.asarray(
-            pack_weights_rows(np.asarray(w, np.float32), cin_p, cout_p),
-            jnp.bfloat16)
+            pack_weights_rows(w, cin_p, cout_p)).astype(jnp.bfloat16)
     bias_c = (b if b is not None else jnp.zeros((cout,), jnp.float32))
     bias_l = jnp.zeros((1, cout_p), jnp.float32).at[0, :cout].set(
         bias_c.astype(jnp.float32))
@@ -293,7 +310,9 @@ def _stride2_kernel(norm_ref, w_ref, s_ref, bias_ref, x_hbm, out_ref,
     scale = (norm_ref[1, :] * norm_ref[2, :]).reshape(cin_p, 1)
     beta = norm_ref[3, :].reshape(cin_p, 1)
     xn = (xw - mean) * scale + beta
-    if slope != 1.0:
+    if slope is None:  # per-channel slope vector (norm row 4)
+        xn = jnp.where(xn >= 0, xn, xn * norm_ref[4, :].reshape(cin_p, 1))
+    elif slope != 1.0:
         xn = jnp.where(xn >= 0, xn, xn * slope)
     gz = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 0) + 2 * z2
     gx = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1) + xb * 2 * bx2
@@ -346,7 +365,7 @@ def _stride2(xp, norm_mat, w_packed, s_mats, bias, *, slope, out_dtype,
         kern,
         grid=(Z2, nxb),
         in_specs=[
-            pl.BlockSpec((4, cin_p), lambda z, x: (0, 0),
+            pl.BlockSpec((5, cin_p), lambda z, x: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, 3 * cin_p, cout_p), lambda z, x: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -400,14 +419,17 @@ def conv3d_rows_stride2(x: jax.Array, norm: NormAct, w: jax.Array,
 
     def _expand(v, fill):
         return jnp.full((cin_p,), fill, jnp.float32).at[:cin].set(
-            v.astype(jnp.float32))
+            jnp.asarray(v).astype(jnp.float32))
 
+    slope_static = slope if np.isscalar(slope) else None
+    slope_row = (_expand(jnp.broadcast_to(jnp.float32(1.0), (cin,)), 1.0)
+                 if slope_static is not None else _expand(slope, 1.0))
     norm_mat = jnp.stack([
         _expand(norm.mean, 0.0), _expand(norm.inv_std, 1.0),
-        _expand(norm.gamma, 0.0), _expand(norm.beta, 0.0)])
+        _expand(norm.gamma, 0.0), _expand(norm.beta, 0.0), slope_row])
+    slope = slope_static
     w_packed = jnp.asarray(
-        pack_weights_rows(np.asarray(w, np.float32), cin_p, cout_p),
-        jnp.bfloat16)
+        pack_weights_rows(w, cin_p, cout_p)).astype(jnp.bfloat16)
     # S_dy[y, yo] = δ(y == 2*yo + dy - 1): exact 0/1 deinterleave matrices
     s = np.zeros((3, Y, Y // 2), np.float32)
     for dy in range(3):
@@ -540,12 +562,21 @@ def transpconv2_rows(x: jax.Array, w: jax.Array, *,
     if cin_p != cin:
         xq = jnp.pad(xq, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
     # weights: (a, b) → (2·cin_p, cout_p) with rows (p·cin_p + ci)
-    wp = np.zeros((4, 2 * cin_p, cout_p), np.float32)
-    wn = np.asarray(w, np.float32)
-    for a in range(2):
-        for bb in range(2):
-            for p in range(2):
-                wp[a * 2 + bb, p * cin_p:p * cin_p + cin, :cout] = wn[a, bb, p]
+    if isinstance(w, (jax.Array, jax.core.Tracer)):
+        wf = w.astype(jnp.float32)
+        wp = jnp.stack([
+            jnp.concatenate([
+                jnp.pad(wf[a, bb, p], ((0, cin_p - cin), (0, cout_p - cout)))
+                for p in range(2)], axis=0)
+            for a in range(2) for bb in range(2)])
+    else:
+        wp = np.zeros((4, 2 * cin_p, cout_p), np.float32)
+        wn = np.asarray(w, np.float32)
+        for a in range(2):
+            for bb in range(2):
+                for p in range(2):
+                    wp[a * 2 + bb, p * cin_p:p * cin_p + cin, :cout] = \
+                        wn[a, bb, p]
     e = np.zeros((2, Y, 2 * Y), np.float32)
     for p in range(2):
         for y in range(Y):

@@ -117,6 +117,49 @@ def test_transpconv_parity(rng):
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_unet_rowconv_forward_parity(rng, monkeypatch):
+    """BOA_ROWCONV=interpret composite forward == the z-major XLA forward
+    (stage 0 + stride-2 boundary + decoder upsample + last decoder stage +
+    head all through the Pallas kernels, interior stages shared)."""
+    from boa_tpu.models.unet import ArchConfig, init_unet, unet_forward
+
+    cfg = ArchConfig(
+        n_stages=3, features_per_stage=(8, 16, 32),
+        kernel_sizes=((3, 3, 3),) * 3,
+        strides=((1, 1, 1), (2, 2, 2), (2, 2, 2)),
+        n_conv_per_stage=(2, 2, 2), n_conv_per_stage_decoder=(2, 2),
+        num_classes=5)
+    params = init_unet(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(rng.normal(size=(1, 8, 128, 8, 1)), jnp.float32)
+
+    monkeypatch.delenv("BOA_ROWCONV", raising=False)
+    ref = np.asarray(unet_forward(params, x, cfg))
+    monkeypatch.setenv("BOA_ROWCONV", "interpret")
+    got = np.asarray(unet_forward(params, x, cfg))
+    assert got.shape == ref.shape
+    # the kernel path quantizes activations/weights to bf16 at the MXU
+    # feeds; the XLA reference here runs f32 — compare at bf16 scale
+    np.testing.assert_allclose(got, ref, rtol=0.06, atol=0.06)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.99, f"argmax agreement {agree}"
+
+
+def test_unet_rowconv_ineligible_falls_back(rng, monkeypatch):
+    """Non-qualifying geometry (Y != 128) silently uses the XLA path."""
+    from boa_tpu.models.unet import ArchConfig, init_unet, unet_forward
+
+    cfg = ArchConfig(
+        n_stages=2, features_per_stage=(4, 8),
+        kernel_sizes=((3, 3, 3),) * 2, strides=((1, 1, 1), (2, 2, 2)),
+        n_conv_per_stage=(2, 2), n_conv_per_stage_decoder=(2,),
+        num_classes=3)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 8, 1)), jnp.float32)
+    monkeypatch.setenv("BOA_ROWCONV", "interpret")
+    out = unet_forward(params, x, cfg)
+    assert out.shape == (1, 8, 16, 8, 3)
+
+
 def test_rowconv_x_pad_stats(rng):
     """X not divisible by bx: padded rows are dropped AND excluded from
     the instance-norm sums."""

@@ -34,16 +34,21 @@ from boa_tpu.weights.store import ModelStore
 logger = logging.getLogger(__name__)
 
 
-def range_warning(ct_image_data: np.ndarray) -> None:
+def range_warning(ct_image_data: np.ndarray, img=None) -> tuple:
     from boa_tpu.ops.connected_components import minmax
 
     lo, hi = minmax(ct_image_data)
+    if img is not None:
+        # cache for upload_ct's pack12 gating (ops/packing.py) — saves a
+        # second full-volume min/max pass at upload time
+        object.__setattr__(img, "_hu_range", (lo, hi))
     if lo < -1024 or hi > 3071:
         logger.warning(
             "Unexpected CT values found in input image: got %s-%s, expected "
             "-1024-3071. The values have been clipped to the expected range. "
             "Please check the segmentations to ensure that everything is "
             "correct.", lo, hi)
+    return lo, hi
 
 
 # tasks that run a cheap low-res `total` first and crop to specific organs
@@ -95,7 +100,7 @@ def compute_all_models(
     logger.info("Input image:   %s", ct_path)
     logger.info("Image size:    %s", ct_img.shape)
     logger.info("Voxel spacing: %s", ct_img.zooms)
-    range_warning(np.asarray(ct_img.data))
+    range_warning(np.asarray(ct_img.data), img=ct_img)
     logger.info("CT load + range check in %.2fs",
                 _time.perf_counter() - t_load)
 

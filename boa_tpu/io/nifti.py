@@ -139,10 +139,13 @@ class NiftiImage:
         if cached is None or cached[0] is not self.data:
             if isinstance(self.data, np.ndarray) and self.data.dtype == np.int16:
                 # int16 CT rides the transfer codec (BOA_CT_CODEC knob,
-                # ops/packing.py) — lossless, raw by default
+                # ops/packing.py) — lossless, pack12 by default; the
+                # range-check result (compute/inference.py) gates it
                 from boa_tpu.ops import packing
 
-                dev = packing.upload_ct(self.data)
+                dev = packing.upload_ct(self.data,
+                                        known_range=getattr(
+                                            self, "_hu_range", None))
             else:
                 dev = jnp.asarray(self.data)
             cached = (self.data, dev)

@@ -100,6 +100,9 @@ def body_crop_xy(img: NiftiImage, threshold: float = -500.0,
     # ~150 MB/s single-core pass
     out = NiftiImage(data=data[x0:x1, y0:y1], affine=affine,
                      crop_info=info)
+    rng = getattr(img, "_hu_range", None)
+    if rng is not None:  # crop range ⊆ original: upload_ct gating carries
+        object.__setattr__(out, "_hu_range", rng)
     return out, info
 
 

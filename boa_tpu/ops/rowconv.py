@@ -76,18 +76,20 @@ def pack_weights_rows(w, cin_p: int, cout_p: int):
 
 
 def _rowconv_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
-                    r_ref, win_ref, sem, *, bx, cin_p, cout_p, Z, X, Y,
+                    r_ref, win_ref, sem, *, bz, bx, cin_p, cout_p, Z, X, Y,
                     slope, out_dtype):
-    """One program: bx output x-rows of one z-slice.
+    """One program: a (bz, bx) block of output rows.
 
     x_hbm is the halo-padded raw input (Z+2, X+2, cin_p, Y). The program
-    (zi, xi) DMAs the (3, bx+2, cin_p, Y) window, normalizes + activates,
-    builds lane-rolled R rows, and accumulates 9 matmuls per output row.
+    (zb, xb) DMAs the (bz+2, bx+2, cin_p, Y) window, normalizes +
+    activates, builds lane-rolled R rows ONCE per window row (z-blocking
+    amortizes the roll cost: (bz+2)(bx+2)/(bz·bx) builds per output row
+    instead of 3(bx+2)/bx), and accumulates 9 matmuls per output row.
     """
-    z = pl.program_id(0)
+    zb = pl.program_id(0)
     xb = pl.program_id(1)
     nxb = pl.num_programs(1)
-    step = z * nxb + xb
+    step = zb * nxb + xb
     slot = jax.lax.rem(step, 2)
     nslot = jax.lax.rem(step + 1, 2)
 
@@ -95,7 +97,7 @@ def _rowconv_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
     @pl.when(step == 0)
     def _():
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(z, 3), pl.ds(xb * bx, bx + 2)],
+            x_hbm.at[pl.ds(zb * bz, bz + 2), pl.ds(xb * bx, bx + 2)],
             win_ref.at[slot], sem.at[slot]).start()
 
     @pl.when(step + 1 < pl.num_programs(0) * nxb)
@@ -103,15 +105,15 @@ def _rowconv_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
         nz = (step + 1) // nxb
         nx = jax.lax.rem(step + 1, nxb)
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(nz, 3), pl.ds(nx * bx, bx + 2)],
+            x_hbm.at[pl.ds(nz * bz, bz + 2), pl.ds(nx * bx, bx + 2)],
             win_ref.at[nslot], sem.at[nslot]).start()
 
     pltpu.make_async_copy(
-        x_hbm.at[pl.ds(z, 3), pl.ds(xb * bx, bx + 2)],
+        x_hbm.at[pl.ds(zb * bz, bz + 2), pl.ds(xb * bx, bx + 2)],
         win_ref.at[slot], sem.at[slot]).wait()
 
     # --- normalize + activate the window, mask halo rows to zero
-    xw = win_ref[slot].astype(jnp.float32)            # (3, bx+2, cin_p, Y)
+    xw = win_ref[slot].astype(jnp.float32)        # (bz+2, bx+2, cin_p, Y)
     mean = norm_ref[0, :].reshape(cin_p, 1)
     scale = (norm_ref[1, :] * norm_ref[2, :]).reshape(cin_p, 1)
     beta = norm_ref[3, :].reshape(cin_p, 1)
@@ -121,9 +123,9 @@ def _rowconv_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
     elif slope != 1.0:
         xn = jnp.where(xn >= 0, xn, xn * slope)
     # halo validity by GLOBAL coords in the padded array: the window covers
-    # padded rows z..z+2 (output z maps to padded z+1); real input z is in
-    # [1, Z+1), same for x.
-    gz = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 0) + z
+    # padded rows zb·bz..zb·bz+bz+1 (output z zo maps to padded zb·bz+zo+1);
+    # real input z is in [1, Z+1), same for x.
+    gz = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 0) + zb * bz
     gx = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1) + xb * bx
     valid = ((gz >= 1) & (gz < Z + 1) & (gx >= 1) & (gx < X + 1))
     xn = jnp.where(valid, xn, 0.0)
@@ -139,44 +141,48 @@ def _rowconv_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
 
     # --- 9 matmuls per output row, accumulated in f32 (taps statically
     #     unrolled so Mosaic can software-pipeline the MXU issues)
-    def row(xo, _):
+    def row(i, _):
+        zo = i // bx
+        xo = jax.lax.rem(i, bx)
         acc = jnp.zeros((cout_p, Y), jnp.float32)
         for dz in range(3):
             for dx in range(3):
-                rs = r_ref[dz, xo + dx]             # (3*cin_p, Y)
+                rs = r_ref[zo + dz, xo + dx]        # (3*cin_p, Y)
                 acc = acc + jax.lax.dot_general(
                     w_ref[dz * 3 + dx], rs,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         acc = acc + bias_ref[0, :].reshape(cout_p, 1)
-        out_ref[0, xo] = acc.astype(out_dtype)
-        # x-pad rows (X % bx != 0) are sliced off the output but must not
-        # pollute the instance-norm sums
-        live = (xb * bx + xo < X).astype(jnp.float32)
+        out_ref[zo, xo] = acc.astype(out_dtype)
+        # z/x-pad rows (extent % block != 0) are sliced off the output but
+        # must not pollute the instance-norm sums
+        live = ((xb * bx + xo < X) & (zb * bz + zo < Z)).astype(jnp.float32)
         part_ref[0, 0, 0] += live * jnp.sum(acc, axis=1)
         part_ref[0, 0, 1] += live * jnp.sum(acc * acc, axis=1)
         return 0
 
     part_ref[0, 0, 0] = jnp.zeros((cout_p,), jnp.float32)
     part_ref[0, 0, 1] = jnp.zeros((cout_p,), jnp.float32)
-    jax.lax.fori_loop(0, bx, row, 0, unroll=True)
+    jax.lax.fori_loop(0, bz * bx, row, 0, unroll=True)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "slope", "out_dtype", "interpret", "Z", "X", "Y", "cin_p", "cout_p",
-    "bx"))
+    "bx", "bz"))
 def _rowconv(xp, norm_mat, w_packed, bias, *, slope, out_dtype, interpret,
-             Z, X, Y, cin_p, cout_p, bx):
+             Z, X, Y, cin_p, cout_p, bx, bz=1):
     nxb = pl.cdiv(X, bx)
+    nzb = pl.cdiv(Z, bz)
     pad_x = nxb * bx - X
-    if pad_x:
-        xp = jnp.pad(xp, ((0, 0), (0, pad_x), (0, 0), (0, 0)))
+    pad_z = nzb * bz - Z
+    if pad_x or pad_z:
+        xp = jnp.pad(xp, ((0, pad_z), (0, pad_x), (0, 0), (0, 0)))
     kern = functools.partial(
-        _rowconv_kernel, bx=bx, cin_p=cin_p, cout_p=cout_p, Z=Z, X=X, Y=Y,
-        slope=slope, out_dtype=out_dtype)
+        _rowconv_kernel, bz=bz, bx=bx, cin_p=cin_p, cout_p=cout_p, Z=Z,
+        X=X, Y=Y, slope=slope, out_dtype=out_dtype)
     y, partials = pl.pallas_call(
         kern,
-        grid=(Z, nxb),
+        grid=(nzb, nxb),
         in_specs=[
             pl.BlockSpec((5, cin_p), lambda z, x: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -187,26 +193,26 @@ def _rowconv(xp, norm_mat, w_packed, bias, *, slope, out_dtype, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, bx, cout_p, Y), lambda z, x: (z, x, 0, 0),
+            pl.BlockSpec((bz, bx, cout_p, Y), lambda z, x: (z, x, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2, cout_p),
                          lambda z, x: (z * pl.num_programs(1) + x, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Z, nxb * bx, cout_p, Y), out_dtype),
-            jax.ShapeDtypeStruct((Z * nxb, 1, 2, cout_p), jnp.float32),
+            jax.ShapeDtypeStruct((nzb * bz, nxb * bx, cout_p, Y), out_dtype),
+            jax.ShapeDtypeStruct((nzb * nxb, 1, 2, cout_p), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, bx + 2, 3 * cin_p, Y), jnp.bfloat16),
-            pltpu.VMEM((2, 3, bx + 2, cin_p, Y), jnp.bfloat16),
+            pltpu.VMEM((bz + 2, bx + 2, 3 * cin_p, Y), jnp.bfloat16),
+            pltpu.VMEM((2, bz + 2, bx + 2, cin_p, Y), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(norm_mat, w_packed, bias, xp)
-    return y[:, :X], jnp.sum(partials, axis=0)[0]
+    return y[:Z, :X], jnp.sum(partials, axis=0)[0]
 
 
 def conv3d_rows(x: jax.Array, norm: NormAct, w: jax.Array | None,
@@ -214,7 +220,7 @@ def conv3d_rows(x: jax.Array, norm: NormAct, w: jax.Array | None,
                 out_dtype=jnp.bfloat16, interpret: bool = False,
                 w_packed: jax.Array | None = None,
                 cin: int | None = None, cout: int | None = None,
-                bx: int = 8):
+                bx: int = 8, bz: int = 1):
     """y_raw = conv3d(act(IN(x_raw)), w) + b, plus per-channel (Σy, Σy²).
 
     x: (Z, X, C, Y) raw activations (`norm` carries x's own IN tail,
@@ -261,7 +267,8 @@ def conv3d_rows(x: jax.Array, norm: NormAct, w: jax.Array | None,
 
     y, sums = _rowconv(xp, norm_mat, w_packed, bias_l, slope=slope,
                        out_dtype=out_dtype, interpret=interpret,
-                       Z=Z, X=X, Y=Y, cin_p=cin_p, cout_p=cout_p, bx=bx)
+                       Z=Z, X=X, Y=Y, cin_p=cin_p, cout_p=cout_p, bx=bx,
+                       bz=bz)
     return y[:, :, :cout], sums[:, :cout]
 
 

@@ -35,8 +35,10 @@ def _xla_reference(x_zxcy, norm, w_dzdxdy, b, slope):
     return jnp.transpose(y, (0, 1, 3, 2))  # back to (Z, X, C, Y)
 
 
-@pytest.mark.parametrize("cin,cout,slope", [(32, 32, 0.01), (8, 16, 1.0)])
-def test_rowconv_parity(cin, cout, slope, rng):
+@pytest.mark.parametrize("cin,cout,slope,bz", [(32, 32, 0.01, 1),
+                                               (8, 16, 1.0, 1),
+                                               (8, 8, 0.01, 4)])
+def test_rowconv_parity(cin, cout, slope, bz, rng):
     Z, X, Y = 6, 16, 128
     x = rng.normal(size=(Z, X, cin, Y)).astype(np.float32) * 2.0 + 0.3
     w = (rng.normal(size=(3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
@@ -56,7 +58,7 @@ def test_rowconv_parity(cin, cout, slope, rng):
     y, sums = rowconv.conv3d_rows(jnp.asarray(x), norm, jnp.asarray(w),
                                   jnp.asarray(b), slope=slope,
                                   out_dtype=jnp.float32, interpret=True,
-                                  bx=8)
+                                  bx=8, bz=bz)
     got = np.asarray(y)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

@@ -21,6 +21,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--bx", type=int, default=8)
+    ap.add_argument("--bz", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -37,8 +38,8 @@ def main() -> None:
         wp = jnp.asarray(rowconv.pack_weights_rows(
             np.asarray(w), cin, cout), jnp.bfloat16)
         norm_mat = jnp.stack([jnp.zeros(cin), jnp.ones(cin),
-                              jnp.ones(cin), jnp.zeros(cin)]).astype(
-            jnp.float32)
+                              jnp.ones(cin), jnp.zeros(cin),
+                              jnp.ones(cin)]).astype(jnp.float32)
         bias = jnp.zeros((1, cout), jnp.float32)
 
         @jax.jit
@@ -47,7 +48,7 @@ def main() -> None:
                 y, s = rowconv._rowconv(
                     xp, norm_mat, wp, bias, slope=0.01,
                     out_dtype=jnp.bfloat16, interpret=False, Z=Z, X=X, Y=Y,
-                    cin_p=cin, cout_p=cout, bx=args.bx)
+                    cin_p=cin, cout_p=cout, bx=args.bx, bz=args.bz)
                 return c + jnp.sum(s[0]), None
 
             out, _ = jax.lax.scan(body, jnp.float32(0), None,

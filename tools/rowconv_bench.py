@@ -95,6 +95,17 @@ def main() -> None:
         print(f"{label}: kernel {tk*1e3:.2f} ms ({gflop/tk/1e3:.1f} TF/s)  "
               f"xla {tx*1e3:.2f} ms ({gflop/tx/1e3:.1f} TF/s)", flush=True)
 
+    # tiny smoke first: distinguishes Mosaic lowering failures from
+    # tunnel wedges before committing to the big compiles
+    from boa_tpu.ops import rowconv as rc
+
+    xs = jax.random.normal(jax.random.key(1), (6, 8, 32, 128), jnp.float32)
+    ws = jax.random.normal(jax.random.key(2), (3, 3, 3, 32, 32),
+                           jnp.float32) * 0.1
+    ys, ss = rc.conv3d_rows(xs, rc.identity_normact(32), ws, None,
+                            slope=0.01, bx=args.bx, bz=min(args.bz, 2))
+    print(f"smoke ok: {float(jnp.sum(ss[0])):.3f}", flush=True)
+
     stage(32, 32, "c32->c32 @128^3 (enc0.conv2/dec4.conv2)")
     stage(64, 32, "c64->c32 @128^3 (dec4.conv1)")
 

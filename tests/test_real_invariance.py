@@ -148,7 +148,11 @@ def test_fast_total_sharded_matches_single_device(total_fast_store,
     from boa_tpu.tasks.registry import resolve_task
 
     task = resolve_task("total", fast=True)
-    src = padded_example_ct
+    # the RAW example CT (no air embed — the crop plays no role here):
+    # model grid ~133x133x40, 9 tiles at step 0.9 — CPU-mesh friendly
+    from boa_tpu.io import nifti as _nifti
+
+    src = _nifti.load(DATA / "example_ct.nii.gz")
     img = NiftiImage(data=np.asarray(src.data)[:, :, :48],
                      affine=src.affine.copy())
     ornt, canon_affine, canon_shape, canon_zooms = nifti.canonical_geometry(img)

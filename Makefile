@@ -16,7 +16,9 @@ bench:
 sh-check compose-check dockerfile-check:
 	python -c "import sys; sys.path.insert(0, '.'); \
 	  from tools import deploy_check as d; \
-	  sys.exit(1 if d.$(subst -,_,$@)() else 0)"
+	  errs = d.$(subst -,_,$@)(); \
+	  [print('ERROR:', e, file=sys.stderr) for e in errs]; \
+	  sys.exit(1 if errs else 0)"
 
 check:
 	python tools/deploy_check.py

@@ -38,10 +38,15 @@ def range_warning(ct_image_data: np.ndarray, img=None) -> tuple:
     from boa_tpu.ops.connected_components import minmax
 
     lo, hi = minmax(ct_image_data)
-    if img is not None:
+    if img is not None and img.data is ct_image_data:
         # cache for upload_ct's pack12 gating (ops/packing.py) — saves a
-        # second full-volume min/max pass at upload time
-        object.__setattr__(img, "_hu_range", (lo, hi))
+        # second full-volume min/max pass at upload time. Bound to the
+        # data buffer's identity: io/nifti.py device_data only trusts it
+        # while img.data is still this exact array (the pipeline replaces
+        # img.data rather than mutating — same convention as the device
+        # cache), so a later data swap can't serve a stale range into the
+        # lossy-if-out-of-range pack12 path.
+        object.__setattr__(img, "_hu_range", (ct_image_data, lo, hi))
     if lo < -1024 or hi > 3071:
         logger.warning(
             "Unexpected CT values found in input image: got %s-%s, expected "

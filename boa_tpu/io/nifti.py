@@ -143,9 +143,13 @@ class NiftiImage:
                 # range-check result (compute/inference.py) gates it
                 from boa_tpu.ops import packing
 
-                dev = packing.upload_ct(self.data,
-                                        known_range=getattr(
-                                            self, "_hu_range", None))
+                # trust the cached range check only if it was computed on
+                # THIS buffer (compute/inference.py stores (data, lo, hi));
+                # otherwise upload_ct runs its fused validate+pack pass
+                hr = getattr(self, "_hu_range", None)
+                rng = (hr[1], hr[2]) if hr is not None and \
+                    hr[0] is self.data else None
+                dev = packing.upload_ct(self.data, known_range=rng)
             else:
                 dev = jnp.asarray(self.data)
             cached = (self.data, dev)

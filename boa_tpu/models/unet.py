@@ -428,6 +428,10 @@ def _block_zm(p: dict, xz: jax.Array, stride, kernel,
 
 
 def _rowconv_enabled() -> bool:
+    # Read at TRACE time: jit caches keyed on (cfg, shapes) do NOT see
+    # this env var, so flipping BOA_ROWCONV mid-process keeps serving any
+    # already-compiled executable for shapes seen before the flip. A/B
+    # timings must use fresh processes (tools/rowconv_bench.py does).
     import os
 
     return os.environ.get("BOA_ROWCONV", "0") not in ("", "0")

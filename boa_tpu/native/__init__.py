@@ -95,6 +95,11 @@ def get_lib() -> ctypes.CDLL | None:
             lib.boa_pack12_axis0.restype = None
             lib.boa_pack12_axis0.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                              ctypes.c_int64, ctypes.c_void_p]
+            if hasattr(lib, "boa_pack12_axis0_checked"):
+                lib.boa_pack12_axis0_checked.restype = ctypes.c_int32
+                lib.boa_pack12_axis0_checked.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_void_p]
             lib.boa_unpack12_axis0.restype = None
             lib.boa_unpack12_axis0.argtypes = [ctypes.c_void_p,
                                                ctypes.c_int64,

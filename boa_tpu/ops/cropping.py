@@ -101,8 +101,10 @@ def body_crop_xy(img: NiftiImage, threshold: float = -500.0,
     out = NiftiImage(data=data[x0:x1, y0:y1], affine=affine,
                      crop_info=info)
     rng = getattr(img, "_hu_range", None)
-    if rng is not None:  # crop range ⊆ original: upload_ct gating carries
-        object.__setattr__(out, "_hu_range", rng)
+    if rng is not None and rng[0] is img.data:
+        # crop range ⊆ original, so the upload_ct gating carries — rebound
+        # to the crop's own buffer identity (see compute/inference.py)
+        object.__setattr__(out, "_hu_range", (out.data, rng[1], rng[2]))
     return out, info
 
 

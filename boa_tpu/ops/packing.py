@@ -217,6 +217,30 @@ def pack12_host(a: np.ndarray) -> np.ndarray:
     return out
 
 
+def pack12_host_checked(a: np.ndarray) -> np.ndarray | None:
+    """Single-pass pack + range validation: returns the packed byte planes,
+    or None if any value falls outside [-1024, 3071] (caller uploads raw).
+
+    Fuses the gating min/max into the pack so upload paths that never ran
+    the CT range check (serve/stream.py, python_api.predict_image) don't
+    pay a separate full-volume pass on this 1-core host."""
+    lib = _native_lib()
+    assert a.dtype == np.int16 and a.shape[0] % 2 == 0
+    a = np.ascontiguousarray(a)
+    plane = int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1
+    if lib is not None and hasattr(lib, "boa_pack12_axis0_checked"):
+        out = np.empty((a.shape[0] // 2 * 3, *a.shape[1:]), np.uint8)
+        ok = lib.boa_pack12_axis0_checked(a.ctypes.data, a.shape[0] // 2,
+                                          plane, out.ctypes.data)
+        return out if ok else None
+    from boa_tpu.ops.connected_components import minmax
+
+    lo, hi = minmax(a)
+    if lo < -1024 or hi > 3071:
+        return None
+    return pack12_host(a)
+
+
 def unpack12_host(p: np.ndarray) -> np.ndarray:
     lib = _native_lib()
     p = np.ascontiguousarray(p, dtype=np.uint8)
@@ -266,12 +290,14 @@ def upload_ct(a: np.ndarray, known_range: tuple[int, int] | None = None) -> jax.
     if codec == "delta16":
         return delta16_dec_device(jnp.asarray(delta16_enc_host(a)))
     if codec == "pack12" and a.shape[0] % 2 == 0:
-        if known_range is None:
-            from boa_tpu.ops.connected_components import minmax
-
-            known_range = minmax(a)
-        if known_range[0] >= -1024 and known_range[1] <= 3071:
-            return unpack12_device(jnp.asarray(pack12_host(a)))
+        if known_range is not None:
+            # caller already ran the CT range check on THIS buffer
+            if known_range[0] >= -1024 and known_range[1] <= 3071:
+                return unpack12_device(jnp.asarray(pack12_host(a)))
+        else:
+            packed = pack12_host_checked(a)  # one fused validate+pack pass
+            if packed is not None:
+                return unpack12_device(jnp.asarray(packed))
     return jnp.asarray(a)
 
 

@@ -51,6 +51,34 @@ void boa_pack12_axis0(const int16_t* a, int64_t n_pairs, int64_t plane,
   }
 }
 
+// Range-checked variant: packs AND validates in one pass. Returns 1 on
+// success; returns 0 as soon as a plane-pair contains a value outside
+// [-1024, 3071] (out contents are then undefined — caller falls back to a
+// raw upload). This fuses the gating min/max pass into the pack so upload
+// paths that never ran the CT range check (serve/stream.py, python_api
+// predict_image) don't pay a separate full-volume host pass.
+int32_t boa_pack12_axis0_checked(const int16_t* a, int64_t n_pairs,
+                                 int64_t plane, uint8_t* out) {
+  for (int64_t k = 0; k < n_pairs; ++k) {
+    const int16_t* v0 = a + 2 * k * plane;
+    const int16_t* v1 = v0 + plane;
+    uint8_t* b0 = out + 3 * k * plane;
+    uint8_t* b1 = b0 + plane;
+    uint8_t* b2 = b1 + plane;
+    uint16_t bad = 0;  // accumulates high nibble bits of any out-of-range u
+    for (int64_t i = 0; i < plane; ++i) {
+      const uint16_t u0 = (uint16_t)(v0[i] + 1024);
+      const uint16_t u1 = (uint16_t)(v1[i] + 1024);
+      bad |= (uint16_t)(u0 | u1);
+      b0[i] = (uint8_t)(u0 >> 4);
+      b1[i] = (uint8_t)((u0 << 4) | (u1 >> 8));
+      b2[i] = (uint8_t)u1;
+    }
+    if (bad & 0xF000) return 0;  // some value needed >12 bits
+  }
+  return 1;
+}
+
 // Inverse of boa_pack12_axis0 (host-side tests / host consumers).
 void boa_unpack12_axis0(const uint8_t* p, int64_t n_pairs, int64_t plane,
                         int16_t* out) {

@@ -174,6 +174,59 @@ def test_upload_ct_lossless(codec, rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(packing.upload_ct(hot)), hot)
 
 
+def test_pack12_checked_single_pass(rng, monkeypatch):
+    """The fused validate+pack pass matches pack12_host in range and
+    refuses out-of-range data (native kernel AND numpy fallback)."""
+    ct = rng.integers(-1024, 3072, (16, 9, 7)).astype(np.int16)
+    hot = ct.copy()
+    hot[11, 3, 2] = 3072  # one voxel past the 12-bit ceiling
+    for native_off in (False, True):
+        if native_off:
+            monkeypatch.setattr(packing, "_native_lib", lambda: None)
+        packed = packing.pack12_host_checked(ct)
+        np.testing.assert_array_equal(packed, packing.pack12_host(ct))
+        assert packing.pack12_host_checked(hot) is None
+        assert packing.pack12_host_checked(
+            np.full((4, 3), -32768, np.int16)) is None
+
+
+def test_stale_hu_range_not_trusted(rng, monkeypatch):
+    """Replacing img.data after the CT range check must NOT reuse the old
+    range for pack12 gating: a stale in-range verdict would silently wrap
+    out-of-range HU through the 12-bit pack."""
+    from boa_tpu.compute.inference import range_warning
+    from boa_tpu.io.nifti import NiftiImage
+
+    monkeypatch.setenv("BOA_CT_CODEC", "pack12")
+    ct = rng.integers(-1024, 3072, (16, 9, 8)).astype(np.int16)
+    img = NiftiImage(data=ct, affine=np.eye(4))
+    range_warning(np.asarray(img.data), img=img)
+    assert getattr(img, "_hu_range")[0] is img.data
+    hot = ct.copy()
+    hot[0, 0, 0] = 32000  # out of pack12 range
+    object.__setattr__(img, "data", hot)  # pipeline convention: replace
+    np.testing.assert_array_equal(np.asarray(img.device_data()), hot)
+
+
+def test_body_crop_rebinds_hu_range(rng):
+    """body_crop_xy carries the range-check verdict, rebound to the crop's
+    own buffer so device_data's identity check trusts it."""
+    from boa_tpu.compute.inference import range_warning
+    from boa_tpu.io.nifti import NiftiImage
+    from boa_tpu.ops.cropping import body_crop_xy
+
+    ct = np.full((192, 192, 4), -1000, np.int16)
+    ct[64:96, 64:112] = rng.integers(-200, 200, (32, 48, 4)).astype(np.int16)
+    img = NiftiImage(data=ct, affine=np.eye(4))
+    range_warning(np.asarray(img.data), img=img)
+    cropped, info = body_crop_xy(img)
+    assert info is not None
+    hr = getattr(cropped, "_hu_range", None)
+    assert hr is not None and hr[0] is cropped.data
+    np.testing.assert_array_equal(np.asarray(cropped.device_data()),
+                                  np.asarray(cropped.data))
+
+
 def test_device_data_uses_ct_codec(rng, monkeypatch):
     """NiftiImage.device_data routes int16 through upload_ct losslessly."""
     from boa_tpu.io.nifti import NiftiImage

@@ -71,6 +71,7 @@ def compose_check() -> list[str]:
     env = _load_env_sample()
     errs = []
     for f in files:
+        before = len(errs)
         unset: list[str] = []
         interp = _interpolate(f.read_text(), env, unset)
         try:
@@ -88,20 +89,24 @@ def compose_check() -> list[str]:
         if unset:
             errs.append(f"{f}: unset variables {sorted(set(unset))} "
                         f"(add them to .env_sample)")
-        if not errs:
+        if len(errs) == before:
             print(f"compose interpolate+parse {f.relative_to(ROOT)}: ok")
     return errs
 
 
 def _interpolate(text: str, env: dict[str, str], unset: list[str]) -> str:
-    pat = re.compile(r"\$\{(\w+)(?::-([^}]*))?\}")
+    # compose interpolation forms: ${VAR}, ${VAR:-def}/${VAR-def} (default
+    # if unset), ${VAR:?msg}/${VAR?msg} (REQUIRED: error when unset —
+    # recording these is the point of the check, a missing required var is
+    # exactly the regression `docker compose config` would catch)
+    pat = re.compile(r"\$\{(\w+)(?::?([-?])([^}]*))?\}")
 
     def sub(m):
-        name, default = m.group(1), m.group(2)
-        if name in env:
+        name, op, arg = m.group(1), m.group(2), m.group(3)
+        if name in env and (op != "-" or env[name] != ""):
             return env[name]
-        if default is not None:
-            return default
+        if op == "-":
+            return arg
         unset.append(name)
         return ""
 
@@ -109,8 +114,15 @@ def _interpolate(text: str, env: dict[str, str], unset: list[str]) -> str:
 
 
 def dockerfile_check() -> list[str]:
+    # NOTE: this is always the in-repo grammar lint. The reference runs
+    # `docker buildx build --check` (Makefile:31-36), which additionally
+    # resolves stage references and flags — strictly stronger; docker is
+    # absent in this environment, and a compose-provisioned CI should use
+    # the real thing. Kept lint-only on purpose so results are identical
+    # with and without a docker daemon.
     errs = []
     for f in sorted(ROOT.glob("deploy/*.dockerfile")):
+        before = len(errs)
         lines = f.read_text().splitlines()
         # join continuation lines
         joined, buf = [], ""
@@ -136,7 +148,7 @@ def dockerfile_check() -> list[str]:
                 errs.append(f"{f}:{i}: {word} before first FROM")
         if not saw_from:
             errs.append(f"{f}: no FROM instruction")
-        if not errs:
+        if len(errs) == before:
             print(f"dockerfile lint {f.relative_to(ROOT)}: ok")
     return errs
 

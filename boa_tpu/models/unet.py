@@ -490,12 +490,15 @@ def _rowconv_forward(params: dict, x: jax.Array, cfg: ArchConfig) -> jax.Array:
     enc0 = params["encoder"][0]
     c0 = cfg.features_per_stage[0]
     cnt0 = Z * X * Y
+    # g4 + (bz=4, bx=16): the best measured kernel config (tools/
+    # rowconv_bench.py sweep — 33 TF/s c32, 46 TF/s c64→32, no VMEM OOM
+    # at either channel width)
+    kw = dict(out_dtype=dt, interpret=interp, g4=True, bx=16, bz=4)
     y1, s1 = rc.conv3d_rows(x0, rc.identity_normact(C), wr(enc0[0]),
-                            enc0[0].get("b"), slope=1.0, out_dtype=dt,
-                            interpret=interp)
+                            enc0[0].get("b"), slope=1.0, **kw)
     na1 = normact(enc0[0], s1, cnt0, c0)
     y2, s2 = rc.conv3d_rows(y1, na1, wr(enc0[1]), enc0[1].get("b"),
-                            slope=slope, out_dtype=dt, interpret=interp)
+                            slope=slope, **kw)
     na2 = normact(enc0[1], s2, cnt0, c0)
 
     # ---- stride-2 boundary into the z-major interior
@@ -559,10 +562,10 @@ def _rowconv_forward(params: dict, x: jax.Array, cfg: ArchConfig) -> jax.Array:
     slope_vec = jnp.concatenate([ones, jnp.full(c0, slope, jnp.float32)])
     convs = stage["convs"]
     y4, s4 = rc.conv3d_rows(cat, na_cat, wr(convs[0]), convs[0].get("b"),
-                            slope=slope_vec, out_dtype=dt, interpret=interp)
+                            slope=slope_vec, **kw)
     na4 = normact(convs[0], s4, cnt0, c0)
     y5, s5 = rc.conv3d_rows(y4, na4, wr(convs[1]), convs[1].get("b"),
-                            slope=slope, out_dtype=dt, interpret=interp)
+                            slope=slope, **kw)
 
     # ---- 1x1x1 head on the row layout (einsum keeps lanes=Y)
     m5, isd5 = rc.stats_from_sums(s5, cnt0, eps)

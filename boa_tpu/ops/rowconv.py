@@ -168,40 +168,43 @@ def _rowconv_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "slope", "out_dtype", "interpret", "Z", "X", "Y", "cin_p", "cout_p",
-    "bx", "bz"))
+    "bx", "bz", "g4"))
 def _rowconv(xp, norm_mat, w_packed, bias, *, slope, out_dtype, interpret,
-             Z, X, Y, cin_p, cout_p, bx, bz=1):
+             Z, X, Y, cin_p, cout_p, bx, bz=1, g4=False):
     nxb = pl.cdiv(X, bx)
     nzb = pl.cdiv(Z, bz)
     pad_x = nxb * bx - X
     pad_z = nzb * bz - Z
     if pad_x or pad_z:
         xp = jnp.pad(xp, ((0, pad_z), (0, pad_x), (0, 0), (0, 0)))
+    cp = 4 * cout_p if g4 else cout_p
     kern = functools.partial(
-        _rowconv_kernel, bz=bz, bx=bx, cin_p=cin_p, cout_p=cout_p, Z=Z,
-        X=X, Y=Y, slope=slope, out_dtype=out_dtype)
+        _rowconv_g4_kernel if g4 else _rowconv_kernel, bz=bz, bx=bx,
+        cin_p=cin_p, cout_p=cout_p, Z=Z, X=X, Y=Y, slope=slope,
+        out_dtype=out_dtype)
     y, partials = pl.pallas_call(
         kern,
         grid=(nzb, nxb),
         in_specs=[
             pl.BlockSpec((5, cin_p), lambda z, x: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 3 * cin_p, cout_p), lambda z, x: (0, 0, 0),
+            pl.BlockSpec((18, 3 * cin_p, cp) if g4
+                         else (9, 3 * cin_p, cp), lambda z, x: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout_p), lambda z, x: (0, 0),
+            pl.BlockSpec((1, cp), lambda z, x: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((bz, bx, cout_p, Y), lambda z, x: (z, x, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, cout_p),
+            pl.BlockSpec((1, 1, 2, cp),
                          lambda z, x: (z * pl.num_programs(1) + x, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nzb * bz, nxb * bx, cout_p, Y), out_dtype),
-            jax.ShapeDtypeStruct((nzb * nxb, 1, 2, cout_p), jnp.float32),
+            jax.ShapeDtypeStruct((nzb * nxb, 1, 2, cp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bz + 2, bx + 2, 3 * cin_p, Y), jnp.bfloat16),
@@ -212,7 +215,10 @@ def _rowconv(xp, norm_mat, w_packed, bias, *, slope, out_dtype, interpret,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(norm_mat, w_packed, bias, xp)
-    return y[:Z, :X], jnp.sum(partials, axis=0)[0]
+    sums = jnp.sum(partials, axis=0)[0]
+    if g4:  # fold the 4 packed row-groups' per-channel partials together
+        sums = sums.reshape(2, 4, cout_p).sum(axis=1)
+    return y[:Z, :X], sums
 
 
 def conv3d_rows(x: jax.Array, norm: NormAct, w: jax.Array | None,
@@ -220,7 +226,7 @@ def conv3d_rows(x: jax.Array, norm: NormAct, w: jax.Array | None,
                 out_dtype=jnp.bfloat16, interpret: bool = False,
                 w_packed: jax.Array | None = None,
                 cin: int | None = None, cout: int | None = None,
-                bx: int = 8, bz: int = 1):
+                bx: int = 8, bz: int = 1, g4: bool = False):
     """y_raw = conv3d(act(IN(x_raw)), w) + b, plus per-channel (Σy, Σy²).
 
     x: (Z, X, C, Y) raw activations (`norm` carries x's own IN tail,
@@ -258,18 +264,152 @@ def conv3d_rows(x: jax.Array, norm: NormAct, w: jax.Array | None,
         _expand(norm.gamma, 0.0),  # padded channels → xn = 0
         _expand(norm.beta, 0.0), slope_row])
     slope = slope_static
+    if g4 and (bx % 4 or 4 * cout_p > 128):
+        raise ValueError("g4 rowconv needs bx % 4 == 0 and cout_p <= 32")
     if w_packed is None:
-        w_packed = jnp.asarray(
-            pack_weights_rows(w, cin_p, cout_p)).astype(jnp.bfloat16)
+        pack = pack_weights_rows_g4 if g4 else pack_weights_rows
+        w_packed = jnp.asarray(pack(w, cin_p, cout_p)).astype(jnp.bfloat16)
     bias_c = (b if b is not None else jnp.zeros((cout,), jnp.float32))
-    bias_l = jnp.zeros((1, cout_p), jnp.float32).at[0, :cout].set(
+    bias_1 = jnp.zeros((cout_p,), jnp.float32).at[:cout].set(
         bias_c.astype(jnp.float32))
+    bias_l = (jnp.tile(bias_1, 4) if g4 else bias_1)[None]
 
     y, sums = _rowconv(xp, norm_mat, w_packed, bias_l, slope=slope,
                        out_dtype=out_dtype, interpret=interpret,
                        Z=Z, X=X, Y=Y, cin_p=cin_p, cout_p=cout_p, bx=bx,
-                       bz=bz)
+                       bz=bz, g4=g4)
     return y[:, :, :cout], sums[:, :cout]
+
+
+# ---------------------------------------------------------------------------
+# 4-row-packed variant: the plain kernel's dots are W(3C, co) x R(3C, Y)
+# with co = 32 of 128 MXU output rows — a 25% M-occupancy ceiling (49
+# TF/s) the measurements hit 37-49% of (18-24 TF/s, tools/rowconv_bench).
+# Packing FOUR consecutive x output rows into M = 4*32 = 128 fills the
+# output rows at the price of 50% structurally-zero weight blocks: per
+# (dz, window-x p) the block W4[p][3C, 4co] holds w[dz, p-j] at column
+# group j (zero unless 0 <= p-j < 3). Issued MACs double, but the dots
+# become M=128 K=3C N=128 — every MXU dimension full — so the ceiling
+# moves to ~98 TF/s. 18 dots per 4-row group vs 36 M=32 dots.
+# ---------------------------------------------------------------------------
+
+
+def pack_weights_rows_g4(w, cin_p: int, cout_p: int):
+    """(3,3,3, cin, cout) → (18, 3*cin_p, 4*cout_p): per (dz, p) the
+    4-row-packed block (p = window x-position 0..5, j = packed row 0..3,
+    dx = p - j)."""
+    cin, cout = int(w.shape[3]), int(w.shape[4])
+    if isinstance(w, (jax.Array, jax.core.Tracer)):
+        wf = w.astype(jnp.float32)
+        blocks = []
+        for dz in range(3):
+            for p in range(6):
+                cols = []
+                for j in range(4):
+                    dx = p - j
+                    if 0 <= dx < 3:
+                        cols.append(jnp.concatenate(
+                            [jnp.pad(wf[dz, dx, dy],
+                                     ((0, cin_p - cin), (0, cout_p - cout)))
+                             for dy in range(3)], axis=0))
+                    else:
+                        cols.append(jnp.zeros((3 * cin_p, cout_p),
+                                              jnp.float32))
+                blocks.append(jnp.concatenate(cols, axis=1))
+        return jnp.stack(blocks)
+    out = np.zeros((18, 3 * cin_p, 4 * cout_p), np.float32)
+    w = np.asarray(w, np.float32)
+    for dz in range(3):
+        for p in range(6):
+            for j in range(4):
+                dx = p - j
+                if not 0 <= dx < 3:
+                    continue
+                for dy in range(3):
+                    out[dz * 6 + p, dy * cin_p:dy * cin_p + cin,
+                        j * cout_p:j * cout_p + cout] = w[dz, dx, dy]
+    return out
+
+
+def _rowconv_g4_kernel(norm_ref, w_ref, bias_ref, x_hbm, out_ref, part_ref,
+                       r_ref, win_ref, sem, *, bz, bx, cin_p, cout_p, Z, X,
+                       Y, slope, out_dtype):
+    """Same contract as _rowconv_kernel; output rows processed in groups
+    of 4 via the g4-packed weights (bx % 4 == 0)."""
+    zb = pl.program_id(0)
+    xb = pl.program_id(1)
+    nxb = pl.num_programs(1)
+    step = zb * nxb + xb
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(zb * bz, bz + 2), pl.ds(xb * bx, bx + 2)],
+            win_ref.at[slot], sem.at[slot]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nxb)
+    def _():
+        nz = (step + 1) // nxb
+        nx = jax.lax.rem(step + 1, nxb)
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(nz * bz, bz + 2), pl.ds(nx * bx, bx + 2)],
+            win_ref.at[nslot], sem.at[nslot]).start()
+
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(zb * bz, bz + 2), pl.ds(xb * bx, bx + 2)],
+        win_ref.at[slot], sem.at[slot]).wait()
+
+    xw = win_ref[slot].astype(jnp.float32)        # (bz+2, bx+2, cin_p, Y)
+    mean = norm_ref[0, :].reshape(cin_p, 1)
+    scale = (norm_ref[1, :] * norm_ref[2, :]).reshape(cin_p, 1)
+    beta = norm_ref[3, :].reshape(cin_p, 1)
+    xn = (xw - mean) * scale + beta
+    if slope is None:
+        xn = jnp.where(xn >= 0, xn, xn * norm_ref[4, :].reshape(cin_p, 1))
+    elif slope != 1.0:
+        xn = jnp.where(xn >= 0, xn, xn * slope)
+    gz = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 0) + zb * bz
+    gx = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1) + xb * bx
+    valid = ((gz >= 1) & (gz < Z + 1) & (gx >= 1) & (gx < X + 1))
+    xn = jnp.where(valid, xn, 0.0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 3)
+    ym = jnp.where(lane >= 1, pltpu.roll(xn, 1, 3), 0.0)
+    yp = jnp.where(lane < Y - 1, pltpu.roll(xn, Y - 1, 3), 0.0)
+    r_ref[:, :, 0 * cin_p:1 * cin_p] = ym.astype(jnp.bfloat16)
+    r_ref[:, :, 1 * cin_p:2 * cin_p] = xn.astype(jnp.bfloat16)
+    r_ref[:, :, 2 * cin_p:3 * cin_p] = yp.astype(jnp.bfloat16)
+
+    nxg = bx // 4
+
+    def group(i, _):
+        zo = i // nxg
+        xo = jax.lax.rem(i, nxg) * 4
+        acc = jnp.zeros((4 * cout_p, Y), jnp.float32)
+        for dz in range(3):
+            for p in range(6):
+                rs = r_ref[zo + dz, xo + p]          # (3*cin_p, Y)
+                acc = acc + jax.lax.dot_general(
+                    w_ref[dz * 6 + p], rs,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        acc = acc + bias_ref[0, :].reshape(4 * cout_p, 1)
+        for j in range(4):
+            aj = acc[j * cout_p:(j + 1) * cout_p]
+            out_ref[zo, xo + j] = aj.astype(out_dtype)
+            live = ((xb * bx + xo + j < X)
+                    & (zb * bz + zo < Z)).astype(jnp.float32)
+            part_ref[0, 0, 0, j * cout_p:(j + 1) * cout_p] += \
+                live * jnp.sum(aj, axis=1)
+            part_ref[0, 0, 1, j * cout_p:(j + 1) * cout_p] += \
+                live * jnp.sum(aj * aj, axis=1)
+        return 0
+
+    part_ref[0, 0, 0] = jnp.zeros((4 * cout_p,), jnp.float32)
+    part_ref[0, 0, 1] = jnp.zeros((4 * cout_p,), jnp.float32)
+    jax.lax.fori_loop(0, bz * nxg, group, 0, unroll=True)
 
 
 # ---------------------------------------------------------------------------

@@ -35,10 +35,12 @@ def _xla_reference(x_zxcy, norm, w_dzdxdy, b, slope):
     return jnp.transpose(y, (0, 1, 3, 2))  # back to (Z, X, C, Y)
 
 
-@pytest.mark.parametrize("cin,cout,slope,bz", [(32, 32, 0.01, 1),
-                                               (8, 16, 1.0, 1),
-                                               (8, 8, 0.01, 4)])
-def test_rowconv_parity(cin, cout, slope, bz, rng):
+@pytest.mark.parametrize("cin,cout,slope,bz,g4", [(32, 32, 0.01, 1, False),
+                                                  (8, 16, 1.0, 1, False),
+                                                  (8, 8, 0.01, 4, False),
+                                                  (32, 32, 0.01, 2, True),
+                                                  (8, 16, 1.0, 1, True)])
+def test_rowconv_parity(cin, cout, slope, bz, g4, rng):
     Z, X, Y = 6, 16, 128
     x = rng.normal(size=(Z, X, cin, Y)).astype(np.float32) * 2.0 + 0.3
     w = (rng.normal(size=(3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
@@ -58,7 +60,7 @@ def test_rowconv_parity(cin, cout, slope, bz, rng):
     y, sums = rowconv.conv3d_rows(jnp.asarray(x), norm, jnp.asarray(w),
                                   jnp.asarray(b), slope=slope,
                                   out_dtype=jnp.float32, interpret=True,
-                                  bx=8, bz=bz)
+                                  bx=8, bz=bz, g4=g4)
     got = np.asarray(y)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

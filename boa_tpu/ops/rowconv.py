@@ -466,7 +466,11 @@ def _stride2_kernel(norm_ref, w_ref, s_ref, bias_ref, x_hbm, out_ref,
     valid = ((gz >= 1) & (gz < Z + 1) & (gx >= 1) & (gx < X + 1))
     xn = jnp.where(valid, xn, 0.0).astype(jnp.bfloat16)
 
-    # R2 rows: y-deinterleaved taps, (3, wx, 3*cin_p, Y//2)
+    # R2 rows: y-deinterleaved taps, (3, wx, 3*cin_p, 128). The S matrices
+    # are zero beyond column Y//2, so lanes Y//2.. stay zero — the lane
+    # dim is kept at 128 because HBM minor dims must be 128-aligned for
+    # the output DMA (partial-lane DMA of lane-padded arrays is
+    # unsupported; the caller slices y[..., :Y//2] outside the kernel)
     for dy in range(3):
         r_ref[:, :, dy * cin_p:(dy + 1) * cin_p] = jax.lax.dot_general(
             xn, s_ref[dy],
@@ -474,7 +478,7 @@ def _stride2_kernel(norm_ref, w_ref, s_ref, bias_ref, x_hbm, out_ref,
             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
     def row(xo, _):
-        acc = jnp.zeros((cout_p, Y // 2), jnp.float32)
+        acc = jnp.zeros((cout_p, LANES), jnp.float32)
         for dz in range(3):
             for dx in range(3):
                 rs = r_ref[dz, 2 * xo + dx]
@@ -482,7 +486,11 @@ def _stride2_kernel(norm_ref, w_ref, s_ref, bias_ref, x_hbm, out_ref,
                     w_ref[dz * 3 + dx], rs,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-        acc = acc + bias_ref[0, :].reshape(cout_p, 1)
+        # bias only on live lanes (< Y//2): dead lanes must stay zero or
+        # they'd pollute the Σ/Σ² stats
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        acc = jnp.where(lane < Y // 2,
+                        acc + bias_ref[0, :].reshape(cout_p, 1), 0.0)
         out_ref[0, xo] = acc.astype(out_dtype)
         live = (xb * bx2 + xo < X // 2).astype(jnp.float32)
         part_ref[0, 0, 0] += live * jnp.sum(acc, axis=1)
@@ -516,25 +524,27 @@ def _stride2(xp, norm_mat, w_packed, s_mats, bias, *, slope, out_dtype,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, 3 * cin_p, cout_p), lambda z, x: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Y, Y2), lambda z, x: (0, 0, 0),
+            pl.BlockSpec((3, Y, LANES), lambda z, x: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout_p), lambda z, x: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, bx2, cout_p, Y2), lambda z, x: (z, x, 0, 0),
+            pl.BlockSpec((1, bx2, cout_p, LANES), lambda z, x: (z, x, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2, cout_p),
                          lambda z, x: (z * pl.num_programs(1) + x, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Z2, nxb * bx2, cout_p, Y2), out_dtype),
+            # lane dim stays 128 (HBM minors must be 128-aligned for the
+            # block DMA); live data is lanes [0, Y2) — sliced by the caller
+            jax.ShapeDtypeStruct((Z2, nxb * bx2, cout_p, LANES), out_dtype),
             jax.ShapeDtypeStruct((Z2 * nxb, 1, 2, cout_p), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, wx, 3 * cin_p, Y2), jnp.bfloat16),
+            pltpu.VMEM((3, wx, 3 * cin_p, LANES), jnp.bfloat16),
             pltpu.VMEM((2, 3, wx, cin_p, Y), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -542,7 +552,7 @@ def _stride2(xp, norm_mat, w_packed, s_mats, bias, *, slope, out_dtype,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(norm_mat, w_packed, s_mats, bias, xp)
-    return y[:, :X2], jnp.sum(partials, axis=0)[0]
+    return y[:, :X2, :, :Y2], jnp.sum(partials, axis=0)[0]
 
 
 def conv3d_rows_stride2(x: jax.Array, norm: NormAct, w: jax.Array,
@@ -577,8 +587,10 @@ def conv3d_rows_stride2(x: jax.Array, norm: NormAct, w: jax.Array,
     slope = slope_static
     w_packed = jnp.asarray(
         pack_weights_rows(w, cin_p, cout_p)).astype(jnp.bfloat16)
-    # S_dy[y, yo] = δ(y == 2*yo + dy - 1): exact 0/1 deinterleave matrices
-    s = np.zeros((3, Y, Y // 2), np.float32)
+    # S_dy[y, yo] = δ(y == 2*yo + dy - 1): exact 0/1 deinterleave matrices.
+    # Columns padded to 128 lanes (zeros) so every VMEM/HBM minor dim in
+    # the kernel stays lane-aligned — see the out_shape note in _stride2.
+    s = np.zeros((3, Y, LANES), np.float32)
     for dy in range(3):
         for yo in range(Y // 2):
             yi = 2 * yo + dy - 1
@@ -633,8 +645,11 @@ def _transp_kernel(w_ref, e_ref, x_hbm, out_ref, r_ref, win_ref, sem, *,
         win_ref.at[slot], sem.at[slot]).wait()
 
     # R rows: y-interleaved input, (bx, 2*cin_p, 2Y):
-    # rows [p*cin_p + ci], cols yout — R[p·cin+ci, yout] = in[ci, y]·δ(yout=2y+p)
-    xw = win_ref[slot][0].astype(jnp.bfloat16)      # (bx, cin_p, Y)
+    # rows [p*cin_p + ci], cols yout — R[p·cin+ci, yout] = in[ci, y]·δ(yout=2y+p).
+    # The window's lane dim is 128 (input zero-padded beyond Y: HBM minors
+    # must be 128-aligned for the DMA); E's rows ≥ Y are zero, so the pad
+    # lanes contribute nothing to the contraction.
+    xw = win_ref[slot][0].astype(jnp.bfloat16)      # (bx, cin_p, 128)
     for p in range(2):
         r_ref[:, p * cin_p:(p + 1) * cin_p] = jax.lax.dot_general(
             xw, e_ref[p],
@@ -670,7 +685,7 @@ def _transp(xt, w_packed, e_mats, *, out_dtype, interpret, Z, X, Y,
         in_specs=[
             pl.BlockSpec((4, 2 * cin_p, cout_p), lambda z, x: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Y, 2 * Y), lambda z, x: (0, 0, 0),
+            pl.BlockSpec((2, LANES, 2 * Y), lambda z, x: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -681,7 +696,7 @@ def _transp(xt, w_packed, e_mats, *, out_dtype, interpret, Z, X, Y,
                                        out_dtype),
         scratch_shapes=[
             pltpu.VMEM((bx, 2 * cin_p, 2 * Y), jnp.bfloat16),
-            pltpu.VMEM((2, 1, bx, cin_p, Y), jnp.bfloat16),
+            pltpu.VMEM((2, 1, bx, cin_p, LANES), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -708,6 +723,11 @@ def transpconv2_rows(x: jax.Array, w: jax.Array, *,
     xq = x.astype(jnp.bfloat16)
     if cin_p != cin:
         xq = jnp.pad(xq, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
+    # lane-pad the input to 128: its HBM minor dim must be 128-aligned
+    # for the window DMA (partial-lane DMA of lane-padded arrays is
+    # unsupported on Mosaic — found when the composite forward first
+    # compiled on real TPU; interpret mode does not enforce tiling)
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 0), (0, LANES - Y)))
     # weights: (a, b) → (2·cin_p, cout_p) with rows (p·cin_p + ci)
     if isinstance(w, (jax.Array, jax.core.Tracer)):
         wf = w.astype(jnp.float32)
@@ -724,7 +744,9 @@ def transpconv2_rows(x: jax.Array, w: jax.Array, *,
                 for p in range(2):
                     wp[a * 2 + bb, p * cin_p:p * cin_p + cin, :cout] = \
                         wn[a, bb, p]
-    e = np.zeros((2, Y, 2 * Y), np.float32)
+    # interleave operators with 128 rows (rows ≥ Y zero — the input's
+    # lane padding, see above)
+    e = np.zeros((2, LANES, 2 * Y), np.float32)
     for p in range(2):
         for y in range(Y):
             e[p, y, 2 * y + p] = 1.0

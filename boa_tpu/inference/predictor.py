@@ -310,10 +310,18 @@ class Predictor:
         seg_dtype = jnp.uint8 if self.cfg.num_classes <= 255 else jnp.uint16
         v = _normalize_pad(dev, props4, pads=tuple(pads), schemes=schemes)
         revert = tuple((b, b + n) for (b, _), n in zip(pads, spatial))
+        # small-z patches under-fill the MXU at batch 1: the BCA
+        # 160x160x48 shape measured 27.96 ms/tile at batch=2 vs 39.75 at
+        # batch=1 (tools/bca_roofline.py; at 128³ batching LOSES — the
+        # rule is shape-conditional). Batched tiles bypass the mirror-TTA
+        # flip batching, so only NoMirroring plans qualify.
+        tb = 2 if (16 <= patch[2] <= 64 and not self.mirror_axes
+                   and len(starts) >= 2) else 1
         return sliding_window_seg_chunked(
             self._stacked, v, starts, gauss, self.cfg,
             mirror_axes=self.mirror_axes, compute_dtype=self._dtype,
-            accum_dtype=acc, seg_dtype=seg_dtype, revert=revert)
+            accum_dtype=acc, seg_dtype=seg_dtype, revert=revert,
+            tile_batch=tb)
 
     # ------------------------------------------------------------------
     def predict(self, vol_xyz: np.ndarray | jax.Array, spacing_xyz,

@@ -239,11 +239,11 @@ def _pad_classes(n_cls: int) -> int:
 
 @partial(jax.jit, static_argnames=("cfg", "mirror_axes", "compute_dtype",
                                    "k", "channels_last", "n_cls_pad",
-                                   "xy_static"),
+                                   "xy_static", "tile_batch"),
          donate_argnums=(0,))
 def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, z_base, *,
                 cfg, mirror_axes, compute_dtype, k, channels_last, n_cls_pad,
-                xy_static=None):
+                xy_static=None, tile_batch=1):
     """Forward K tiles (scan) + K unrolled in-place adds into `buf`.
 
     buf: (X,Y,Z,n_cls_pad) if channels_last else (n_cls,X,Y,pz), donated
@@ -270,17 +270,64 @@ def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, z_base, *,
         lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a,
         fold_params)
 
-    def fwd(_, inp):
-        s, v = inp
-        pred = tile_pred(cast_params, vol, s, gaussian[..., None] * v, cfg,
-                         mirror_axes, compute_dtype, (px, py, pz))
-        if channels_last:
-            pred = jnp.pad(pred, ((0, 0),) * 3 + ((0, n_cls_pad - n_cls),))
-        else:
-            pred = jnp.transpose(pred, (3, 0, 1, 2))
-        return None, pred.astype(buf.dtype)
+    if tile_batch > 1:
+        # Batched-tile forward: at small-z patches (the BCA 160x160x48
+        # shape) one tile under-fills the MXU — batch=2 measured 27.96
+        # ms/tile vs 39.75 at batch=1 (tools/bca_roofline.py; at 128³ the
+        # same batching LOSES, so this is opt-in per shape). Requires no
+        # mirror TTA (the flip batching in _forward_tta assumes batch 1)
+        # and k % tile_batch == 0 (run_chunks rounds the chunk up).
+        assert not mirror_axes and k % tile_batch == 0
+        n_ch = vol.shape[0]
+        n_folds = jax.tree.leaves(cast_params)[0].shape[0]
 
-    _, ys = jax.lax.scan(fwd, None, (starts_c, valid))
+        def fwdb(_, inp):
+            s, v = inp                    # (tb, 3), (tb,)
+            x = jnp.stack([
+                jax.lax.dynamic_slice(
+                    vol, (0, s[i, 0], s[i, 1], s[i, 2]),
+                    (n_ch, px, py, pz))
+                for i in range(tile_batch)])
+            x = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(compute_dtype)
+            if n_folds == 1:
+                pred = unet_forward(jax.tree.map(lambda a: a[0],
+                                                 cast_params),
+                                    x, cfg).astype(jnp.float32)
+            else:
+                def fold_step(acc, p):
+                    return acc + unet_forward(p, x, cfg
+                                              ).astype(jnp.float32), None
+
+                zero = jnp.zeros((tile_batch, px, py, pz, n_cls),
+                                 jnp.float32)
+                pred, _ = jax.lax.scan(fold_step, zero, cast_params)
+                pred = pred / n_folds
+            pred = pred * gaussian[None, ..., None] \
+                * v[:, None, None, None, None]
+            if channels_last:
+                pred = jnp.pad(pred,
+                               ((0, 0),) * 4 + ((0, n_cls_pad - n_cls),))
+            else:
+                pred = jnp.transpose(pred, (0, 4, 1, 2, 3))
+            return None, pred.astype(buf.dtype)
+
+        _, ys = jax.lax.scan(
+            fwdb, None, (starts_c.reshape(k // tile_batch, tile_batch, 3),
+                         valid.reshape(k // tile_batch, tile_batch)))
+        ys = ys.reshape((k,) + ys.shape[2:])
+    else:
+        def fwd(_, inp):
+            s, v = inp
+            pred = tile_pred(cast_params, vol, s, gaussian[..., None] * v,
+                             cfg, mirror_axes, compute_dtype, (px, py, pz))
+            if channels_last:
+                pred = jnp.pad(pred,
+                               ((0, 0),) * 3 + ((0, n_cls_pad - n_cls),))
+            else:
+                pred = jnp.transpose(pred, (3, 0, 1, 2))
+            return None, pred.astype(buf.dtype)
+
+        _, ys = jax.lax.scan(fwd, None, (starts_c, valid))
 
     win = (px, py, pz, n_cls_pad) if channels_last else (n_cls, px, py, pz)
     for i in range(k):  # straight-line: XLA updates the donated buf in place
@@ -336,7 +383,7 @@ def sliding_window_seg_chunked(
     fold_params, vol, starts: "np.ndarray", gaussian, cfg: ArchConfig,
     mirror_axes=(), compute_dtype=jnp.bfloat16, accum_dtype=jnp.float16,
     seg_dtype=jnp.uint8, revert=None, k: int | None = None,
-    accum_budget_bytes: float = 6e9):
+    accum_budget_bytes: float = 6e9, tile_batch: int = 1):
     """Fused sliding-window -> argmax via chunked in-place accumulation.
 
     vol: (C,X,Y,Z) normalized+padded device array. starts: host (T,3) int32.
@@ -367,6 +414,8 @@ def sliding_window_seg_chunked(
         # chunk (~30 ms each through the tunnel)
         T = len(row_starts)
         kk = k if k is not None else _auto_chunk(T, tile_bytes)
+        if tile_batch > 1:  # chunk must split evenly into tile batches
+            kk = -(-kk // tile_batch) * tile_batch
         n_chunks = -(-T // kk)
         starts_pad = np.full((n_chunks * kk, 3), z_base, np.int32)
         if static_xy:  # padded tiles add zeros at a static (0, 0) corner
@@ -388,7 +437,7 @@ def sliding_window_seg_chunked(
                 cfg=cfg, mirror_axes=tuple(mirror_axes),
                 compute_dtype=compute_dtype, k=kk,
                 channels_last=channels_last, n_cls_pad=n_cls_pad,
-                xy_static=xy)
+                xy_static=xy, tile_batch=tile_batch)
         return buf
 
     if channels_last:

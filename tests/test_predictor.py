@@ -324,6 +324,35 @@ def test_chunked_layout_branches(plans, rng):
     assert seg_last.shape == (24, 20, 18)
 
 
+def test_chunked_tile_batch_parity(plans, rng):
+    """tile_batch=2 (the small-z MXU-fill path, 2 folds, both accumulator
+    layouts) produces bit-identical segmentations to tile_batch=1."""
+    from boa_tpu.inference.sliding_window import sliding_window_seg_chunked
+    from boa_tpu.ops import preprocess as pp
+
+    params = [_make_model(plans, seed=s)[1] for s in (0, 1)]
+    stacked = stack_fold_params(params)
+    cfg = plans.arch_config()
+    patch = plans.patch_size_xyz
+    vol = jnp.asarray(rng.normal(0, 1, (1, 24, 20, 18)).astype(np.float32))
+    pads = [(0, max(p - n, 0)) for p, n in zip(patch, vol.shape[1:])]
+    vol = jnp.pad(vol, [(0, 0)] + pads)
+    starts = pp.tile_starts(vol.shape[1:], patch, 0.5)
+    gauss = pp.gaussian_importance_map(patch)
+    revert = tuple((0, n) for n in (24, 20, 18))
+
+    for budget in (6e9, 1):  # channels-last AND channels-first branches
+        ref = sliding_window_seg_chunked(
+            stacked, vol, starts, gauss, cfg, accum_dtype=jnp.float32,
+            compute_dtype=jnp.float32, revert=revert, k=3,
+            accum_budget_bytes=budget)
+        got = sliding_window_seg_chunked(
+            stacked, vol, starts, gauss, cfg, accum_dtype=jnp.float32,
+            compute_dtype=jnp.float32, revert=revert, k=3,
+            accum_budget_bytes=budget, tile_batch=2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_chunked_matches_reference_logits(plans, rng):
     """sliding_window_seg_chunked (the production fused path) == argmax of
     the weight-normalized reference accumulation, with 2 folds and a chunk

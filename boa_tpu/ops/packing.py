@@ -152,10 +152,14 @@ def download_labels_wide(dev: jax.Array) -> np.ndarray:
     device XOR-delta encode, download the (mostly-zero) delta volume,
     single-pass host decode. BOA_SEG_DOWN_CODEC ∈ {raw, xdelta}.
 
-    Default raw: measured (tools/transfer_bench.py) the link compressor
-    already squeezes piecewise-constant label volumes about as well as
-    the XOR-delta form, so the extra device pass + host decode don't pay
-    on normal weather. The knob stays for degraded-tunnel sessions."""
+    Default raw, re-measured honestly in r5 after fixing the bench's
+    cached-host-copy artifact (tools/transfer_bench.py time_download:
+    np.asarray caches on the jax.Array, so re-downloading the same array
+    was free and raw baselines read 0.000 s): 49 MB 117-label model-grid
+    seg, raw 1.67 s vs xdelta 2.35 s at normal weather — the device
+    encode pass + an extra materialized array cost more than the delta
+    form saves. The knob stays for degraded-tunnel sessions, where the
+    post-compression byte count dominates."""
     if dev.dtype != jnp.uint8 or \
             os.environ.get("BOA_SEG_DOWN_CODEC", "raw") != "xdelta":
         return np.asarray(dev)

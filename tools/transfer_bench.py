@@ -47,12 +47,19 @@ def time_upload(fn, host_arr, reps):
     return ts
 
 
-def time_download(fn, dev_arr, reps):
+def time_download(fn, make_dev, reps):
+    """`make_dev(i)` must return a FRESH device array per rep: np.asarray
+    caches the host copy on the jax.Array instance, so re-downloading the
+    same array is free after the first pull — the warmup+reuse version of
+    this helper reported 0.000 s raw downloads and mis-calibrated the
+    codec defaults (r5 session 1)."""
     ts = []
-    out = fn(dev_arr)  # warmup: compile the encode program
-    for _ in range(reps):
+    out = fn(make_dev(0))  # warmup: compile the encode program
+    for i in range(1, reps + 1):
+        d = make_dev(i)
+        _sync(d)
         t0 = time.perf_counter()
-        out = fn(dev_arr)
+        out = fn(d)
         ts.append(time.perf_counter() - t0)
     return ts, out
 
@@ -106,13 +113,17 @@ def main() -> None:
     # and the raw-download baseline a lie
     import jax
 
-    seg_dev = jax.jit(lambda x: x ^ jnp.uint8(0))(jnp.asarray(seg))
-    _sync(seg_dev)
+    seg_base = jnp.asarray(seg)
+    roll = jax.jit(lambda x, s: jnp.roll(x, s, axis=2))
+
+    def make_dev(i):  # fresh device-computed buffer per rep (see helper)
+        return roll(seg_base, i + 1)
+
     for codec, fn in (("raw", lambda d: np.asarray(d)),
                       ("xdelta", lambda d: packing.xordelta_dec_host(
                           np.asarray(packing.xordelta_enc_device(d))))):
-        ts, out = time_download(fn, seg_dev, args.reps)
-        assert np.array_equal(out, seg), codec
+        ts, out = time_download(fn, make_dev, args.reps)
+        assert np.array_equal(out, np.roll(seg, args.reps + 1, axis=2)), codec
         results[f"download_seg[{codec}]"] = ts
         print(f"download_seg[{codec}]: med {statistics.median(ts):.3f}s  "
               f"{[round(t, 3) for t in ts]}", flush=True)

@@ -183,7 +183,10 @@ def predict_image(
     #     the model grid on device (change_spacing: zoom convention, order 3,
     #     int32 cast — nnunet.py:457-476). The volume stays device-resident
     #     from here until the final seg download.
-    data_dev = nifti.apply_orientation_device(img.device_data(), ornt)
+    dd = img.device_data()
+    spans.mark("upload", sync=dd)
+    data_dev = nifti.apply_orientation_device(dd, ornt)
+    spans.mark("orient", sync=data_dev)
     resample = task.resample
     if task.resample_only_thickness and resample is not None:
         resample = (canon_zooms[0], canon_zooms[1], resample[2])

@@ -310,13 +310,18 @@ class Predictor:
         seg_dtype = jnp.uint8 if self.cfg.num_classes <= 255 else jnp.uint16
         v = _normalize_pad(dev, props4, pads=tuple(pads), schemes=schemes)
         revert = tuple((b, b + n) for (b, _), n in zip(pads, spatial))
-        # small-z patches under-fill the MXU at batch 1: the BCA
-        # 160x160x48 shape measured 27.96 ms/tile at batch=2 vs 39.75 at
-        # batch=1 (tools/bca_roofline.py; at 128³ batching LOSES — the
-        # rule is shape-conditional). Batched tiles bypass the mirror-TTA
-        # flip batching, so only NoMirroring plans qualify.
-        tb = 2 if (16 <= patch[2] <= 64 and not self.mirror_axes
-                   and len(starts) >= 2) else 1
+        # Tile batching is ARCH-conditional (tools/bca_roofline.py): archs
+        # that pool z hard (the synthetic 160x160x48 BCA arch, isotropic
+        # strides, z 48->3) leave the deep stages dispatch-bound and
+        # batch=2 wins 30% (27.96 vs 39.75 ms/tile); an anisotropic
+        # real-plan-shaped arch (z pooled 48->12) measured the OPPOSITE
+        # (15.13 batch=1 vs 17.75 batch=2), and 128³ archs also lose.
+        # Discriminate on the measured cause — the z-pooling factor —
+        # plus small-z patch and no mirror TTA (the flip batching in
+        # _forward_tta owns the batch dim).
+        z_pool = int(np.prod([s[2] for s in self.cfg.strides]))
+        tb = 2 if (16 <= patch[2] <= 64 and z_pool >= 16
+                   and not self.mirror_axes and len(starts) >= 2) else 1
         return sliding_window_seg_chunked(
             self._stacked, v, starts, gauss, self.cfg,
             mirror_axes=self.mirror_axes, compute_dtype=self._dtype,

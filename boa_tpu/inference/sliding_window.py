@@ -54,19 +54,65 @@ def _forward_tta(params, x: jax.Array, cfg: ArchConfig,
     return out[0]
 
 
+def tiles_pred(cast_params, vol, starts_tb, gauss_w, cfg: ArchConfig,
+               compute_dtype, patch_shape,
+               pvary_axes: tuple[str, ...] = ()) -> jax.Array:
+    """Gauss-weighted fold-ensemble prediction of a BATCH of tiles.
+
+    The shared forward body of every sliding-window variant: dynamic-slice
+    one patch per row of `starts_tb` ((tb, 3) int32), stack as the batch
+    dim of one NXYZC forward per fold (folds==1 skips the fold scan's
+    zeros-init+add pass), mean over folds, multiply by `gauss_w`
+    (broadcastable against (tb, px, py, pz, 1) — the per-tile validity
+    mask rides in it). Returns (tb, px, py, pz, n_cls) fp32. No mirror
+    TTA here: the flip batching in _forward_tta owns the batch dim, so
+    TTA plans go through tile_pred's batch-1 wrapper instead.
+    `pvary_axes` marks the fold accumulator device-varying inside
+    shard_map bodies.
+    """
+    px, py, pz = patch_shape
+    n_ch = vol.shape[0]
+    n_cls = cfg.num_classes
+    tb = starts_tb.shape[0]
+    x = jnp.stack([
+        jax.lax.dynamic_slice(
+            vol, (0, starts_tb[i, 0], starts_tb[i, 1], starts_tb[i, 2]),
+            (n_ch, px, py, pz))
+        for i in range(tb)])
+    x = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(compute_dtype)
+    n_folds = jax.tree.leaves(cast_params)[0].shape[0]
+    if n_folds == 1:
+        pred = unet_forward(jax.tree.map(lambda a: a[0], cast_params),
+                            x, cfg).astype(jnp.float32)
+    else:
+        def fold_step(acc, p):
+            return acc + unet_forward(p, x, cfg).astype(jnp.float32), None
+
+        zero = jnp.zeros((tb, px, py, pz, n_cls), jnp.float32)
+        if pvary_axes:
+            zero = jax.lax.pcast(zero, pvary_axes, to="varying")
+        pred, _ = jax.lax.scan(fold_step, zero, cast_params)
+        pred = pred / n_folds
+    return pred * gauss_w
+
+
 def tile_pred(cast_params, vol, start, gauss_w, cfg: ArchConfig,
               mirror_axes, compute_dtype, patch_shape,
               pvary_axes: tuple[str, ...] = ()) -> jax.Array:
     """Gauss-weighted fold-ensemble prediction of ONE tile.
 
-    The shared per-tile body of every sliding-window variant (single-chip
-    scan, chunked, sharded): dynamic-slice the patch at `start`, NXYZC
-    forward (+ mirror TTA) per fold (folds==1 skips the fold scan's
-    zeros-init+add pass), mean over folds, multiply by the Gaussian map
-    `gauss_w` ((px,py,pz) or (px,py,pz,1), already scaled by any validity
-    mask). Returns (px, py, pz, n_cls) fp32. `pvary_axes` marks the fold
-    accumulator device-varying inside shard_map bodies.
+    Delegates to tiles_pred with a batch of one when the plan has no
+    mirror TTA (identical math — the forward already ran with a leading
+    batch-1 dim); TTA plans keep the flip-batched body here. `gauss_w` is
+    (px,py,pz) or (px,py,pz,1), already scaled by any validity mask.
+    Returns (px, py, pz, n_cls) fp32.
     """
+    if gauss_w.ndim == 3:
+        gauss_w = gauss_w[..., None]
+    if not mirror_axes:
+        return tiles_pred(cast_params, vol, start[None], gauss_w, cfg,
+                          compute_dtype, patch_shape,
+                          pvary_axes=pvary_axes)[0]
     px, py, pz = patch_shape
     n_ch = vol.shape[0]
     n_cls = cfg.num_classes
@@ -87,8 +133,6 @@ def tile_pred(cast_params, vol, start, gauss_w, cfg: ArchConfig,
             zero = jax.lax.pcast(zero, pvary_axes, to="varying")
         pred, _ = jax.lax.scan(fold_step, zero, cast_params)
         pred = pred / n_folds
-    if gauss_w.ndim == 3:
-        gauss_w = gauss_w[..., None]
     return pred * gauss_w
 
 
@@ -278,32 +322,12 @@ def _chunk_step(buf, fold_params, vol, starts_c, valid, gaussian, z_base, *,
         # mirror TTA (the flip batching in _forward_tta assumes batch 1)
         # and k % tile_batch == 0 (run_chunks rounds the chunk up).
         assert not mirror_axes and k % tile_batch == 0
-        n_ch = vol.shape[0]
-        n_folds = jax.tree.leaves(cast_params)[0].shape[0]
 
         def fwdb(_, inp):
             s, v = inp                    # (tb, 3), (tb,)
-            x = jnp.stack([
-                jax.lax.dynamic_slice(
-                    vol, (0, s[i, 0], s[i, 1], s[i, 2]),
-                    (n_ch, px, py, pz))
-                for i in range(tile_batch)])
-            x = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(compute_dtype)
-            if n_folds == 1:
-                pred = unet_forward(jax.tree.map(lambda a: a[0],
-                                                 cast_params),
-                                    x, cfg).astype(jnp.float32)
-            else:
-                def fold_step(acc, p):
-                    return acc + unet_forward(p, x, cfg
-                                              ).astype(jnp.float32), None
-
-                zero = jnp.zeros((tile_batch, px, py, pz, n_cls),
-                                 jnp.float32)
-                pred, _ = jax.lax.scan(fold_step, zero, cast_params)
-                pred = pred / n_folds
-            pred = pred * gaussian[None, ..., None] \
-                * v[:, None, None, None, None]
+            gw = gaussian[None, ..., None] * v[:, None, None, None, None]
+            pred = tiles_pred(cast_params, vol, s, gw, cfg, compute_dtype,
+                              (px, py, pz))
             if channels_last:
                 pred = jnp.pad(pred,
                                ((0, 0),) * 4 + ((0, n_cls_pad - n_cls),))

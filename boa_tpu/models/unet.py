@@ -492,8 +492,11 @@ def _rowconv_forward(params: dict, x: jax.Array, cfg: ArchConfig) -> jax.Array:
     cnt0 = Z * X * Y
     # g4 + (bz=4, bx=16): the best measured kernel config (tools/
     # rowconv_bench.py sweep — 33 TF/s c32, 46 TF/s c64→32, no VMEM OOM
-    # at either channel width)
-    kw = dict(out_dtype=dt, interpret=interp, g4=True, bx=16, bz=4)
+    # at either channel width). g4 packs 4 output rows into M=128, which
+    # needs cout_p <= 32 — wider stage-0 features fall back to the plain
+    # kernel rather than raising in conv3d_rows.
+    g4_ok = cfg.features_per_stage[0] <= 32
+    kw = dict(out_dtype=dt, interpret=interp, g4=g4_ok, bx=16, bz=4)
     y1, s1 = rc.conv3d_rows(x0, rc.identity_normact(C), wr(enc0[0]),
                             enc0[0].get("b"), slope=1.0, **kw)
     na1 = normact(enc0[0], s1, cnt0, c0)

@@ -2,13 +2,20 @@
 
 VERDICT r4 #5 asked for a roofline of the BCA patch shape (the
 batch-1-per-tile rule had only been measured at 128^3). Times the
-body_parts/body_regions architecture (features 32..320, anisotropic
-strides from the 1.5x1.5x5 mm plan) at batch 1 AND batch 2/4 tiles, plus
-the per-tile FLOP count, so the tile-batching question is answered at
-this shape too. Scan-of-N with a carry dependency (see rowconv_bench.py),
-scalar-readback sync, dispatch subtracted.
+body_parts/body_regions architecture at batch 1 AND batch 2/4 tiles,
+plus the per-tile FLOP count, so the tile-batching question is answered
+at this shape too. Scan-of-N with a carry dependency (see
+rowconv_bench.py), scalar-readback sync, dispatch subtracted.
 
-Run from the repo root: python tools/bca_roofline.py [--iters 10]
+Default: the SYNTHETIC arch (isotropic [2,2,2] strides from
+plans.synthetic_plans — exactly what tools/e2e_bench.py and the serving
+benches run, so the shipped tile_batch decision matches the benched
+models). --aniso instead builds nnU-Net-style anisotropic strides for
+the 1.5x1.5x5 mm spacing (z pooled only while its resolution is
+coarsest-comparable), the shape a REAL weights install would bring —
+run it before trusting the batch heuristic on real checkpoints.
+
+Run from the repo root: python tools/bca_roofline.py [--iters 10] [--aniso]
 """
 import argparse
 import sys
@@ -22,18 +29,34 @@ sys.path.insert(0, ".")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--aniso", action="store_true",
+                    help="nnU-Net-style anisotropic strides for 1.5x1.5x5 mm"
+                    " (real-plan shape) instead of the synthetic arch")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from boa_tpu.models.unet import init_unet, unet_forward
+    from boa_tpu.models.unet import ArchConfig, init_unet, unet_forward
     from boa_tpu.plans.plans import synthetic_plans
 
-    plans = synthetic_plans(num_classes=8, patch_size=(160, 160, 48),
-                            spacing=(1.5, 1.5, 5.0),
-                            features=(32, 64, 128, 256, 320))
-    cfg = plans.arch_config()
+    if args.aniso:
+        # nnU-Net pools an axis only while its spacing stays within ~2x of
+        # the finest: at (1.5, 1.5, 5) z joins pooling late — z is pooled
+        # twice (48->24->12), xy four times (160->10)
+        cfg = ArchConfig(
+            n_stages=5, features_per_stage=(32, 64, 128, 256, 320),
+            kernel_sizes=((3, 3, 1), (3, 3, 3), (3, 3, 3), (3, 3, 3),
+                          (3, 3, 3)),
+            strides=((1, 1, 1), (2, 2, 1), (2, 2, 2), (2, 2, 2),
+                     (2, 2, 1)),
+            n_conv_per_stage=(2,) * 5, n_conv_per_stage_decoder=(2,) * 4,
+            num_classes=8)
+    else:
+        plans = synthetic_plans(num_classes=8, patch_size=(160, 160, 48),
+                                spacing=(1.5, 1.5, 5.0),
+                                features=(32, 64, 128, 256, 320))
+        cfg = plans.arch_config()
     print(f"arch: strides={cfg.strides} kernels={cfg.kernel_sizes}",
           flush=True)
     params = init_unet(jax.random.key(0), cfg)
@@ -58,7 +81,9 @@ def main() -> None:
             sp = sp * np.array(cfg.strides[s])
             k = np.prod(cfg.kernel_sizes[s - 1])
             co = feats[s - 1]
-            total += 2 * np.prod(sp) * co * feats[s] * np.prod(cfg.strides[s])
+            # kernel==stride transpconv: each output voxel receives exactly
+            # ONE ci-by-co tap — no prod(stride) factor
+            total += 2 * np.prod(sp) * co * feats[s]
             total += 2 * np.prod(sp) * co * 2 * co * k
             total += 2 * np.prod(sp) * co * co * k
         return total / 1e9

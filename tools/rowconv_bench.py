@@ -139,7 +139,8 @@ def main() -> None:
     ws = jax.random.normal(jax.random.key(2), (3, 3, 3, 32, 32),
                            jnp.float32) * 0.1
     ys, ss = rc.conv3d_rows(xs, rc.identity_normact(32), ws, None,
-                            slope=0.01, bx=args.bx, bz=min(args.bz, 2))
+                            slope=0.01, bx=args.bx, bz=min(args.bz, 2),
+                            g4=args.g4)
     print(f"smoke ok: {float(jnp.sum(ss[0])):.3f}", flush=True)
 
     wanted = {int(s) for s in args.stages.split(",")}

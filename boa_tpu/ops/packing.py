@@ -169,9 +169,16 @@ def download_labels_wide(dev: jax.Array) -> np.ndarray:
 def upload_labels_wide(a: np.ndarray) -> jax.Array:
     """Host->device upload of a uint8 label volume with any label count
     (host XOR-delta encode, device prefix-XOR decode).
-    BOA_SEG_UP_CODEC ∈ {raw, xdelta}; raw default (see download note)."""
+    BOA_SEG_UP_CODEC ∈ {raw, xdelta}.
+
+    Default xdelta — the direction asymmetry is measured (honest bench,
+    see download_labels_wide): the upload link compresses, and the
+    ~97%-zero delta form compresses better still; 49 MB 117-label seg
+    uploads raw 0.57 s vs xdelta 0.52 s at normal weather and 2.35 vs
+    0.86 s on a degraded tunnel. The host encode is a 0.1-0.3 s native
+    single pass; the device decode is a log-depth prefix-XOR scan."""
     if a.dtype != np.uint8 or \
-            os.environ.get("BOA_SEG_UP_CODEC", "raw") != "xdelta":
+            os.environ.get("BOA_SEG_UP_CODEC", "xdelta") != "xdelta":
         return jnp.asarray(a)
     return xordelta_dec_device(jnp.asarray(xordelta_enc_host(a)))
 

@@ -427,6 +427,66 @@ def _block_zm(p: dict, xz: jax.Array, stride, kernel,
     return _lrelu(xz, cfg.nonlin_slope)
 
 
+def _stride2_kernel_wanted(cfg: ArchConfig, shape, s: int, b: int,
+                           all_heads: bool) -> bool:
+    """BOA_STRIDE2_KERNEL=1: route the 128-lane stride-2 encoder boundary
+    through the Pallas kernel (ops/rowconv.py conv3d_rows_stride2).
+
+    Measured (tools/stride2_bench.py, v5e): the enc1.conv1 floor — XLA
+    computes the DENSE conv and discards 7/8 — runs 2.44 ms as the
+    shipped z-parity-folded conv+IN+LReLU vs **1.65 ms** through the
+    kernel INCLUDING both layout transposes (the kernel computes only
+    the needed outputs via 0/1 deinterleave matmuls, and its fused Σ/Σ²
+    replace the IN reduction). ~0.7 ms of a 24 ms flagship forward, the
+    one floor stage where a hand kernel beats XLA. Off by default: the
+    e2e effect (~1% of a study) is below tunnel-weather noise, and the
+    Mosaic path is TPU-only (CPU tests run it in interpret mode via
+    BOA_STRIDE2_KERNEL=interpret). Same trace-time-env caveat as
+    BOA_ROWCONV.
+    """
+    import os
+
+    flag = os.environ.get("BOA_STRIDE2_KERNEL", "0")
+    if flag in ("", "0") or all_heads:  # inference only (no custom vjp)
+        return False
+    n, Z, X, Y, _ = shape
+    return (s == 1 and b == 0 and n == 1 and Y == 128
+            and Z % 2 == 0 and X % 2 == 0
+            and cfg.strides[1] == (2, 2, 2)
+            and cfg.kernel_sizes[1] == (3, 3, 3)
+            and not cfg.two_d)
+
+
+def _stride2_block_pallas(block: dict, xz: jax.Array,
+                          cfg: ArchConfig) -> jax.Array:
+    """conv_block(stride 2) on the Pallas stride-2 kernel: row-layout
+    conv of the ALREADY-normalized z-major input (identity input norm),
+    then instance-norm from the kernel's fused Σ/Σ² + affine + LReLU,
+    back in z-major layout."""
+    import os
+
+    from boa_tpu.ops import rowconv as rc
+
+    interp = os.environ.get("BOA_STRIDE2_KERNEL") == "interpret"
+    dt = xz.dtype
+    _, Z, X, Y, cin = xz.shape
+    cout = block["w"].shape[-1]
+    xr = jnp.transpose(xz[0], (0, 1, 3, 2))            # (Z, X, C, Y)
+    wr = jnp.transpose(block["w"], (2, 0, 1, 3, 4))    # (kz, kx, ky, ci, co)
+    y, sums = rc.conv3d_rows_stride2(
+        xr, rc.identity_normact(cin), wr, block.get("b"), slope=1.0,
+        out_dtype=dt, interpret=interp)
+    Z2, X2, Y2 = Z // 2, X // 2, Y // 2
+    mean, inv_std = rc.stats_from_sums(sums, Z2 * X2 * Y2, cfg.norm_eps)
+    yz = jnp.transpose(y[:, :, :cout], (0, 1, 3, 2))[None]  # (1,Z2,X2,Y2,co)
+    yf = (yz.astype(jnp.float32) - mean) * inv_std
+    if block.get("norm_scale") is not None:
+        yf = yf * block["norm_scale"].astype(jnp.float32)
+    if block.get("norm_bias") is not None:
+        yf = yf + block["norm_bias"].astype(jnp.float32)
+    return _lrelu(yf.astype(dt), cfg.nonlin_slope)
+
+
 def _rowconv_enabled() -> bool:
     # Read at TRACE time: jit caches keyed on (cfg, shapes) do NOT see
     # this env var, so flipping BOA_ROWCONV mid-process keeps serving any
@@ -634,6 +694,9 @@ def unet_forward(params: dict, x: jax.Array, cfg: ArchConfig,
         for s, stage in enumerate(params["encoder"]):
             for b, block in enumerate(stage):
                 stride = cfg.strides[s] if b == 0 else (1, 1, 1)
+                if _stride2_kernel_wanted(cfg, xz.shape, s, b, all_heads):
+                    xz = _stride2_block_pallas(block, xz, cfg)
+                    continue
                 xz = _block_zm(block, xz, stride, cfg.kernel_sizes[s], cfg)
             skips.append(xz)
 

@@ -148,6 +148,41 @@ def test_unet_rowconv_forward_parity(rng, monkeypatch):
     assert agree > 0.99, f"argmax agreement {agree}"
 
 
+def test_unet_stride2_kernel_forward_parity(rng, monkeypatch):
+    """BOA_STRIDE2_KERNEL=interpret: the stride-2 encoder boundary through
+    the Pallas kernel matches the default z-major forward (the one floor
+    stage where the kernel BEATS XLA — tools/stride2_bench.py)."""
+    from boa_tpu.models.unet import ArchConfig, init_unet, unet_forward
+
+    cfg = ArchConfig(
+        n_stages=3, features_per_stage=(8, 16, 32),
+        kernel_sizes=((3, 3, 3),) * 3,
+        strides=((1, 1, 1), (2, 2, 2), (2, 2, 2)),
+        n_conv_per_stage=(2, 2, 2), n_conv_per_stage_decoder=(2, 2),
+        num_classes=5)
+    params = init_unet(jax.random.PRNGKey(7), cfg)
+    x = jnp.asarray(rng.normal(size=(1, 8, 128, 8, 1)), jnp.float32)
+
+    monkeypatch.delenv("BOA_STRIDE2_KERNEL", raising=False)
+    ref = np.asarray(unet_forward(params, x, cfg))
+    monkeypatch.setenv("BOA_STRIDE2_KERNEL", "interpret")
+    got = np.asarray(unet_forward(params, x, cfg))
+    assert got.shape == ref.shape
+    # kernel quantizes activations/weights to bf16 at the MXU feeds
+    np.testing.assert_allclose(got, ref, rtol=0.06, atol=0.06)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.99, f"argmax agreement {agree}"
+    # training path (all_heads) must NOT take the kernel (no custom vjp)
+    cfg_ds = ArchConfig(
+        n_stages=3, features_per_stage=(8, 16, 32),
+        kernel_sizes=((3, 3, 3),) * 3,
+        strides=((1, 1, 1), (2, 2, 2), (2, 2, 2)),
+        n_conv_per_stage=(2, 2, 2), n_conv_per_stage_decoder=(2, 2),
+        num_classes=5, deep_supervision=True)
+    outs = unet_forward(params, x, cfg_ds, all_heads=True)
+    assert isinstance(outs, list) and len(outs) == 2
+
+
 def test_unet_rowconv_ineligible_falls_back(rng, monkeypatch):
     """Non-qualifying geometry (Y != 128) silently uses the XLA path."""
     from boa_tpu.models.unet import ArchConfig, init_unet, unet_forward
